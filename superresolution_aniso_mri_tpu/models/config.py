@@ -1,0 +1,67 @@
+"""Model architecture configuration.
+
+Mirrors the hyper-parameter surface of the reference's model zoo
+(reference: networks/acai_vanilla.py:112-138, networks/net_config.py:10-92)
+but as an explicit dataclass instead of a raw arg dict.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class AEConfig:
+    """Architecture hyper-parameters shared by all autoencoder variants.
+
+    ``scales`` is derived exactly like the reference
+    (``round(log2(width / latent_width))``, networks/acai_vanilla.py:116).
+    Unlike the reference's encoder stem (a 1x1 conv with padding=1 that
+    grows H/W by 2 and relies on AvgPool flooring), our encoder is
+    shape-exact: ``latent_width == width >> scales`` always holds, which
+    keeps every shape static for XLA.
+    """
+
+    width: int = 128
+    latent_width: int = 16
+    depth: int = 32
+    latent: int = 16
+    colors: int = 1
+    use_batchnorm: bool = True
+    use_sigmoid: bool = True
+    n_res_block: Optional[int] = None
+    nclasses: int = 4  # only used by MultiChannelAE
+    # compute dtype for conv stacks; params are always float32.
+    compute_dtype: str = "float32"
+
+    @property
+    def scales(self) -> int:
+        return int(round(math.log2(self.width / self.latent_width)))
+
+    @property
+    def dtype(self):
+        return _DTYPES[self.compute_dtype]
+
+    @classmethod
+    def from_args(cls, args: dict) -> "AEConfig":
+        """Build from a flat experiment-settings dict (settings.yaml)."""
+        return cls(
+            width=int(args["width"]),
+            latent_width=int(args["latent_width"]),
+            depth=int(args["depth"]),
+            latent=int(args["latent"]),
+            colors=int(args.get("colors", 1)),
+            use_batchnorm=bool(args.get("use_batchnorm", False)),
+            use_sigmoid=bool(args.get("use_sigmoid", False)),
+            n_res_block=args.get("n_res_block", None),
+            nclasses=int(args.get("nclasses", 4)),
+            compute_dtype=str(args.get("compute_dtype", "float32")),
+        )

@@ -1,0 +1,21 @@
+"""Compute kernels: losses, metrics, perceptual distance, resampling."""
+from .losses import mse, l1, bce_sum_over_batch, kl_standard_normal, latent_mix
+from .lap_pyramid import lap_loss, laplacian_pyramid
+from .dice import dice_loss, soft_dice_score
+from .metrics import (
+    ssim2d, ssim_volume, psnr2d, psnr_volume, vif2d, vif_volume,
+    synth_slice_mask, masked_mean, gaussian_filter2d,
+)
+from .lpips import (
+    lpips_distance, lpips_loss, get_lpips_params, init_lpips_params,
+    load_lpips_params,
+)
+
+__all__ = [
+    "mse", "l1", "bce_sum_over_batch", "kl_standard_normal", "latent_mix",
+    "lap_loss", "laplacian_pyramid", "dice_loss", "soft_dice_score",
+    "ssim2d", "ssim_volume", "psnr2d", "psnr_volume", "vif2d", "vif_volume",
+    "synth_slice_mask", "masked_mean", "gaussian_filter2d",
+    "lpips_distance", "lpips_loss", "get_lpips_params", "init_lpips_params",
+    "load_lpips_params",
+]

@@ -1,0 +1,79 @@
+"""Laplacian-pyramid L1 loss as fused XLA convolutions.
+
+Behavioural port of the reference's LapLoss
+(reference: kwatsch/lap_pyramid_loss.py:11-65): 3 pyramid levels built
+with the fixed 5x5 binomial kernel (/256), reflect padding, stride-2
+decimation, zero-stuffing upsample convolved with 4x the kernel, and a
+sum of per-level mean-L1 differences.
+
+TPU notes: the 5x5 gaussian is separable — we run it as two 1-D convs
+(depthwise, NHWC) which XLA maps onto the VPU/MXU efficiently; the
+zero-stuff upsample is a reshape+pad (no scatter).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_K1D = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def _blur(x: Array, gain: float = 1.0) -> Array:
+    """Depthwise 5x5 binomial blur with reflect padding, NHWC, separable."""
+    c = x.shape[-1]
+    kh = jnp.asarray(_K1D, x.dtype).reshape(5, 1, 1, 1)
+    kw = jnp.asarray(_K1D, x.dtype).reshape(1, 5, 1, 1)
+    kh = jnp.tile(kh, (1, 1, 1, c)) if c > 1 else kh
+    kw = jnp.tile(kw, (1, 1, 1, c)) if c > 1 else kw
+    x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(x.shape, (5, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 5, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
+    return x * jnp.asarray(gain, x.dtype)
+
+
+def _downsample(x: Array) -> Array:
+    return x[:, ::2, ::2, :]
+
+
+def _upsample_zero_stuff(x: Array) -> Array:
+    """Insert zeros between samples (even positions hold the input),
+    then blur with 4x kernel — matches reference upsample
+    (lap_pyramid_loss.py:27-35)."""
+    n, h, w, c = x.shape
+    up = jnp.zeros((n, h, 2, w, 2, c), x.dtype)
+    up = up.at[:, :, 0, :, 0, :].set(x)
+    up = up.reshape(n, 2 * h, 2 * w, c)
+    return _blur(up, gain=4.0)
+
+
+def laplacian_pyramid(img: Array, max_levels: int = 3) -> List[Array]:
+    """Reference: lap_pyramid_loss.py:44-54 (NHWC here)."""
+    current = img
+    pyr = []
+    for _ in range(max_levels):
+        filtered = _blur(current)
+        down = _downsample(filtered)
+        up = _upsample_zero_stuff(down)
+        pyr.append(current - up)
+        current = down
+    return pyr
+
+
+@partial(jax.jit, static_argnames=("max_levels",))
+def lap_loss(pred: Array, target: Array, max_levels: int = 3) -> Array:
+    """Sum over levels of mean-|diff| (reference: lap_pyramid_loss.py:57-65)."""
+    pyr_p = laplacian_pyramid(pred, max_levels)
+    pyr_t = laplacian_pyramid(target, max_levels)
+    return sum(jnp.mean(jnp.abs(a - b)) for a, b in zip(pyr_p, pyr_t))

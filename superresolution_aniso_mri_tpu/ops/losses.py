@@ -1,0 +1,59 @@
+"""Elementary loss functions (pure JAX, fused under jit).
+
+These replace the reference's per-loss torch modules and the scattered
+F.mse_loss / F.binary_cross_entropy calls
+(reference: kwatsch/base_trainer.py:164-210, kwatsch/trainer_vae.py:86-98).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def mse(pred: Array, target: Array, mask: Array | None = None) -> Array:
+    """Mean squared error; with optional elementwise loss mask
+    (reference: cardiac/trainer_ae.py:118-123 mask semantics)."""
+    d = (pred - target) ** 2
+    if mask is not None:
+        d = d * mask
+    return jnp.mean(d)
+
+
+def l1(pred: Array, target: Array) -> Array:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def bce_sum_over_batch(pred: Array, target: Array, eps: float = 1e-7) -> Array:
+    """Binary cross entropy summed over elements, divided by batch size —
+    the VAE recon loss (reference: trainer_vae.py:12-13,
+    ``F.binary_cross_entropy(..., size_average=False).div(B)``)."""
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    ce = -(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+    return jnp.sum(ce) / pred.shape[0]
+
+
+def kl_standard_normal(mu: Array, logvar: Array) -> Array:
+    """Mean KL(N(mu, sigma) || N(0, 1)) with sigma = exp(logvar/2).
+
+    Matches torch.distributions kl_divergence for Normal pairs
+    (reference: trainer_vae.py:95-98): elementwise
+    ``log(1/sigma) + (sigma^2 + mu^2 - 1)/2`` averaged over all elements.
+    """
+    var = jnp.exp(logvar)
+    return jnp.mean(-0.5 * logvar + 0.5 * (var + mu ** 2) - 0.5)
+
+
+def latent_mix(z: Array, alpha_from: Array, alpha_to: Array) -> Array:
+    """The framework's core op: mix the two batch halves of ``z``.
+
+    ``z`` is [2B, h, w, c] (or [2B, d]); alphas are [B] or [B, 1].
+    ``z_mix = alpha_from * z[:B] + alpha_to * z[B:]``
+    (reference: kwatsch/brain/trainer_ae.py:20-32; cardiac fixes both
+    alphas at 0.5, kwatsch/cardiac/trainer_ae.py:173).
+    """
+    b = z.shape[0] // 2
+    a_f = jnp.reshape(alpha_from, (b,) + (1,) * (z.ndim - 1))
+    a_t = jnp.reshape(alpha_to, (b,) + (1,) * (z.ndim - 1))
+    return a_f * z[:b] + a_t * z[b:]

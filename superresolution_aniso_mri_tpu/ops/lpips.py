@@ -1,0 +1,179 @@
+"""LPIPS-VGG perceptual distance in JAX/Flax.
+
+Behavioural port of the reference's net-lin LPIPS stack
+(reference: lpips/networks_basic.py:19-100 PNetLin, lpips/perceptual.py:6-33,
+lpips/pretrained_networks.py vgg16 slices): frozen VGG16 feature slices
+(relu1_2, relu2_2, relu3_3, relu4_3, relu5_3) → per-channel unit
+normalisation → squared diff → learned 1x1 'lin' weights → spatial mean →
+sum over the 5 layers. ``normalize=True`` maps [0,1] inputs to [-1,1]
+first; single-channel (grayscale) inputs broadcast against the 3-channel
+shift/scale exactly like the reference's ScalingLayer
+(lpips/networks_basic.py:93-100).
+
+Weights: torchvision's pretrained VGG16 cannot be downloaded in this
+environment. Two modes are supported:
+  * converted weights — ``tools/convert_lpips_weights.py`` converts a
+    torchvision ``vgg16`` state_dict (+ the tiny LPIPS lin weights) into
+    an ``.npz`` this module loads;
+  * deterministic random features (fixed seed) with uniform lin weights
+    — a self-contained fallback; random VGG features are a known usable
+    perceptual metric, and the loss remains a valid training signal.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# VGG16 conv plan: (out_channels per conv, pool before this conv?)
+_VGG_PLAN: Sequence[tuple] = (
+    (64, False), (64, False),            # slice 1 → relu1_2
+    (128, True), (128, False),           # slice 2 → relu2_2
+    (256, True), (256, False), (256, False),   # slice 3 → relu3_3
+    (512, True), (512, False), (512, False),   # slice 4 → relu4_3
+    (512, True), (512, False), (512, False),   # slice 5 → relu5_3
+)
+# index (into conv list) after which each slice output is taken
+_SLICE_ENDS = (1, 3, 6, 9, 12)
+LPIPS_CHANNELS = (64, 128, 256, 512, 512)
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def init_lpips_params(seed: int = 0, lin_init: str = "uniform") -> Dict[str, Any]:
+    """Deterministic fallback parameters (He-init convs, uniform lin)."""
+    rng = np.random.RandomState(seed)
+    convs: List[Dict[str, np.ndarray]] = []
+    cin = 3
+    for cout, _ in _VGG_PLAN:
+        fan_in = 3 * 3 * cin
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in), size=(3, 3, cin, cout))
+        b = np.zeros((cout,), np.float32)
+        convs.append({"kernel": w.astype(np.float32), "bias": b})
+        cin = cout
+    lins = []
+    for c in LPIPS_CHANNELS:
+        if lin_init == "uniform":
+            lw = np.full((1, 1, c, 1), 1.0 / c, np.float32)
+        else:
+            lw = np.abs(rng.normal(0.0, 1.0 / c, size=(1, 1, c, 1))).astype(np.float32)
+        lins.append({"kernel": lw})
+    return {"convs": convs, "lins": lins}
+
+
+def load_lpips_params(path: str) -> Dict[str, Any]:
+    """Load parameters converted by tools/convert_lpips_weights.py (.npz)."""
+    data = np.load(path)
+    convs = []
+    for i in range(len(_VGG_PLAN)):
+        convs.append({"kernel": data[f"conv{i}_kernel"], "bias": data[f"conv{i}_bias"]})
+    lins = []
+    for i in range(len(LPIPS_CHANNELS)):
+        lins.append({"kernel": data[f"lin{i}_kernel"]})
+    return {"convs": convs, "lins": lins}
+
+
+def get_lpips_params(path: str | None = None, seed: int = 0) -> Dict[str, Any]:
+    """Converted weights if available (arg, $LPIPS_WEIGHTS, or default
+    location), else the deterministic fallback."""
+    candidates = []
+    if path:
+        candidates.append(path)
+    env = os.environ.get("LPIPS_WEIGHTS")
+    if env:
+        candidates.append(env)
+    candidates.append(os.path.join(os.path.dirname(__file__), "..", "..",
+                                   "weights", "lpips_vgg.npz"))
+    for cand in candidates:
+        if cand and os.path.isfile(cand):
+            return load_lpips_params(cand)
+    return init_lpips_params(seed=seed)
+
+
+def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
+    """Run the VGG16 conv stack, returning the 5 slice activations.
+
+    x: [B, H, W, 3], already shift/scale normalised. NHWC convs with
+    float32 accumulation — XLA tiles these onto the MXU.
+    """
+    feats = []
+    h = x
+    slice_ends = set(_SLICE_ENDS)
+    for i, (cout, pool_before) in enumerate(_VGG_PLAN):
+        if pool_before:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+                padding="VALID")
+        w = jnp.asarray(params["convs"][i]["kernel"])
+        b = jnp.asarray(params["convs"][i]["bias"])
+        dn = jax.lax.conv_dimension_numbers(h.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME", dimension_numbers=dn)
+        h = jax.nn.relu(h + b)
+        if i in slice_ends:
+            feats.append(h)
+    return feats
+
+
+def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
+    """Per-pixel unit-normalise over channels (reference: lpips/common.py
+    normalize_tensor)."""
+    norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+@partial(jax.jit, static_argnames=("normalize", "use_lin"))
+def lpips_distance(params: Dict[str, Any], in0: Array, in1: Array,
+                   normalize: bool = True, use_lin: bool = True) -> Array:
+    """LPIPS distance per batch element.
+
+    in0/in1: [B, H, W, C] with C in {1, 3}; values in [0,1] when
+    ``normalize=True`` (mapped to [-1,1] like reference
+    lpips/perceptual.py:28-31), else already in [-1,1].
+    Returns [B] float32 distances.
+    """
+    if normalize:
+        in0 = 2.0 * in0 - 1.0
+        in1 = 2.0 * in1 - 1.0
+
+    shift = jnp.asarray(_SHIFT)
+    scale = jnp.asarray(_SCALE)
+    # grayscale broadcasts to 3 channels through the [3]-vector arithmetic
+    in0 = (in0 - shift) / scale
+    in1 = (in1 - shift) / scale
+    if in0.shape[-1] == 1:
+        in0 = jnp.broadcast_to(in0, in0.shape[:-1] + (3,))
+        in1 = jnp.broadcast_to(in1, in1.shape[:-1] + (3,))
+
+    feats0 = _vgg_features(params, in0)
+    feats1 = _vgg_features(params, in1)
+
+    val = jnp.zeros((in0.shape[0],), jnp.float32)
+    for k in range(len(feats0)):
+        f0 = _normalize_tensor(feats0[k])
+        f1 = _normalize_tensor(feats1[k])
+        diff = (f0 - f1) ** 2
+        if use_lin:
+            lw = jnp.asarray(params["lins"][k]["kernel"])  # [1,1,C,1]
+            dn = jax.lax.conv_dimension_numbers(diff.shape, lw.shape,
+                                                ("NHWC", "HWIO", "NHWC"))
+            d = jax.lax.conv_general_dilated(diff, lw, (1, 1), "VALID",
+                                             dimension_numbers=dn)
+            val = val + jnp.mean(d, axis=(1, 2, 3))
+        else:
+            val = val + jnp.mean(jnp.sum(diff, axis=-1), axis=(1, 2))
+    return val
+
+
+def lpips_loss(params: Dict[str, Any], pred: Array, target: Array,
+               normalize: bool = True) -> Array:
+    """Scalar mean LPIPS — the training-loss form
+    (reference: base_trainer.py:168-180 ``.mean()``)."""
+    return jnp.mean(lpips_distance(params, pred, target, normalize=normalize))

@@ -1,0 +1,63 @@
+"""LPIPS behaviour tests (weight-independent properties)."""
+import numpy as np
+import jax.numpy as jnp
+
+from superresolution_aniso_mri_tpu.ops import (
+    lpips_distance, lpips_loss, init_lpips_params,
+)
+
+
+def _params():
+    return init_lpips_params(seed=0)
+
+
+def test_zero_for_identical():
+    p = _params()
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 1), jnp.float32)
+    d = np.asarray(lpips_distance(p, x, x))
+    np.testing.assert_allclose(d, 0.0, atol=1e-6)
+
+
+def test_symmetric_positive():
+    p = _params()
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+    b = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+    dab = np.asarray(lpips_distance(p, a, b))
+    dba = np.asarray(lpips_distance(p, b, a))
+    np.testing.assert_allclose(dab, dba, rtol=1e-5)
+    assert (dab > 0).all()
+
+
+def test_grayscale_equals_replicated_rgb():
+    """The reference's ScalingLayer broadcast makes [N,1,H,W] behave like
+    the channel-replicated [N,3,H,W] input (lpips/networks_basic.py:93-100)."""
+    p = _params()
+    rng = np.random.RandomState(2)
+    g1 = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+    g2 = jnp.asarray(rng.rand(2, 32, 32, 1), jnp.float32)
+    rgb1 = jnp.broadcast_to(g1, (2, 32, 32, 3))
+    rgb2 = jnp.broadcast_to(g2, (2, 32, 32, 3))
+    d_gray = np.asarray(lpips_distance(p, g1, g2))
+    d_rgb = np.asarray(lpips_distance(p, rgb1, rgb2))
+    np.testing.assert_allclose(d_gray, d_rgb, rtol=1e-5)
+
+
+def test_monotone_with_noise():
+    p = _params()
+    rng = np.random.RandomState(3)
+    base = rng.rand(1, 64, 64, 1).astype(np.float32)
+    d_small = float(lpips_loss(p, jnp.asarray(np.clip(base + 0.01, 0, 1)),
+                               jnp.asarray(base)))
+    d_large = float(lpips_loss(p, jnp.asarray(np.clip(base + 0.2, 0, 1)),
+                               jnp.asarray(base)))
+    assert d_large > d_small
+
+
+def test_sum_mode():
+    p = _params()
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32)
+    b = jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32)
+    d = np.asarray(lpips_distance(p, a, b, use_lin=False))
+    assert d.shape == (1,) and d[0] > 0

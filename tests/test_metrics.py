@@ -1,0 +1,146 @@
+"""Golden tests for SSIM/PSNR/VIF against independent scipy/numpy
+implementations (skimage is not installed; we reimplement its exact
+algorithm here as the oracle)."""
+import numpy as np
+import scipy.ndimage
+import jax.numpy as jnp
+
+from superresolution_aniso_mri_tpu.ops import (
+    ssim2d, ssim_volume, psnr2d, vif2d, synth_slice_mask, masked_mean,
+    gaussian_filter2d,
+)
+
+
+def _np_ssim(im1, im2, data_range=1.0, win=7):
+    """skimage.structural_similarity algorithm (uniform window)."""
+    f = lambda x: scipy.ndimage.uniform_filter(x, size=win)
+    ux, uy = f(im1), f(im2)
+    uxx, uyy, uxy = f(im1 * im1), f(im2 * im2), f(im1 * im2)
+    NP = win * win
+    cov_norm = NP / (NP - 1)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / \
+        ((ux ** 2 + uy ** 2 + C1) * (vx + vy + C2))
+    pad = (win - 1) // 2
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def _np_vif(ref, dist, sigma_nsq=2.0):
+    """Float port of evaluate/vifvec.py:7-63 (the intended metric)."""
+    eps = 1e-10
+    num = den = 0.0
+    ref = ref.astype(np.float64)
+    dist = dist.astype(np.float64)
+    for scale in range(1, 5):
+        N = 2 ** (4 - scale + 1) + 1
+        sd = N / 5.0
+        if scale > 1:
+            ref = scipy.ndimage.gaussian_filter(ref, sd)
+            dist = scipy.ndimage.gaussian_filter(dist, sd)
+            ref = ref[::2, ::2]
+            dist = dist[::2, ::2]
+        g_f = lambda x: scipy.ndimage.gaussian_filter(x, sd)
+        mu1, mu2 = g_f(ref), g_f(dist)
+        sigma1_sq = g_f(ref * ref) - mu1 * mu1
+        sigma2_sq = g_f(dist * dist) - mu2 * mu2
+        sigma12 = g_f(ref * dist) - mu1 * mu2
+        sigma1_sq[sigma1_sq < 0] = 0
+        sigma2_sq[sigma2_sq < 0] = 0
+        g = sigma12 / (sigma1_sq + eps)
+        sv_sq = sigma2_sq - g * sigma12
+        g[sigma1_sq < eps] = 0
+        sv_sq[sigma1_sq < eps] = sigma2_sq[sigma1_sq < eps]
+        sigma1_sq[sigma1_sq < eps] = 0
+        g[sigma2_sq < eps] = 0
+        sv_sq[sigma2_sq < eps] = 0
+        sv_sq[g < 0] = sigma2_sq[g < 0]
+        g[g < 0] = 0
+        sv_sq[sv_sq <= eps] = eps
+        num += np.sum(np.log10(1 + g * g * sigma1_sq / (sv_sq + sigma_nsq)))
+        den += np.sum(np.log10(1 + sigma1_sq / sigma_nsq))
+    return num / den
+
+
+def _smooth_image(shape, seed):
+    rng = np.random.RandomState(seed)
+    img = scipy.ndimage.gaussian_filter(rng.rand(*shape), 3.0)
+    img = (img - img.min()) / (img.max() - img.min())
+    return img.astype(np.float32)
+
+
+def test_gaussian_filter_matches_scipy():
+    img = _smooth_image((64, 64), 0)
+    for sd in [0.6, 1.0, 2.0, 3.4]:
+        expect = scipy.ndimage.gaussian_filter(img.astype(np.float32), sd)
+        got = np.asarray(gaussian_filter2d(jnp.asarray(img), sd))
+        np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_ssim_matches_skimage_algorithm():
+    a = _smooth_image((96, 96), 1)
+    b = np.clip(a + 0.05 * _smooth_image((96, 96), 2), 0, 1).astype(np.float32)
+    expect = _np_ssim(a.astype(np.float64), b.astype(np.float64))
+    got = float(ssim2d(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_ssim_identical_is_one():
+    a = _smooth_image((64, 64), 3)
+    assert abs(float(ssim2d(jnp.asarray(a), jnp.asarray(a))) - 1.0) < 1e-5
+
+
+def test_psnr_matches_definition():
+    a = _smooth_image((64, 64), 4)
+    b = np.clip(a + 0.02, 0, 1).astype(np.float32)
+    expect = 10 * np.log10(1.0 / np.mean((a.astype(np.float64) - b) ** 2))
+    got = float(psnr2d(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_vif_matches_float_reference():
+    a = _smooth_image((128, 128), 5)
+    b = np.clip(a + 0.03 * _smooth_image((128, 128), 6), 0, 1).astype(np.float32)
+    a_q = np.round(np.clip(a * 255, 0, 255))
+    b_q = np.round(np.clip(b * 255, 0, 255))
+    expect = _np_vif(a_q, b_q)
+    got = float(vif2d(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expect, rtol=5e-3)
+
+
+def test_vif_identical_close_to_one():
+    a = _smooth_image((128, 128), 7)
+    got = float(vif2d(jnp.asarray(a), jnp.asarray(a)))
+    np.testing.assert_allclose(got, 1.0, atol=1e-3)
+
+
+def test_ssim_volume_vmap():
+    vol_a = np.stack([_smooth_image((64, 64), s) for s in range(3)])
+    vol_b = np.clip(vol_a + 0.01, 0, 1).astype(np.float32)
+    per_slice = np.asarray(ssim_volume(jnp.asarray(vol_a), jnp.asarray(vol_b)))
+    assert per_slice.shape == (3,)
+    for s in range(3):
+        np.testing.assert_allclose(
+            per_slice[s], float(ssim2d(jnp.asarray(vol_a[s]),
+                                       jnp.asarray(vol_b[s]))), rtol=1e-6)
+
+
+def test_synth_slice_mask_matches_reference_rules():
+    # 13 slices, ds=3: original ids = 0,3,6,9,12 → mask False there
+    m = synth_slice_mask(13, 3)
+    assert m.shape == (13,)
+    assert not m[[0, 3, 6, 9, 12]].any()
+    assert m.sum() == 13 - 5
+    # 12 slices, ds=3: (12-1)%3=2 tail slices kept original (ids 10, 11)
+    m = synth_slice_mask(12, 3)
+    assert not m[[0, 3, 6, 9, 10, 11]].any()
+    assert m.sum() == 12 - 6
+
+
+def test_masked_mean_drops_nan():
+    v = jnp.asarray([1.0, np.nan, 3.0, 5.0])
+    m = np.array([True, True, True, False])
+    assert float(masked_mean(v, m)) == 2.0
