@@ -1,0 +1,108 @@
+"""Slice-triplet sampling: the framework's training-data contract.
+
+Host-side index sampling (numpy RandomState, like the reference's seeded
+pipeline) + batched gather into fixed-shape arrays that feed the
+device-side augmentation. Replaces the per-item Dataset/__getitem__ +
+DataLoader-worker design of the reference
+(reference: datasets/common_brains.py:229-282 BrainDataset.__getitem__,
+datasets/common.py:16-31 MyRandomSampler).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .transforms import pad_to_size
+from .volume import (Volume, determine_interpol_coefficients,
+                     get_random_adjacent_slice)
+
+
+class TripletSampler:
+    """Samples (slice_from, slice_to, slice_between, alphas) triplets.
+
+    ``slice_selection`` semantics (reference: common_brains.py:272-282):
+      * 'adjacent'       → neighbour at step 1
+      * 'adjacent_plus'  → neighbour at step = downsample_steps
+      * 'mix'            → random choice of the two
+    The in-between slice is drawn uniformly inside the open gap, and
+    alpha_from/alpha_to are its relative positions. The from/to order is
+    randomly swapped, matching the reference.
+    """
+
+    def __init__(self, volumes: Sequence[Volume], downsample_steps: int,
+                 slice_selection: str = "adjacent_plus",
+                 pad_size: int | None = None,
+                 seed: int = 1234):
+        if slice_selection not in ("adjacent", "adjacent_plus", "mix"):
+            raise ValueError(f"bad slice_selection {slice_selection!r}")
+        self.volumes = list(volumes)
+        self.downsample_steps = int(downsample_steps)
+        self.slice_selection = slice_selection
+        self.rs = np.random.RandomState(seed)
+        # flat index of (volume_idx, slice_idx) like BrainDataset._get_indices
+        idcs: List[tuple] = []
+        for vi, vol in enumerate(self.volumes):
+            for s in range(vol.num_slices):
+                idcs.append((vi, s))
+        self._idcs = np.asarray(idcs, np.int64)
+        hs = [v.image.shape[1] for v in self.volumes]
+        ws = [v.image.shape[2] for v in self.volumes]
+        self.pad_size = pad_size if pad_size is not None else max(max(hs), max(ws))
+
+    def __len__(self) -> int:
+        return len(self._idcs)
+
+    def _slice_step(self) -> int:
+        if self.slice_selection == "adjacent":
+            return 1
+        if self.slice_selection == "adjacent_plus":
+            return self.downsample_steps
+        return int(self.rs.choice([1, self.downsample_steps]))
+
+    def sample_item(self, idx: int) -> Dict[str, np.ndarray]:
+        vi, s1 = self._idcs[idx]
+        vol = self.volumes[int(vi)]
+        n = vol.num_slices
+        step = max(1, min(self._slice_step(), n - 1))
+        s2 = get_random_adjacent_slice(int(s1), n, self.rs, step=step)
+        lo, hi = min(s1, s2), max(s1, s2)
+        if hi - lo > 1:
+            between = int(self.rs.choice(np.arange(lo + 1, hi)))
+        else:
+            between = int(lo)  # degenerate gap (step 1): monitor-only
+        if self.rs.choice([0, 1]) == 0:
+            s_from, s_to = int(s1), int(s2)
+        else:
+            s_from, s_to = int(s2), int(s1)
+        if hi - lo > 1:
+            a_from, a_to = determine_interpol_coefficients(s_from, s_to, between)
+        else:
+            a_from, a_to = 0.5, 0.5
+        img = vol.image
+        triplet = np.stack([img[s_from], img[s_to], img[between]], axis=-1)
+        triplet = pad_to_size(np.moveaxis(triplet, -1, 0), self.pad_size)
+        triplet = np.moveaxis(triplet, 0, -1)
+        return {
+            "triplet": triplet.astype(np.float32),       # [H, W, 3]
+            "alpha_from": np.float32(a_from),
+            "alpha_to": np.float32(a_to),
+            "is_inbetween": np.float32(hi - lo > 1),
+            "patient_index": np.int32(vi),
+        }
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        """One random batch (with-replacement permutation sampling like
+        MyRandomSampler + drop_last)."""
+        sel = self.rs.randint(0, len(self._idcs), size=batch_size)
+        items = [self.sample_item(int(i)) for i in sel]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def epoch_batches(self, batch_size: int):
+        """Deterministic epoch: a seeded permutation of all indices,
+        chunked into full batches (drop_last)."""
+        perm = self.rs.permutation(len(self._idcs))
+        for start in range(0, len(perm) - batch_size + 1, batch_size):
+            items = [self.sample_item(int(i))
+                     for i in perm[start:start + batch_size]]
+            yield {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -1,0 +1,64 @@
+"""Synthetic CPU-generatable volumes — the framework's test/fixture backend.
+
+Replaces the reference's MNIST3D/MNISTRoto/rotating-lines toys
+(reference: datasets/MNIST/data.py:11-45, data_roto.py:19-126,
+datasets/synthetic/rotating_lines.py:42-90): stacks of progressively
+rotated 2-D structures, so adjacent slices are smooth interpolations of
+each other — exactly the structure the latent-mixing loss exploits.
+torchvision (MNIST download) is unavailable here, so the digits are
+replaced by procedurally drawn bar/blob phantoms with the same
+progressive-rotation construction.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import scipy.ndimage
+
+from .volume import Volume, rescale_intensities
+
+
+def _phantom2d(size: int, rs: np.random.RandomState) -> np.ndarray:
+    """A smooth random phantom: a few oriented bars + gaussian blobs."""
+    img = np.zeros((size, size), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    c = (size - 1) / 2.0
+    for _ in range(rs.randint(2, 5)):
+        ang = rs.uniform(0, np.pi)
+        width = rs.uniform(size * 0.04, size * 0.12)
+        offset = rs.uniform(-size * 0.25, size * 0.25)
+        d = np.abs((xx - c) * np.cos(ang) + (yy - c) * np.sin(ang) - offset)
+        img += np.exp(-0.5 * (d / width) ** 2)
+    for _ in range(rs.randint(1, 4)):
+        cy, cx = rs.uniform(size * 0.25, size * 0.75, size=2)
+        s = rs.uniform(size * 0.05, size * 0.15)
+        img += rs.uniform(0.5, 1.0) * np.exp(
+            -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img = scipy.ndimage.gaussian_filter(img, 1.0)
+    return rescale_intensities(img, percs=(0, 100))
+
+
+def make_rotated_volume(size: int = 32, num_slices: int = 17,
+                        degrees_per_slice: float = 5.0,
+                        seed: int = 0) -> Volume:
+    """Stack of progressively rotated copies of one phantom
+    (reference construction: datasets/MNIST/data.py:11-45 with
+    grad_step=5° per slice)."""
+    rs = np.random.RandomState(seed)
+    base = _phantom2d(size, rs)
+    slices = []
+    for s in range(num_slices):
+        rot = scipy.ndimage.rotate(base, s * degrees_per_slice, reshape=False,
+                                   order=1, mode="constant", cval=0.0)
+        slices.append(np.clip(rot, 0.0, 1.0))
+    img = np.stack(slices).astype(np.float32)
+    return Volume(image=img, spacing=np.array([1.0, 1.0, 1.0]),
+                  patient_id=f"toy{seed:03d}")
+
+
+def make_toy_dataset(num_volumes: int = 4, size: int = 32,
+                     num_slices: int = 17, seed: int = 0) -> List[Volume]:
+    return [make_rotated_volume(size=size, num_slices=num_slices,
+                                seed=seed + i)
+            for i in range(num_volumes)]

@@ -1,0 +1,177 @@
+"""Device-side augmentation pipeline (jit + vmap).
+
+TPU-first replacement for the reference's per-item CPU dict-transforms
+(reference: datasets/shared_transforms.py — AdjustToPatchSize:389-447,
+CenterCrop:297-363, RandomCrop:48-120, RandomRotation:224-254,
+RandomIntensity:366-386, RandomAnyRotation:193-221). A whole batch of
+slice triplets [B, H, W, 3] (channels = from/to/between) is augmented in
+one fused XLA program with per-sample `jax.random` keys; geometry ops act
+on all three channels jointly, intensity acts pointwise, exactly like the
+reference applies each transform to image + slice_between.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# static (shape-changing) ops — host/trace time
+# ---------------------------------------------------------------------------
+
+def pad_to_size(x: np.ndarray, size: int) -> np.ndarray:
+    """Zero-pad trailing H/W dims up to (size, size), centered
+    (reference: AdjustToPatchSize, shared_transforms.py:389-447).
+    Works for [..., H, W] numpy arrays; never crops."""
+    h, w = x.shape[-2], x.shape[-1]
+    ph = max(0, size - h)
+    pw = max(0, size - w)
+    pads = [(0, 0)] * (x.ndim - 2) + [(ph // 2, ph - ph // 2),
+                                      (pw // 2, pw - pw // 2)]
+    if ph == 0 and pw == 0:
+        return x
+    return np.pad(x, pads, mode="constant")
+
+
+def center_crop(x: Array, size: int) -> Array:
+    """Center crop trailing spatial dims of [..., H, W, C] to size
+    (reference: CenterCrop, shared_transforms.py:297-363)."""
+    h, w = x.shape[-3], x.shape[-2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return x[..., top:top + size, left:left + size, :]
+
+
+# ---------------------------------------------------------------------------
+# per-sample random ops (vmapped)
+# ---------------------------------------------------------------------------
+
+def _random_crop_one(key: Array, img: Array, size: int) -> Array:
+    h, w, c = img.shape
+    kh, kw = jax.random.split(key)
+    top = jax.random.randint(kh, (), 0, h - size + 1)
+    left = jax.random.randint(kw, (), 0, w - size + 1)
+    return jax.lax.dynamic_slice(img, (top, left, 0), (size, size, c))
+
+
+def _rot90_one(key: Array, img: Array) -> Array:
+    k = jax.random.randint(key, (), 0, 4)
+    return jax.lax.switch(
+        k,
+        [lambda x: x,
+         lambda x: jnp.rot90(x, 1, (0, 1)),
+         lambda x: jnp.rot90(x, 2, (0, 1)),
+         lambda x: jnp.rot90(x, 3, (0, 1))],
+        img,
+    )
+
+
+def _intensity_one(key: Array, img: Array) -> Array:
+    """Random sigmoid intensity remap
+    (reference: RandomIntensity, shared_transforms.py:366-386):
+    img → 1 / (1 + exp(gain * (cutoff - img))), gain∈U(2.5,7.5),
+    cutoff∈U(0.25,0.75)."""
+    kg, kc = jax.random.split(key)
+    gain = jax.random.uniform(kg, (), minval=2.5, maxval=7.5)
+    cutoff = jax.random.uniform(kc, (), minval=0.25, maxval=0.75)
+    return jax.nn.sigmoid(-gain * (cutoff - img))
+
+
+def _rotate_any_one(key: Array, img: Array, max_degree: int) -> Array:
+    """Arbitrary-angle rotation, bilinear, zero border
+    (reference: RandomAnyRotation, shared_transforms.py:193-221, which
+    uses cv2.warpAffine around the image center). Angle is an integer
+    degree in [0, max_degree) like the reference's randint."""
+    deg = jax.random.randint(key, (), 0, max_degree).astype(jnp.float32)
+    theta = jnp.deg2rad(deg)
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse map: output (x,y) ← source coords (cv2 rotates CCW for +angle)
+    xs = cos * (xx - cx) - sin * (yy - cy) + cx
+    ys = sin * (xx - cx) + cos * (yy - cy) + cy
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    dx = xs - x0
+    dy = ys - y0
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = img[yi_c, xi_c, :]
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    dx = dx[..., None]
+    dy = dy[..., None]
+    top = v00 * (1 - dx) + v01 * dx
+    bot = v10 * (1 - dx) + v11 * dx
+    return top * (1 - dy) + bot * dy
+
+
+# ---------------------------------------------------------------------------
+# composed pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    """Which augmentations to apply, mirroring the per-dataset compositions
+    (reference: train_cardiac_aesr.py:83-105, common_brains.py:47-100)."""
+
+    patch_size: int                      # final (width) crop
+    aug_patch_size: Optional[int] = None  # intermediate center-crop size
+    random_crop: bool = True
+    rot90: bool = True
+    intensity: bool = True
+    rotate_any: bool = False
+    max_degree: int = 45
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
+    """Apply the augmentation stack to [B, H, W, 3] triplets → [B, p, p, 3]."""
+    b = triplet.shape[0]
+    x = triplet
+    if cfg.aug_patch_size is not None and cfg.aug_patch_size < x.shape[1]:
+        x = center_crop(x, cfg.aug_patch_size)
+
+    keys = jax.random.split(key, 4 * b).reshape(4, b, 2)
+    if cfg.random_crop and x.shape[1] > cfg.patch_size:
+        x = jax.vmap(lambda k, i: _random_crop_one(k, i, cfg.patch_size))(
+            keys[0], x)
+    elif x.shape[1] > cfg.patch_size:
+        x = center_crop(x, cfg.patch_size)
+    if cfg.rotate_any:
+        x = jax.vmap(lambda k, i: _rotate_any_one(k, i, cfg.max_degree))(
+            keys[3], x)
+    if cfg.rot90:
+        x = jax.vmap(_rot90_one)(keys[1], x)
+    if cfg.intensity:
+        x = jax.vmap(_intensity_one)(keys[2], x)
+    return x
+
+
+def prepare_batch_pairs(triplet: Array):
+    """[B, H, W, 3] → (image [2B, H, W, 1], slice_between [B, H, W, 1]).
+
+    The (2B ∥ B) batch contract: first half of `image` are from-slices,
+    second half to-slices (reference: datasets/common_brains.py:285-321,
+    datasets/ACDC/data4d_simple.py:327-387 'repeat' mode)."""
+    a = triplet[..., 0:1]
+    b = triplet[..., 1:2]
+    between = triplet[..., 2:3]
+    image = jnp.concatenate([a, b], axis=0)
+    return image, between
