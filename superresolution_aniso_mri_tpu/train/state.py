@@ -1,0 +1,51 @@
+"""Train state: params + BN stats + optax optimizer.
+
+Replaces the reference's torch Adam setup
+(reference: kwatsch/trainer_ae.py:29-33 — Adam(lr, weight_decay,
+betas=(momentum, 0.999)); cosine annealing option at
+kwatsch/base_trainer.py:18-22). Torch's Adam applies weight decay as an
+L2 term added to the gradient BEFORE the moment updates, which is
+``optax.add_decayed_weights`` chained in front of ``optax.adam`` (NOT
+AdamW semantics).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import optax
+from flax import struct
+from flax.training import train_state
+
+
+class SRTrainState(train_state.TrainState):
+    """TrainState carrying BatchNorm running statistics."""
+
+    batch_stats: Any = None
+    epoch: int = struct.field(pytree_node=False, default=0)
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0,
+                   momentum: float = 0.9,
+                   cosine_steps: Optional[int] = None) -> optax.GradientTransformation:
+    if cosine_steps:
+        schedule = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=cosine_steps, alpha=0.0)
+    else:
+        schedule = lr
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.adam(schedule, b1=momentum, b2=0.999))
+    return optax.chain(*parts)
+
+
+def create_train_state(model, rng, sample_input, lr: float,
+                       weight_decay: float = 0.0, momentum: float = 0.9,
+                       cosine_steps: Optional[int] = None) -> SRTrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(lr, weight_decay, momentum, cosine_steps)
+    return SRTrainState.create(
+        apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)

@@ -1,0 +1,477 @@
+"""Jitted train/val steps for every model family.
+
+The reference implements training as a class hierarchy of stateful
+trainers (reference: kwatsch/trainer_ae.py AEBaseTrainer,
+kwatsch/cardiac/trainer_ae.py AETrainerEndToEnd,
+kwatsch/brain/trainer_ae.py AETrainerBrain/Extension1,
+kwatsch/trainer_vae.py VAETrainer, kwatsch/trainer_acai.py ACAITrainer,
+kwatsch/sr_multi_channel/trainer_ae.py MultiChannel*). Here each family
+is ONE pure loss function selected by config, compiled into a single XLA
+program containing model forward, loss networks, backward and the Adam
+update — the TPU-native replacement for the reference's 2-GPU
+model/loss-network split (kwatsch/base_trainer.py:33-56).
+
+Batch contract (see data.transforms.prepare_batch_pairs):
+  image        [2B, H, W, C]   from-slices ∥ to-slices
+  slice_between [B, H, W, C]
+  alpha_from/alpha_to [B]      (0.5/0.5 for cardiac gap-2 sampling)
+  loss_mask    [B, H, W, 1]    optional
+
+The step returns (new_state, metrics-dict) with the reference's loss
+keys (loss_ae, loss_ae_dist, loss_laploss, loss_latent_1, loss_latent_2,
+loss_ae_dist_extra, kl_loss, loss_disc) so logging/selection semantics
+carry over unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (bce_sum_over_batch, dice_loss, kl_standard_normal,
+                   lap_loss, latent_mix, lpips_distance, mse)
+
+Array = jax.Array
+
+FAMILY_OF_MODEL = {
+    # reference model flag → loss family
+    "ae": "ae", "aesr": "ae",
+    "ae_combined": "ae_combined", "aesr_combined": "ae_combined",
+    "vae": "vae", "vae_combined": "vae", "vae2": "vae",
+    "acai": "acai", "acai_combined": "acai",
+    "multichannel": "multichannel",
+    "multichannel_combined": "multichannel_combined",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Static loss configuration (hashable → one compile per config)."""
+
+    model: str = "ae_combined"
+    recon_loss: str = "mse"               # 'mse' | 'perceptual'
+    use_laploss: bool = False
+    image_mix_loss_func: Optional[str] = None  # 'mse' | 'perceptual' | None
+    use_extra_latent_loss: bool = False
+    use_masks: bool = False
+    # VAE
+    vae_beta: float = 0.0
+    lamb: float = 1.0
+    # ACAI
+    lamb_reg_acai: float = 0.5
+    gamma_reg_acai: float = 0.2
+    # multichannel
+    nclasses: int = 4
+    dice_weight: float = 0.1
+
+    @property
+    def family(self) -> str:
+        return FAMILY_OF_MODEL[self.model]
+
+    @property
+    def combined(self) -> bool:
+        return "combined" in self.model
+
+
+def _variables(params, batch_stats):
+    v = {"params": params}
+    if batch_stats:
+        v["batch_stats"] = batch_stats
+    return v
+
+
+def _apply(model, params, batch_stats, fn, *args, train: bool):
+    """Apply a bound-method computation; returns (out, new_batch_stats)."""
+    if train and batch_stats:
+        out, mut = model.apply(_variables(params, batch_stats), *args,
+                               method=fn, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    out = model.apply(_variables(params, batch_stats), *args, method=fn)
+    return out, batch_stats
+
+
+def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
+    """Reconstruction loss dispatch (reference: base_trainer.py:164-198).
+    Returns (loss_ae, loss_ae_dist, loss_laploss)."""
+    if cfg.recon_loss == "perceptual" and lpips_params is not None:
+        dist = jnp.mean(lpips_distance(lpips_params, pred, target,
+                                       normalize=True))
+        lap = jnp.float32(0.0)
+    else:
+        dist = mse(pred, target)
+        lap = lap_loss(pred, target) if cfg.use_laploss else jnp.float32(0.0)
+    return dist + lap, dist, lap
+
+
+def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
+                    mask):
+    """Synthesis (extra image) loss (reference: cardiac/trainer_ae.py:103-130,
+    brain/trainer_ae.py:196-242)."""
+    if cfg.image_mix_loss_func == "perceptual" and lpips_params is not None:
+        if cfg.use_masks and mask is not None:
+            return jnp.mean(lpips_distance(lpips_params, reference * mask,
+                                           synthesized * mask, normalize=True))
+        return jnp.mean(lpips_distance(lpips_params, reference, synthesized,
+                                       normalize=True))
+    loss = mse(reference, synthesized,
+               mask if (cfg.use_masks and mask is not None) else None)
+    if cfg.use_laploss:
+        loss = loss + lap_loss(synthesized, reference)
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# family losses
+# ---------------------------------------------------------------------------
+
+def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
+               mix_weight):
+    """'ae' and 'ae_combined' families
+    (reference: trainer_ae.py:71-109, cardiac/trainer_ae.py:10-50,
+    brain/trainer_ae.py:49-132)."""
+    x = batch["image"]
+    between = batch["slice_between"]
+    mask = batch.get("loss_mask")
+
+    def fwd(mdl, inp):
+        z = mdl.encode(inp, train=True)
+        out = mdl.decode(z, train=True)
+        return z, out
+
+    (z, out), new_bs = _apply(model, params, batch_stats, fwd, x, train=True)
+    loss_ae, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
+
+    z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+    # decode of the mix and auxiliary encodes run with batch-statistics
+    # normalisation (train mode) but do not advance running stats — the
+    # single canonical BN update comes from the main forward above.
+    s_mix, _ = _apply(model, params, new_bs,
+                      lambda mdl, zz: mdl.decode(zz, train=True),
+                      z_mix, train=True)
+    z_ref, _ = _apply(model, params, new_bs,
+                      lambda mdl, img: mdl.encode(img, train=True),
+                      between, train=True)
+
+    metrics = {
+        "loss_ae_dist": loss_dist,
+        "loss_laploss": loss_lap,
+        "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
+    }
+
+    if cfg.family == "ae_combined":
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_extra = mix_weight * loss_mix
+        if cfg.use_extra_latent_loss:
+            z_syn, _ = _apply(model, params, new_bs,
+                              lambda mdl, img: mdl.encode(img, train=True),
+                              s_mix, train=True)
+            l_lat1 = mse(z_ref, z_mix)
+            l_lat2 = mse(z_ref, z_syn)
+            loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
+            metrics["loss_latent_2"] = l_lat2
+        loss_ae = loss_ae + loss_extra
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+        metrics["loss_ae_extra"] = jax.lax.stop_gradient(loss_extra)
+    else:
+        # 'ae': latent loss monitored only — no gradient through mix path
+        loss_ae = loss_ae
+
+    metrics["loss_ae"] = loss_ae
+    aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
+    return loss_ae, (new_bs, metrics, aux)
+
+
+def _vae_losses(model, cfg, lpips_params, params, batch_stats, batch,
+                mix_weight, rng):
+    """'vae'/'vae_combined'/'vae2' (reference: trainer_vae.py:24-107)."""
+    x = batch["image"]
+    between = batch["slice_between"]
+    mask = batch.get("loss_mask")
+
+    def fwd(mdl, inp, key):
+        z_conv = mdl.encode(inp, train=True)
+        mu, logvar = mdl.heads(z_conv)
+        z_flat = mdl.reparametrize(key, mu, logvar)
+        z = mdl.unflatten(z_flat)
+        out = mdl.decode(z, train=True)
+        return mu, logvar, z, out
+
+    (mu, logvar, z, out), new_bs = _apply(model, params, batch_stats, fwd,
+                                          x, rng, train=True)
+    recon = bce_sum_over_batch(out, x)
+    kl = kl_standard_normal(mu, logvar)
+    loss_ae = cfg.lamb * recon + cfg.vae_beta * kl
+
+    z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+    s_mix, _ = _apply(model, params, new_bs,
+                      lambda mdl, zz: mdl.decode(zz, train=True),
+                      z_mix, train=True)
+    metrics = {
+        "loss_ae_dist": jax.lax.stop_gradient(recon),
+        "kl_loss": jax.lax.stop_gradient(cfg.vae_beta * kl),
+        "loss_latent_1": jnp.float32(0.0),
+    }
+    if cfg.combined:
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_ae = loss_ae + mix_weight * loss_mix
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+    metrics["loss_ae"] = loss_ae
+    aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
+    return loss_ae, (new_bs, metrics, aux)
+
+
+def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
+                 mix_weight, rng):
+    """'acai'/'acai_combined' (reference: trainer_acai.py:46-125).
+
+    ``params``/``batch_stats`` are {'ae': ..., 'disc': ...} trees; the
+    total loss is loss_ae + loss_disc, whose gradients wrt each group
+    reproduce the reference's twin backward/step exactly (both backward
+    calls accumulate into both networks before each optimizer steps).
+    """
+    ae, disc = models["ae"], models["disc"]
+    x = batch["image"]
+    between = batch["slice_between"]
+    mask = batch.get("loss_mask")
+    b = x.shape[0] // 2
+
+    def fwd(mdl, inp):
+        z = mdl.encode(inp, train=True)
+        out = mdl.decode(z, train=True)
+        return z, out
+
+    (z, out), new_bs_ae = _apply(ae, params["ae"], batch_stats["ae"], fwd, x,
+                                 train=True)
+    loss_ae_total, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
+
+    # critic on the regularised reconstruction (gamma=0.2)
+    disc_mix_reg = out + cfg.gamma_reg_acai * (x - out)
+    d_reg, new_bs_disc = _apply(disc, params["disc"], batch_stats["disc"],
+                                lambda mdl, img: mdl(img, train=True),
+                                disc_mix_reg, train=True)
+    loss_disc_l2 = jnp.mean(d_reg ** 2)
+
+    alpha = jax.random.uniform(rng, (b,)) / 2.0  # U[0, 0.5)
+    z_mix_d = latent_mix(z, alpha, 1.0 - alpha)
+    out_mix, _ = _apply(ae, params["ae"], new_bs_ae,
+                        lambda mdl, zz: mdl.decode(zz, train=True),
+                        z_mix_d, train=True)
+    d_mix, _ = _apply(disc, params["disc"], new_bs_disc,
+                      lambda mdl, img: mdl(img, train=True),
+                      out_mix, train=True)
+    loss_ae_l2 = jnp.mean(d_mix ** 2)
+    loss_disc_dist = jnp.mean((d_mix - alpha) ** 2)
+
+    loss_ae_full = loss_ae_total + cfg.lamb_reg_acai * loss_ae_l2
+    loss_disc = loss_disc_dist + loss_disc_l2
+
+    # synthesis branch with the batch's true alphas
+    z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+    s_mix, _ = _apply(ae, params["ae"], new_bs_ae,
+                      lambda mdl, zz: mdl.decode(zz, train=True),
+                      z_mix, train=True)
+    metrics = {
+        "loss_ae_dist": loss_dist,
+        "loss_laploss": loss_lap,
+        "loss_disc": jax.lax.stop_gradient(loss_disc),
+        "loss_latent_1": jnp.float32(0.0),
+    }
+    if cfg.combined:
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_ae_full = loss_ae_full + mix_weight * loss_mix
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+
+    total = loss_ae_full + loss_disc
+    metrics["loss_ae"] = jax.lax.stop_gradient(loss_ae_full)
+    new_bs = {"ae": new_bs_ae, "disc": new_bs_disc}
+    aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
+    return total, (new_bs, metrics, aux)
+
+
+def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
+                         batch, mix_weight):
+    """'multichannel'(_combined) — ACDCLBL
+    (reference: sr_multi_channel/trainer_ae.py:79-130). ``image`` carries
+    [image, labels] channels; recon loss on the image channel + 0.1*dice
+    on soft probs vs integer labels."""
+    x = batch["image"]                      # [2B, H, W, 2]
+    between = batch["slice_between"]        # [B, H, W, 2]
+    img_in = x[..., 0:1]
+    labels = x[..., 1].astype(jnp.int32)
+
+    def fwd(mdl, inp):
+        z = mdl.encode(inp, train=True)
+        out = mdl.decode(z, train=True)
+        return z, out
+
+    (z, out), new_bs = _apply(model, params, batch_stats, fwd, x, train=True)
+    loss_ae, loss_dist, loss_lap = _recon_loss(cfg, lpips_params,
+                                               out["image"], img_in)
+    loss_labels = cfg.dice_weight * dice_loss(out["soft_probs"], labels,
+                                              cfg.nclasses)
+    total = loss_ae + loss_labels
+
+    z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+    s_mix, _ = _apply(model, params, new_bs,
+                      lambda mdl, zz: mdl.decode(zz, train=True),
+                      z_mix, train=True)
+    metrics = {
+        "loss_ae_dist": loss_dist,
+        "loss_laploss": loss_lap,
+        "loss_label": jax.lax.stop_gradient(loss_labels),
+        "loss_latent_1": jnp.float32(0.0),
+    }
+    if cfg.family == "multichannel_combined":
+        loss_mix = _mix_image_loss(cfg, lpips_params, between[..., 0:1],
+                                   s_mix["image"], None)
+        total = total + mix_weight * loss_mix
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+    metrics["loss_ae"] = total
+    aux = {"reconstruction": out["image"],
+           "slice_inbetween_mix": s_mix["image"], "z_mix": z_mix}
+    return total, (new_bs, metrics, aux)
+
+
+# ---------------------------------------------------------------------------
+# step builders
+# ---------------------------------------------------------------------------
+
+def make_train_step(model, cfg: LossConfig, lpips_params=None,
+                    donate: bool = True):
+    """Build the jitted train step for a model family.
+
+    ``model`` is a Flax module (or {'ae','disc'} dict for ACAI).
+    Returns step(state, batch, rng, mix_weight) → (state, metrics).
+    ``mix_weight`` is a traced scalar so weight annealing
+    (reference: base_trainer.py:451-459) never recompiles.
+    """
+    family = cfg.family
+
+    def loss_fn(params, batch_stats, batch, rng, mix_weight):
+        if family in ("ae", "ae_combined"):
+            return _ae_losses(model, cfg, lpips_params, params, batch_stats,
+                              batch, mix_weight)
+        if family == "vae":
+            return _vae_losses(model, cfg, lpips_params, params, batch_stats,
+                               batch, mix_weight, rng)
+        if family == "acai":
+            return _acai_losses(model, cfg, lpips_params, params, batch_stats,
+                                batch, mix_weight, rng)
+        if family in ("multichannel", "multichannel_combined"):
+            return _multichannel_losses(model, cfg, lpips_params, params,
+                                        batch_stats, batch, mix_weight)
+        raise ValueError(f"unknown family {family}")
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, rng, mix_weight):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics, _aux)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, mix_weight)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg: LossConfig, lpips_params=None):
+    """Validation step: eval-mode forward + the same loss decomposition
+    (reference: base_trainer.py:67-99 validate)."""
+    family = cfg.family
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        x = batch["image"]
+        between = batch["slice_between"]
+
+        if family in ("multichannel", "multichannel_combined"):
+            def fwd(mdl, inp):
+                z = mdl.encode(inp, train=False)
+                return z, mdl.decode(z, train=False)
+            (z, out), _ = _apply(model, params, batch_stats, fwd, x,
+                                 train=False)
+            recon = out["image"]
+            target = x[..., 0:1]
+        elif family == "vae":
+            def fwd(mdl, inp):
+                z_conv = mdl.encode(inp, train=False)
+                mu, _ = mdl.heads(z_conv)
+                z = mdl.unflatten(mu)
+                return z, mdl.decode(z, train=False)
+            (z, recon), _ = _apply(model, params, batch_stats, fwd, x,
+                                   train=False)
+            target = x
+        elif family == "acai":
+            ae = model["ae"]
+            def fwd(mdl, inp):
+                z = mdl.encode(inp, train=False)
+                return z, mdl.decode(z, train=False)
+            (z, recon), _ = _apply(ae, params["ae"], batch_stats["ae"], fwd,
+                                   x, train=False)
+            target = x
+        else:
+            def fwd(mdl, inp):
+                z = mdl.encode(inp, train=False)
+                return z, mdl.decode(z, train=False)
+            (z, recon), _ = _apply(model, params, batch_stats, fwd, x,
+                                   train=False)
+            target = x
+
+        if family == "vae":
+            loss_dist = bce_sum_over_batch(recon, target)
+            loss_ae = loss_dist
+            lap = jnp.float32(0.0)
+        else:
+            loss_ae, loss_dist, lap = _recon_loss(cfg, lpips_params, recon,
+                                                  target)
+
+        z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+        if family == "acai":
+            s_mix, _ = _apply(model["ae"], params["ae"], batch_stats["ae"],
+                              lambda mdl, zz: mdl.decode(zz, train=False),
+                              z_mix, train=False)
+            z_ref, _ = _apply(model["ae"], params["ae"], batch_stats["ae"],
+                              lambda mdl, img: mdl.encode(img, train=False),
+                              between, train=False)
+        elif family == "multichannel" or family == "multichannel_combined":
+            s_mix_d, _ = _apply(model, params, batch_stats,
+                                lambda mdl, zz: mdl.decode(zz, train=False),
+                                z_mix, train=False)
+            s_mix = s_mix_d["image"]
+            z_ref, _ = _apply(model, params, batch_stats,
+                              lambda mdl, img: mdl.encode(img, train=False),
+                              between, train=False)
+        elif family == "vae":
+            s_mix, _ = _apply(model, params, batch_stats,
+                              lambda mdl, zz: mdl.decode(zz, train=False),
+                              z_mix, train=False)
+            z_ref = z_mix
+        else:
+            s_mix, _ = _apply(model, params, batch_stats,
+                              lambda mdl, zz: mdl.decode(zz, train=False),
+                              z_mix, train=False)
+            z_ref, _ = _apply(model, params, batch_stats,
+                              lambda mdl, img: mdl.encode(img, train=False),
+                              between, train=False)
+
+        metrics = {
+            "loss_ae": loss_ae,
+            "loss_ae_dist": loss_dist,
+            "loss_laploss": lap,
+            "loss_latent_1": mse(z_mix, z_ref),
+        }
+        if cfg.combined or cfg.image_mix_loss_func is not None:
+            if family in ("multichannel", "multichannel_combined"):
+                ref_img = between[..., 0:1]
+            else:
+                ref_img = between
+            loss_mix = _mix_image_loss(cfg, lpips_params, ref_img, s_mix,
+                                       batch.get("loss_mask"))
+            metrics["loss_ae_dist_extra"] = loss_mix
+        return metrics, {"reconstruction": recon,
+                         "slice_inbetween_mix": s_mix, "z_mix": z_mix}
+
+    return eval_step

@@ -1,0 +1,349 @@
+"""Trainer orchestration: experiment directory, epoch loop bookkeeping,
+validation, checkpointing, best-model tracking.
+
+This is the TPU-native counterpart of the reference's trainer hierarchy +
+factory (reference: kwatsch/trainer_ae.py, kwatsch/get_trainer.py:23-181):
+one class driven by config instead of dynamic module imports. All compute
+lives in the jitted steps (train.steps); this class only moves host data,
+tracks losses and writes the experiment-directory artefacts:
+
+  output_dir/settings.yaml        (config/settings.py)
+  output_dir/models/<epoch>.models, ae.models, caisr.models
+  output_dir/loss_iters.npz, losses_train.npz, losses_test.npz
+  output_dir/log_images/ , output_dir/tb/ (optional tensorboard)
+
+(reference: train_cardiac_aesr.py:119-141, kwatsch/base_trainer.py:353-459)
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.settings import (apply_setting_defaults, load_settings,
+                               save_experiment_settings)
+from ..models import AEConfig, Discriminator, build_model
+from ..ops import get_lpips_params
+from .checkpoint import load_checkpoint, save_checkpoint
+from .state import SRTrainState, create_train_state, make_optimizer
+from .steps import FAMILY_OF_MODEL, LossConfig, make_eval_step, make_train_step
+
+
+def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
+    model_name = args["model"]
+    if args.get("dataset") == "ACDCLBL":
+        model_name = ("multichannel_combined" if "combined" in model_name
+                      else "multichannel")
+    return LossConfig(
+        model=model_name,
+        recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
+        use_laploss=bool(args.get("use_laploss", False)),
+        image_mix_loss_func=args.get("image_mix_loss_func"),
+        use_extra_latent_loss=bool(args.get("use_extra_latent_loss", False)),
+        use_masks=bool(args.get("get_masks", False)),
+        vae_beta=float(args.get("vae_beta") or 0.0),
+        lamb=float(args.get("lamb") or 1.0),
+        lamb_reg_acai=float(args.get("lamb_reg_acai", 0.5)),
+        nclasses=int(args.get("nclasses", 4)),
+    )
+
+
+def weight_annealing_schedule(epochs: int, weight: float) -> np.ndarray:
+    """Reversed sigmoid annealing of the synthesis-loss weight
+    (reference: base_trainer.py:451-459 init_weight_annealing)."""
+    x = np.linspace(-5, 5, epochs)
+    y = 1.0 / (1.0 + np.exp(-x)) * weight
+    return y[::-1].copy()
+
+
+class Trainer:
+    """Holds state + jitted steps for one experiment."""
+
+    def __init__(self, args: Dict[str, Any], eval_mode: bool = False,
+                 seed: Optional[int] = None):
+        self.args = apply_setting_defaults(dict(args))
+        self.eval_mode = eval_mode
+        self.model_config = AEConfig.from_args(self.args)
+        self.loss_config = loss_config_from_args(self.args)
+        self.family = self.loss_config.family
+
+        needs_lpips = (self.loss_config.recon_loss == "perceptual"
+                       or self.loss_config.image_mix_loss_func == "perceptual")
+        self.lpips_params = get_lpips_params() if needs_lpips else None
+
+        ae_class = self.args.get("ae_class", "VanillaACAI")
+        # model-dependent routing (reference: kwatsch/arguments.py:70-82,
+        # networks/net_config.py — vae→VAE, vae2→VAE2, ACDCLBL→MultiChannelAE)
+        model_flag = self.args.get("model", "ae")
+        if model_flag in ("vae", "vae_combined") and ae_class == "VanillaACAI":
+            ae_class = "VAE"
+        elif model_flag == "vae2" and ae_class == "VanillaACAI":
+            ae_class = "VAE2"
+        if self.args.get("dataset") == "ACDCLBL":
+            ae_class = "MultiChannelAE"
+        self.args["ae_class"] = ae_class
+        ae = build_model(ae_class, self.model_config)
+        rng = jax.random.PRNGKey(seed if seed is not None
+                                 else int(self.args.get("seed", 0)))
+        self._rng, init_rng = jax.random.split(rng)
+        w = self.model_config.width
+        sample = jnp.zeros((2, w, w, self.model_config.colors), jnp.float32)
+        cosine_steps = (int(self.args["lr_iter_max"])
+                        if self.args.get("use_lr_scheduler") else None)
+
+        if self.family == "acai":
+            disc = Discriminator(self.model_config)
+            self.model = {"ae": ae, "disc": disc}
+            k1, k2 = jax.random.split(init_rng)
+            v_ae = ae.init(k1, sample, train=False)
+            v_disc = disc.init(k2, sample, train=False)
+            params = {"ae": v_ae["params"], "disc": v_disc["params"]}
+            batch_stats = {"ae": v_ae.get("batch_stats", {}),
+                           "disc": v_disc.get("batch_stats", {})}
+            tx = make_optimizer(float(self.args["lr"]),
+                                float(self.args.get("weight_decay", 0.0)),
+                                float(self.args.get("momentum", 0.9)),
+                                cosine_steps)
+            self.state = SRTrainState.create(
+                apply_fn=ae.apply, params=params, tx=tx,
+                batch_stats=batch_stats)
+        else:
+            self.model = ae
+            self.state = create_train_state(
+                ae, init_rng, sample, float(self.args["lr"]),
+                float(self.args.get("weight_decay", 0.0)),
+                float(self.args.get("momentum", 0.9)), cosine_steps)
+
+        self.train_step = make_train_step(self.model, self.loss_config,
+                                          self.lpips_params)
+        self.eval_step = make_eval_step(self.model, self.loss_config,
+                                        self.lpips_params)
+        self._jit_encode = None
+        self._jit_decode = None
+
+        # bookkeeping mirrors the reference's loss dicts
+        self.losses = defaultdict(list)
+        self.losses_test = defaultdict(list)
+        self.mean_losses = defaultdict(list)
+        self.mean_losses_test = defaultdict(list)
+        self.loss_iters: list = []
+        self._iters = 1
+        self.epoch = 0
+        self.loss_weights = weight_annealing_schedule(
+            int(self.args.get("epochs", 1) or 1),
+            float(self.args.get("ex_loss_weight1", 0.001)))
+        self.train_predictions = None
+        self.test_predictions = None
+        self.tb_writer = None
+
+        if self.args.get("output_dir"):
+            self.dir_models = os.path.join(self.args["output_dir"], "models")
+            self.dir_images = os.path.join(self.args["output_dir"],
+                                           "log_images")
+            self.args.setdefault("dir_models", self.dir_models)
+            self.args.setdefault("dir_images", self.dir_images)
+
+    # ------------------------------------------------------------------
+    # experiment directory
+    # ------------------------------------------------------------------
+
+    def prepare_run(self) -> None:
+        """Create the experiment dir tree + settings.yaml
+        (reference: train_cardiac_aesr.py:119-141 prepare_run)."""
+        out = self.args["output_dir"]
+        os.makedirs(out, exist_ok=True)
+        os.makedirs(self.dir_models, exist_ok=True)
+        os.makedirs(self.dir_images, exist_ok=True)
+        save_experiment_settings(
+            {k: v for k, v in self.args.items() if not k.startswith("_")},
+            os.path.join(out, "settings.yaml"))
+        if self.args.get("log_tensorboard"):
+            try:
+                from tensorboardX import SummaryWriter
+                self.tb_writer = SummaryWriter(
+                    logdir=os.path.join(out, "tb"))
+            except Exception:
+                self.tb_writer = None
+
+    # ------------------------------------------------------------------
+    # training / validation
+    # ------------------------------------------------------------------
+
+    @property
+    def iters(self) -> int:
+        return self._iters
+
+    def _mix_weight(self) -> float:
+        if self.args.get("use_loss_annealing"):
+            idx = min(self.epoch, len(self.loss_weights) - 1)
+            return float(self.loss_weights[idx])
+        return float(self.args.get("ex_loss_weight1", 0.001))
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def train(self, batch: Dict[str, Any], keep_predictions: bool = False):
+        """One optimisation step on a device-ready batch
+        (image/slice_between/alpha_from/alpha_to [+loss_mask])."""
+        self._iters += 1
+        self.state, metrics = self.train_step(
+            self.state, batch, self._next_rng(),
+            jnp.float32(self._mix_weight()))
+        for k, v in metrics.items():
+            self.losses[k].append(float(v))
+        return metrics
+
+    def validate(self, batch: Dict[str, Any]):
+        metrics, aux = self.eval_step(self.state.params,
+                                      self.state.batch_stats, batch)
+        for k, v in metrics.items():
+            self.losses_test[k].append(float(v))
+        self.test_predictions = aux
+        if self.epoch > int(self.args.get("epoch_threshold", 100)):
+            self.save_best_val_model()
+        return metrics
+
+    # ------------------------------------------------------------------
+    # inference helpers (whole batches, no host chunking — the TPU path
+    # replaces base_trainer.py:216-323's chunked encode/decode)
+    # ------------------------------------------------------------------
+
+    def _ae_model(self):
+        return self.model["ae"] if self.family == "acai" else self.model
+
+    def _ae_params(self):
+        if self.family == "acai":
+            return self.state.params["ae"], self.state.batch_stats["ae"]
+        return self.state.params, self.state.batch_stats
+
+    def encode(self, x):
+        if self._jit_encode is None:
+            mdl = self._ae_model()
+
+            @jax.jit
+            def enc(params, batch_stats, inp):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                if self.family == "vae":
+                    z_conv = mdl.apply(variables, inp, method=mdl.encode)
+                    mu, _ = mdl.apply(variables, z_conv, method=mdl.heads)
+                    return mdl.apply(variables, mu, method=mdl.unflatten)
+                return mdl.apply(variables, inp, method=mdl.encode)
+
+            self._jit_encode = enc
+        p, bs = self._ae_params()
+        return self._jit_encode(p, bs, x)
+
+    def decode(self, z):
+        if self._jit_decode is None:
+            mdl = self._ae_model()
+
+            @jax.jit
+            def dec(params, batch_stats, zz):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return mdl.apply(variables, zz, method=mdl.decode)
+
+            self._jit_decode = dec
+        p, bs = self._ae_params()
+        return self._jit_decode(p, bs, z)
+
+    def predict(self, x):
+        return self.decode(self.encode(x))
+
+    # ------------------------------------------------------------------
+    # checkpoints / losses (on-disk contract)
+    # ------------------------------------------------------------------
+
+    def save_models(self, fname: str, epoch: int) -> None:
+        save_checkpoint(fname, self.state, epoch)
+
+    def load(self, fname: str) -> None:
+        self.state, epoch = load_checkpoint(fname, self.state)
+        self.epoch = epoch
+
+    def save_best_val_model(self) -> None:
+        """Rolling best checkpoints: ae.models on min mean loss_ae_dist;
+        caisr.models on min mean loss_ae_dist_extra
+        (reference: base_trainer.py:101-108, cardiac/trainer_ae.py:70-77)."""
+        hist = self.mean_losses_test.get("loss_ae_dist", [])
+        if len(hist) > 1 and int(np.argmin(hist)) + 1 == len(hist):
+            self.save_models(os.path.join(self.dir_models, "ae.models"),
+                             self.epoch + 1)
+        hist_x = self.mean_losses_test.get("loss_ae_dist_extra", [])
+        if len(hist_x) > 1 and int(np.argmin(hist_x)) + 1 == len(hist_x):
+            self.save_models(os.path.join(self.dir_models, "caisr.models"),
+                             self.epoch + 1)
+
+    def show_loss_on_tensorboard(self, eval_type: str = "train") -> None:
+        """Flush per-iter losses to mean curves (+optional TB scalars)
+        (reference: base_trainer.py:372-393)."""
+        if eval_type == "train":
+            loss_dict, mean_losses = self.losses, self.mean_losses
+            self.loss_iters.append(self.iters)
+        else:
+            loss_dict, mean_losses = self.losses_test, self.mean_losses_test
+        for key, values in loss_dict.items():
+            if not values:
+                continue
+            mean_value = float(np.mean(values))
+            mean_losses[key].append(mean_value)
+            if self.tb_writer is not None:
+                self.tb_writer.add_scalar(f"{key}/{eval_type}", mean_value,
+                                          self.iters)
+
+    def reset_losses(self) -> None:
+        for d in (self.losses, self.losses_test):
+            for key in d:
+                d[key] = []
+
+    def save_losses(self) -> None:
+        out = self.args["output_dir"]
+        np.savez(os.path.join(out, "loss_iters.npz"),
+                 loss_iters=np.array(self.loss_iters))
+        np.savez(os.path.join(out, "losses_train.npz"),
+                 **{k: np.array(v) for k, v in self.mean_losses.items()})
+        np.savez(os.path.join(out, "losses_test.npz"),
+                 **{k: np.array(v) for k, v in self.mean_losses_test.items()})
+
+    @staticmethod
+    def load_losses(path_to_exper: str):
+        path_to_exper = os.path.expanduser(path_to_exper)
+        iters = np.load(os.path.join(path_to_exper, "loss_iters.npz"))["loss_iters"]
+        tr = np.load(os.path.join(path_to_exper, "losses_train.npz"))
+        te = np.load(os.path.join(path_to_exper, "losses_test.npz"))
+        return (iters, {k: tr[k] for k in tr.files},
+                {k: te[k] for k in te.files})
+
+    def end_epoch_processing(self) -> None:
+        """Numbered epoch checkpoint (> epoch_threshold) + loss archives
+        (reference: base_trainer.py:407-422)."""
+        if self.epoch > int(self.args.get("epoch_threshold", 100)):
+            fname = os.path.join(self.dir_models, f"{self.epoch}.models")
+            self.save_models(fname, self.epoch)
+        self.save_losses()
+        self.epoch += 1
+
+
+def get_trainer(src_path: str, model_nbr=None, eval_mode: bool = True) -> Trainer:
+    """Rehydrate a Trainer purely from an experiment dir
+    (reference: kwatsch/get_trainer.py:23-85 get_trainer_dynamic)."""
+    settings = load_settings(os.path.join(src_path, "settings.yaml"))
+    settings["output_dir"] = src_path
+    trainer = Trainer(settings, eval_mode=eval_mode)
+    if model_nbr is not None:
+        if isinstance(model_nbr, int):
+            ckpt = os.path.join(src_path, "models", f"{model_nbr}.models")
+        else:
+            ckpt = os.path.join(src_path, "models", f"{model_nbr}.models"
+                                if not str(model_nbr).endswith(".models")
+                                else str(model_nbr))
+        trainer.load(ckpt)
+    return trainer
