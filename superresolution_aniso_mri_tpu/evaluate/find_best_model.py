@@ -1,0 +1,67 @@
+"""Epoch-checkpoint sweep for model selection.
+
+Reference: evaluate/find_best_model.py:43-135 — evaluate each saved epoch
+checkpoint on validation volumes, track best SSIM/PSNR/VIF overall and on
+synthesized-only slices, dump npz.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..data import Volume
+from .create_hr_images import create_hr_images
+
+METRICS_TRACKED = ("ssim", "psnr", "vif", "ssim_synth", "psnr_synth",
+                   "vif_synth")
+
+
+def list_epoch_checkpoints(exper_dir: str) -> List[int]:
+    files = glob.glob(os.path.join(exper_dir, "models", "*.models"))
+    epochs = []
+    for f in files:
+        m = re.fullmatch(r"(\d+)\.models", os.path.basename(f))
+        if m:
+            epochs.append(int(m.group(1)))
+    return sorted(epochs)
+
+
+def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
+                        downsample_steps: int,
+                        epoch_range: Optional[Iterable[int]] = None,
+                        verbose: bool = False) -> Dict:
+    """Sweep checkpoints; returns per-epoch aggregates and the argmax per
+    tracked metric. Saves model_perf_*.npz into the experiment dir
+    (reference: find_best_model.py:99-108)."""
+    from ..train import get_trainer
+
+    volumes = list(volumes)
+    if epoch_range is None:
+        epoch_range = list_epoch_checkpoints(exper_dir)
+    epoch_range = list(epoch_range)
+    if not epoch_range:
+        raise ValueError(f"no epoch checkpoints in {exper_dir}/models")
+
+    history: Dict[str, List[float]] = {k: [] for k in METRICS_TRACKED}
+    for epoch in epoch_range:
+        trainer = get_trainer(exper_dir, model_nbr=epoch, eval_mode=True)
+        res = create_hr_images(trainer, volumes, downsample_steps,
+                               save_volumes=False)
+        for k in METRICS_TRACKED:
+            history[k].append(res["aggregate"][k][0])
+        if verbose:
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k}={history[k][-1]:.4f}" for k in METRICS_TRACKED))
+
+    best = {k: {"epoch": int(epoch_range[int(np.argmax(v))]),
+                "value": float(np.max(v))}
+            for k, v in history.items()}
+    out_file = os.path.join(exper_dir,
+                            f"model_perf_ds{downsample_steps}.npz")
+    np.savez(out_file, epochs=np.array(epoch_range),
+             **{k: np.array(v) for k, v in history.items()})
+    return {"epochs": epoch_range, "history": history, "best": best}

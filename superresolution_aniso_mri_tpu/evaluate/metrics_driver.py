@@ -1,0 +1,81 @@
+"""Per-volume metric aggregation (all-slices + synthesized-only).
+
+Reference: evaluate/create_HR_images.py:121-178 compute_metrics and the
+per-slice loops of evaluate/metrics.py:65-243 — here one device call per
+metric per volume (vmapped over slices, masked aggregation on device).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import (lpips_distance, masked_mean, psnr_volume, ssim_volume,
+                   synth_slice_mask, vif_volume)
+
+
+def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
+                           downsample_steps: Optional[int] = None,
+                           conv_interpol: bool = False,
+                           eval_axis: int = 0,
+                           lpips_params=None,
+                           data_range: float = 1.0) -> Dict[str, float]:
+    """SSIM/PSNR/VIF (+optional LPIPS) over a [S, H, W] volume pair.
+
+    Returns '<metric>' (all slices) and '<metric>_synth' (synthesized
+    slices only, original grid slices excluded — reference
+    metrics.py:29-45 determine_original_sliceids). For ``eval_axis != 0``
+    the volume is re-sliced along that axis and all-black slices skipped
+    (reference: metrics.py:127-145).
+    """
+    ref = np.asarray(reference, np.float32)
+    up = np.asarray(upsampled, np.float32)
+    if ref.ndim == 4:
+        ref = ref[:, 0] if ref.shape[1] == 1 else ref.squeeze()
+    if up.ndim == 4:
+        up = up[:, 0] if up.shape[1] == 1 else up.squeeze()
+
+    if eval_axis != 0:
+        ref = np.swapaxes(ref, 0, eval_axis)
+        up = np.swapaxes(up, 0, eval_axis)
+
+    s = ref.shape[0]
+    all_mask = np.ones(s, bool)
+    if eval_axis != 0:
+        all_mask &= ref.reshape(s, -1).sum(axis=1) > 0
+    if downsample_steps is not None and eval_axis == 0:
+        synth = synth_slice_mask(s, downsample_steps, conv_interpol)
+    else:
+        synth = all_mask.copy()
+    synth = synth & all_mask
+
+    ref_j = jnp.asarray(ref)
+    up_j = jnp.asarray(up)
+    ssim_s = ssim_volume(ref_j, up_j, data_range)
+    psnr_s = psnr_volume(ref_j, up_j, data_range)
+    vif_s = vif_volume(ref_j, up_j)
+
+    out = {
+        "ssim": float(masked_mean(ssim_s, all_mask)),
+        "psnr": float(masked_mean(psnr_s, all_mask)),
+        "vif": float(masked_mean(vif_s, all_mask)),
+        "ssim_synth": float(masked_mean(ssim_s, synth)),
+        "psnr_synth": float(masked_mean(psnr_s, synth)),
+        "vif_synth": float(masked_mean(vif_s, synth)),
+        "mse": float(np.mean((ref - up) ** 2)),
+    }
+    if lpips_params is not None:
+        d = lpips_distance(lpips_params, up_j[..., None], ref_j[..., None],
+                           normalize=True)
+        out["lpips"] = float(masked_mean(d, all_mask))
+        out["lpips_synth"] = float(masked_mean(d, synth))
+    return out
+
+
+def aggregate_metrics(per_volume: list) -> Dict[str, tuple]:
+    """mean ± std across volumes (reference: create_HR_images.py:181-196)."""
+    keys = per_volume[0].keys()
+    return {k: (float(np.mean([m[k] for m in per_volume])),
+                float(np.std([m[k] for m in per_volume])))
+            for k in keys}

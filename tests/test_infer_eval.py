@@ -1,0 +1,188 @@
+"""Inference + evaluation pipeline tests."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from superresolution_aniso_mri_tpu.data import make_toy_dataset, Volume
+from superresolution_aniso_mri_tpu.infer import (
+    create_super_volume, create_simple_interpolation, simple_interpolation,
+    interleave_volume, latent_space_interp,
+)
+from superresolution_aniso_mri_tpu.evaluate import (
+    compute_volume_metrics, create_hr_images, find_best_val_model,
+    evaluate_image, compare_quantitative, format_latex_string, compute_ppl,
+    evaluate_model_reconstruction,
+)
+from superresolution_aniso_mri_tpu.train import Trainer
+from superresolution_aniso_mri_tpu.utils import write_nifti
+from superresolution_aniso_mri_tpu.utils.grids import (
+    make_grid, generate_recon_grid, save_image_grid,
+)
+
+
+def _toy_trainer(tmpdir=None, **over):
+    args = {
+        "dataset": "MNIST3D", "model": "ae_combined",
+        "ae_class": "VanillaACAI", "width": 32, "latent_width": 16,
+        "depth": 8, "latent": 8, "colors": 1, "lr": 1e-3,
+        "weight_decay": 0.0, "batch_size": 4, "epochs": 2,
+        "epoch_threshold": -1, "ex_loss_weight1": 0.01,
+        "use_batchnorm": False, "use_sigmoid": True,
+        "use_laploss": False, "use_percept_loss": False,
+        "image_mix_loss_func": "mse", "downsample_steps": 2, "seed": 0,
+        "output_dir": str(tmpdir) if tmpdir else None,
+    }
+    args.update(over)
+    return Trainer(args)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return _toy_trainer()
+
+
+@pytest.fixture(scope="module")
+def toy_volume():
+    return make_toy_dataset(num_volumes=1, size=32, num_slices=13, seed=5)[0]
+
+
+def test_interleave_volume():
+    recon = jnp.arange(4, dtype=jnp.float32).reshape(4, 1, 1, 1)
+    interp = (jnp.arange(9, dtype=jnp.float32).reshape(3, 3, 1, 1, 1)
+              + 100.0)
+    out = np.asarray(interleave_volume(recon, interp)).ravel()
+    expect = [0, 100, 101, 102, 1, 103, 104, 105, 2, 106, 107, 108, 3]
+    np.testing.assert_allclose(out, expect)
+
+
+def test_create_super_volume_shapes(trainer, toy_volume):
+    # 13 slices, ds=3 → (13-1)%3=0, kept 5, out = 4*3+1 = 13
+    res = create_super_volume(trainer, toy_volume.image,
+                              alpha_range=np.linspace(0, 1, 4)[1:-1],
+                              downsample_steps=3,
+                              generate_inbetween_slices=True)
+    up = res["upsampled_image"]
+    assert up.shape == toy_volume.image.shape
+    assert up.min() >= 0.0 and up.max() <= 1.0
+    assert res["pred_alphas"].shape == (4 * 2,)
+
+
+def test_create_super_volume_tail_slices(trainer):
+    vol = make_toy_dataset(1, 32, 12, seed=1)[0].image  # (12-1)%3 = 2 tail
+    res = create_super_volume(trainer, vol,
+                              alpha_range=np.linspace(0, 1, 4)[1:-1],
+                              downsample_steps=3,
+                              generate_inbetween_slices=True)
+    up = res["upsampled_image"]
+    assert up.shape[0] == 12
+    # tail slices are the originals verbatim
+    np.testing.assert_allclose(up[-2:], vol[-2:], atol=1e-6)
+
+
+def test_use_original_keeps_grid_slices(trainer, toy_volume):
+    res = create_super_volume(trainer, toy_volume.image,
+                              alpha_range=[0.5], downsample_steps=2,
+                              generate_inbetween_slices=True,
+                              use_original=True)
+    up = res["upsampled_image"]
+    np.testing.assert_allclose(up[::2], toy_volume.image[::2], atol=1e-6)
+
+
+def test_latent_space_interp_matches_kernel(trainer, toy_volume):
+    imgs = jnp.asarray(toy_volume.image[:4])[..., None]
+    out = latent_space_interp(trainer, 0.5, imgs[1:], imgs[:-1])
+    assert out.shape == (3, 32, 32, 1)
+
+
+def test_simple_interpolation_linear_exact():
+    vol = np.stack([np.full((4, 4), float(i)) for i in range(4)])
+    up = simple_interpolation(vol, 2, method="linear")
+    assert up.shape == (8, 4, 4)
+    np.testing.assert_allclose(up[0], 0.0)
+    np.testing.assert_allclose(up[1], 0.5)
+    np.testing.assert_allclose(up[2], 1.0)
+
+
+@pytest.mark.parametrize("method", ["nearest", "linear", "bspline", "lanczos"])
+def test_conventional_interp_inbetween_mode(method):
+    vol = np.random.RandomState(0).rand(13, 8, 8).astype(np.float32)
+    up = create_simple_interpolation(vol, 3, method=method,
+                                     generate_inbetween_slices=True)
+    assert up.shape == (13, 8, 8)
+
+
+def test_compute_volume_metrics_keys(toy_volume):
+    noisy = np.clip(toy_volume.image + 0.01, 0, 1)
+    m = compute_volume_metrics(toy_volume.image, noisy, downsample_steps=2)
+    for k in ("ssim", "psnr", "vif", "ssim_synth", "psnr_synth",
+              "vif_synth", "mse"):
+        assert k in m and np.isfinite(m[k])
+    assert m["ssim"] > 0.9
+
+
+def test_create_hr_images_and_baselines(trainer, tmp_path):
+    vols = make_toy_dataset(2, 32, 13, seed=9)
+    res = create_hr_images(trainer, vols, downsample_steps=2,
+                           output_dir=str(tmp_path), save_volumes=True)
+    assert len(res["per_volume"]) == 2
+    assert "ssim_synth" in res["aggregate"]
+    saved = [f for f in os.listdir(tmp_path) if f.endswith(".nii.gz")]
+    assert len(saved) == 2
+    assert os.path.isdir(os.path.join(tmp_path, "results"))
+
+    res_conv = create_hr_images(None, vols, downsample_steps=2,
+                                interpol_method="linear")
+    assert np.isfinite(res_conv["aggregate"]["ssim_synth"][0])
+
+
+def test_find_best_model_sweep(tmp_path):
+    t = _toy_trainer(tmp_path)
+    t.prepare_run()
+    for epoch in (1, 2):
+        t.save_models(os.path.join(t.dir_models, f"{epoch}.models"), epoch)
+    vols = make_toy_dataset(1, 32, 9, seed=2)
+    res = find_best_val_model(str(tmp_path), vols, downsample_steps=2)
+    assert res["epochs"] == [1, 2]
+    assert "ssim_synth" in res["best"]
+    assert os.path.isfile(os.path.join(str(tmp_path),
+                                       "model_perf_ds2.npz"))
+
+
+def test_evaluate_image_4d(trainer):
+    img4d = np.stack([make_toy_dataset(1, 32, 9, seed=s)[0].image
+                      for s in range(2)])
+    rd = evaluate_image(trainer, {"image": img4d}, frame_id=1,
+                        downsample_steps=2)
+    assert rd["synth_images"][1].shape[0] == 9
+
+
+def test_quantitative_comparison(tmp_path, toy_volume):
+    ref_p = str(tmp_path / "ref.nii.gz")
+    m_p = str(tmp_path / "method.nii.gz")
+    write_nifti(ref_p, toy_volume.image)
+    write_nifti(m_p, np.clip(toy_volume.image + 0.02, 0, 1))
+    res = compare_quantitative([ref_p], [m_p], downsample_steps=2,
+                               output_file=str(tmp_path / "res.npz"))
+    assert "ssim" in res["aggregate"]
+    row = format_latex_string(res["aggregate"])
+    assert "&" in row and row.endswith(r"\\")
+
+
+def test_ppl_and_reconstruction_eval(trainer, toy_volume):
+    ppl = compute_ppl(trainer, toy_volume.image, num_pairs=8)
+    assert np.isfinite(ppl) and ppl >= 0
+    res = evaluate_model_reconstruction(trainer, [toy_volume])
+    assert "ssim" in res["aggregate"]
+
+
+def test_grids(tmp_path):
+    imgs = np.random.RandomState(0).rand(6, 16, 16).astype(np.float32)
+    g = make_grid(imgs, nrow=3)
+    assert g.ndim == 2
+    rg = generate_recon_grid(imgs[:3], imgs[3:])
+    assert rg.ndim == 2
+    out = str(tmp_path / "grid.png")
+    save_image_grid(g, out)
+    assert os.path.isfile(out)
