@@ -1,0 +1,74 @@
+"""Benchmark: super-resolve a full OASIS-like 6mm→1mm volume on one chip.
+
+The driver's north-star (BASELINE.md): full OASIS volume (220x220
+in-plane, ~30 LR slices, downsample_steps=6 → 5 synthesized slices per
+gap, 175 output slices) in under 1 s on one TPU v5e chip. The reference
+does this with per-alpha chunked GPU decode loops
+(evaluate/common.py:134-235); here it is one jitted program: batched
+encode of all kept slices + one batched decode of all (K-1)*A mixed
+latents.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is the median wall-clock seconds per volume and vs_baseline is the
+speedup vs the 1 s target (>1 = faster than target).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        interleave_volume, make_volume_synthesizer,
+    )
+
+    # OASIS ae_combined config (reference README.md:46), evaluated at the
+    # OASIS eval patch 220x220.
+    cfg = AEConfig(width=64, latent_width=16, depth=32, latent=128,
+                   colors=1, use_batchnorm=True, use_sigmoid=True,
+                   compute_dtype="bfloat16")
+    model = VanillaACAI(cfg)
+
+    num_lr_slices = 30
+    hw = 220
+    ds = 6
+    alphas = jnp.asarray(np.linspace(0, 1, ds + 1)[1:-1], jnp.float32)
+
+    rng = np.random.RandomState(0)
+    volume = jnp.asarray(rng.rand(num_lr_slices, hw, hw, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), volume[:1], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    synth = make_volume_synthesizer(model)
+
+    def run():
+        out = synth(params, batch_stats, volume, alphas, use_original=False)
+        full = interleave_volume(out["recon"], out["interp"])
+        return jax.block_until_ready(full)
+
+    full = run()  # compile + warm up
+    assert full.shape[0] == (num_lr_slices - 1) * (ds - 1 + 1) + 1
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    latency = float(np.median(times))
+
+    baseline_s = 1.0  # north-star target: < 1 s / volume on one v5e chip
+    print(json.dumps({
+        "metric": "oasis_6mm_to_1mm_volume_sr_latency",
+        "value": round(latency, 5),
+        "unit": "s/volume",
+        "vs_baseline": round(baseline_s / latency, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

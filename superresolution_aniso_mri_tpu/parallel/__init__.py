@@ -1,0 +1,11 @@
+"""Mesh/sharding layer: data-parallel pjit training + sharded inference."""
+from .mesh import (
+    DATA_AXIS, create_mesh, batch_sharding, replicated, shard_batch,
+    replicate_state, make_sharded_train_step, make_sharded_synthesizer,
+)
+
+__all__ = [
+    "DATA_AXIS", "create_mesh", "batch_sharding", "replicated",
+    "shard_batch", "replicate_state", "make_sharded_train_step",
+    "make_sharded_synthesizer",
+]
