@@ -1,0 +1,132 @@
+"""Shared training loop driven by the CLI scripts.
+
+Reference: train_cardiac_aesr.py:153-204 / train_brain_aesr.py:137-192 —
+epoch loop, per-iteration trainer.train, end-of-epoch validate + image
+dumps + checkpointing, KeyboardInterrupt → save.
+
+TPU shape: the host sampler yields fixed-shape triplet batches; all
+augmentation runs in one fused device program; the train step is a
+single jitted XLA program (optionally data-parallel over a mesh).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.net_config import NetworkConfig, merge_args_architecture
+from ..data import AugmentConfig, TripletSampler, augment_batch, \
+    prepare_batch_pairs
+from ..data.datasets import get_datasets
+from ..train import Trainer
+from ..utils.grids import generate_batch_compare_grid, generate_recon_grid, \
+    save_image_grid
+
+
+def build_augment_config(args: Dict) -> AugmentConfig:
+    """Per-dataset transform composition
+    (reference: train_cardiac_aesr.py:83-105 get_transforms,
+    datasets/common_brains.py:47-100 get_transforms_brain)."""
+    dataset = args["dataset"]
+    width = int(args["width"])
+    aug_patch = args.get("aug_patch_size")
+    if dataset in ("MNIST3D", "MNISTRoto"):
+        return AugmentConfig(patch_size=width, aug_patch_size=aug_patch,
+                             random_crop=False, rot90=False, intensity=False)
+    return AugmentConfig(
+        patch_size=width,
+        aug_patch_size=int(aug_patch) if aug_patch else None,
+        random_crop=True, rot90=True, intensity=True,
+        rotate_any=dataset in ("ACDC", "ACDCC", "ACDCLBL"),
+        max_degree=45,
+    )
+
+
+def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key) -> Dict:
+    triplet = augment_batch(key, jnp.asarray(raw["triplet"]), aug_cfg)
+    image, between = prepare_batch_pairs(triplet)
+    return {
+        "image": image,
+        "slice_between": between,
+        "alpha_from": jnp.asarray(raw["alpha_from"]),
+        "alpha_to": jnp.asarray(raw["alpha_to"]),
+    }
+
+
+def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
+    net_cfg = NetworkConfig(args_dict["model"], args_dict["dataset"],
+                            args_dict.get("ae_class", "VanillaACAI"))
+    merged = merge_args_architecture(args_dict, net_cfg.architecture)
+
+    trainer = Trainer(merged)
+    trainer.prepare_run()
+    merged = trainer.args
+
+    train_vols, val_vols = get_datasets(merged)
+    ds = int(merged.get("downsample_steps") or 2)
+    pad = int(merged.get("aug_patch_size") or merged["width"])
+    sampler = TripletSampler(train_vols, ds,
+                             merged.get("slice_selection", "adjacent_plus"),
+                             pad_size=pad, seed=int(merged.get("seed", 0)))
+    val_sampler = TripletSampler(val_vols, ds, "adjacent_plus",
+                                 pad_size=pad,
+                                 seed=int(merged.get("seed", 0)) + 1)
+    aug_cfg = build_augment_config(merged)
+    val_cfg = AugmentConfig(patch_size=int(merged["width"]),
+                            aug_patch_size=aug_cfg.aug_patch_size,
+                            random_crop=False, rot90=False, intensity=False)
+
+    batch_size = int(merged["batch_size"])
+    test_batch_size = int(merged.get("test_batch_size", batch_size))
+    epochs = int(merged["epochs"])
+    rng = jax.random.PRNGKey(int(merged.get("seed", 0)))
+
+    if merged.get("model_filename"):
+        trainer.load(merged["model_filename"])
+        if verbose:
+            print(f"resumed from {merged['model_filename']} "
+                  f"(epoch {trainer.epoch})")
+
+    try:
+        for epoch in range(trainer.epoch, epochs):
+            t0 = time.time()
+            last_batch = None
+            for raw in sampler.epoch_batches(batch_size):
+                rng, k = jax.random.split(rng)
+                batch = _device_batch(raw, aug_cfg, k)
+                trainer.train(batch)
+                last_batch = batch
+            # end-of-epoch validation (reference validates on the last
+            # iterations of each epoch, train_cardiac_aesr.py:179-189)
+            rng, k = jax.random.split(rng)
+            val_raw = val_sampler.sample_batch(test_batch_size)
+            val_batch = _device_batch(val_raw, val_cfg, k)
+            trainer.validate(val_batch)
+            trainer.show_loss_on_tensorboard("train")
+            trainer.show_loss_on_tensorboard("test")
+
+            if verbose:
+                tr = trainer.mean_losses["loss_ae"][-1]
+                te = trainer.mean_losses_test["loss_ae"][-1]
+                print(f"epoch {epoch:4d}  loss_ae={tr:.5f} "
+                      f"val={te:.5f}  ({time.time() - t0:.1f}s)")
+
+            # image dumps (reference: base_trainer.py:395-420)
+            if last_batch is not None and trainer.test_predictions:
+                grid = generate_recon_grid(
+                    np.asarray(val_batch["image"]),
+                    np.asarray(trainer.test_predictions["reconstruction"]))
+                save_image_grid(grid, os.path.join(
+                    trainer.dir_images, f"val_recons_e{epoch:03d}.png"))
+            trainer.reset_losses()
+            trainer.end_epoch_processing()
+    except KeyboardInterrupt:
+        fname = os.path.join(trainer.dir_models,
+                             f"{trainer.epoch}.models")
+        trainer.save_models(fname, trainer.epoch)
+        print(f"interrupted — saved {fname}")
+    return trainer

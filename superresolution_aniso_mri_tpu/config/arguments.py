@@ -1,0 +1,107 @@
+"""CLI argument surface, flag-compatible with the reference.
+
+Reference: kwatsch/arguments.py:10-103 — including the post-parse
+defaulting rules (ae_combined → perceptual mix loss, per-dataset
+aug_patch_size defaults, VAE class routing, output-dir layout).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train auto-encoder for SR (TPU-native)")
+    parser.add_argument("-d", "--dataset", type=str,
+                        choices=["ACDC", "ACDCC", "dHCP", "ADNI", "OASIS",
+                                 "MNIST3D", "MNISTRoto", "ACDCLBL"],
+                        default="ACDC")
+    parser.add_argument("--downsample_steps", type=int, default=None)
+    parser.add_argument("-ss", "--slice_selection", type=str,
+                        choices=["adjacent_plus", "adjacent", "mix"],
+                        default="adjacent_plus")
+    parser.add_argument("-c", "--comment", type=str, default=None)
+    parser.add_argument("-m", "--model", type=str,
+                        choices=["ae", "ae_combined", "aesr", "aesr_combined",
+                                 "vae", "vae_combined", "acai",
+                                 "acai_combined", "vae2"],
+                        default="ae")
+    parser.add_argument("-id", "--exper_id", type=str, default="debug")
+    parser.add_argument("-o", "--output_dir", type=str, default=None)
+    parser.add_argument("--model_filename", type=str, default=None)
+    parser.add_argument("-e", "--epochs", type=int, default=250)
+    parser.add_argument("-l", "--lr", type=float, default=0.00001)
+    parser.add_argument("-w", "--weight_decay", type=float, default=0.0)
+    parser.add_argument("-b", "--batch_size", type=int, default=12)
+    parser.add_argument("-bt", "--test_batch_size", type=int, default=16)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--limited_load", action="store_true")
+    parser.add_argument("-s", "--seed", type=int, default=892372)
+    parser.add_argument("--number_of_workers", type=int, default=2)
+    parser.add_argument("--validate_every", type=int, default=500)
+    parser.add_argument("--alpha_loss_func", type=str, default=None,
+                        choices=[None, "mse", "perceptual"])
+    parser.add_argument("--use_percept_loss", action="store_true")
+    parser.add_argument("--use_ssim_loss", action="store_true")
+    parser.add_argument("--use_extra_latent_loss", action="store_true")
+    parser.add_argument("--use_loss_annealing", action="store_true")
+    parser.add_argument("--alpha_class", type=str, default=None)
+    parser.add_argument("--width", type=int, default=128)
+    parser.add_argument("--latent_width", type=int, default=16)
+    parser.add_argument("--latent", type=int, default=16)
+    parser.add_argument("--depth", type=int, default=32)
+    parser.add_argument("--ae_class", type=str, default="VanillaACAI")
+    parser.add_argument("--image_mix_loss_func", type=str, default=None)
+    parser.add_argument("--ex_loss_weight1", type=float, default=0.001)
+    parser.add_argument("--lamb_reg_acai", type=float, default=0.5)
+    parser.add_argument("--vae_beta", type=float, default=None)
+    parser.add_argument("--aug_patch_size", type=int, default=None)
+    parser.add_argument("--get_masks", action="store_true")
+    parser.add_argument("--log_tensorboard", action="store_true")
+    parser.add_argument("--epoch_threshold", type=int, default=100)
+    # TPU-native extras
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--use_synthetic_data", action="store_true",
+                        help="use the procedural toy backend instead of "
+                             "on-disk volumes (CI / smoke runs)")
+
+    args = parser.parse_args(argv)
+
+    # post-parse defaulting (reference: arguments.py:65-103)
+    if args.model == "ae_combined" and args.image_mix_loss_func is None:
+        args.image_mix_loss_func = "perceptual"
+    if args.model in ("vae", "vae_combined"):
+        args.ae_class = "VAE"
+        if args.model == "vae" and args.vae_beta is None:
+            args.vae_beta, args.lamb = 100, 1.0
+        elif args.model == "vae_combined" and args.vae_beta is None:
+            args.vae_beta, args.lamb = 200, 1.0
+        else:
+            args.lamb = 1.0
+    elif args.model == "vae2":
+        args.ae_class = "VAE2"
+        args.lamb = 1.0
+        if args.vae_beta is None:
+            args.vae_beta = 1.0
+    else:
+        args.vae_beta, args.lamb = 0.0, 0.0
+    if args.downsample_steps is None:
+        raise ValueError("downsample_steps cannot be None")
+    if args.dataset == "OASIS" and args.aug_patch_size is None and args.width < 220:
+        args.aug_patch_size = 220
+    if args.dataset == "dHCP" and args.aug_patch_size is None and args.width < 256:
+        args.aug_patch_size = 256
+    if args.dataset in ("ACDC", "ACDCLBL") and args.aug_patch_size is None:
+        args.aug_patch_size = 180
+    if args.output_dir is not None:
+        args.output_dir = os.path.expanduser(
+            os.path.join(args.output_dir, args.exper_id))
+    else:
+        args.output_dir = os.path.expanduser(os.path.join(
+            "~/expers/sr_redo", args.dataset, args.model, args.exper_id))
+    if args.model_filename is not None:
+        args.model_filename = os.path.expanduser(args.model_filename)
+
+    return args, vars(args)

@@ -1,0 +1,87 @@
+"""(model, dataset, ae_class) → architecture defaults + trainer routing.
+
+Reference: networks/net_config.py:10-92. Instead of string module paths
+dynamically imported (MODULE_PATH at net_config.py:2-7), routing targets
+are registry names resolved by models.build_model / train.Trainer.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+
+class NetworkConfig:
+    def __init__(self, network: str, dataset: str = None,
+                 ae_class: str = "VanillaACAI"):
+        self.network = network
+        self.dataset = dataset
+        self.ae_class = ae_class
+        self.architecture: Dict = {}
+        self.load_config()
+
+    def load_config(self) -> None:
+        arch = self.architecture
+        arch["width"] = 128
+        arch["latent_width"] = 16
+        arch["depth"] = 32
+        arch["colors"] = 2 if self.dataset == "ACDCLBL" else 1
+        arch["latent"] = 16
+        arch["use_laploss"] = False
+        arch["use_percept_loss"] = False
+        arch["n_res_block"] = None
+        arch["use_batchnorm"] = True
+        arch["use_sigmoid"] = True
+        arch["max_grad_norm"] = 0
+        arch["fine_tune"] = False
+        arch["ex_loss_weight1"] = 0.5
+        arch["ae_class"] = self.ae_class
+
+        net, ds = self.network, self.dataset
+        if net in ("ae", "aesr"):
+            arch["image_mix_loss_func"] = None
+            if ds == "ACDCLBL":
+                arch["trainer_class"] = "MultiChannelTrainer"
+                arch["nclasses"] = 4
+            elif ds in (None, "ACDC", "dHCP", "ADNI", "OASIS",
+                        "MNIST3D", "MNISTRoto"):
+                arch["trainer_class"] = "AETrainer"
+            else:
+                raise ValueError(f"unsupported combination {net}/{ds}")
+        elif net in ("ae_combined", "aesr_combined"):
+            arch["image_mix_loss_func"] = "perceptual"
+            if ds == "ACDCLBL":
+                arch["trainer_class"] = "MultiChannelCAISRTrainer"
+                arch["nclasses"] = 4
+            elif ds in ("ACDC", "dHCP", "ADNI", "OASIS", "MNIST3D",
+                        "MNISTRoto"):
+                arch["trainer_class"] = "AETrainerCombined"
+            else:
+                raise ValueError(f"unsupported combination {net}/{ds}")
+        elif net in ("vae", "vae_combined", "vae2"):
+            if ds in ("MNIST3D", "MNISTRoto", "ACDC", "OASIS", "dHCP",
+                      "ADNI"):
+                arch["image_mix_loss_func"] = (
+                    "perceptual" if "combined" in net else None)
+                arch["trainer_class"] = "VAETrainer"
+            else:
+                raise ValueError(f"VAE does not support dataset {ds}")
+        elif net in ("acai", "acai_combined"):
+            if ds in ("MNIST3D", "MNISTRoto", "ACDC", "OASIS", "dHCP",
+                      "ADNI"):
+                arch["image_mix_loss_func"] = (
+                    "perceptual" if "combined" in net else None)
+                arch["trainer_class"] = "ACAITrainer"
+            else:
+                raise ValueError(f"ACAI does not support dataset {ds}")
+        else:
+            raise ValueError(f"unknown network {net}")
+
+
+def merge_args_architecture(args_dict: Dict, architecture: Dict) -> Dict:
+    """CLI wins only when not None (reference:
+    train_cardiac_aesr.py:23-30)."""
+    merged = dict(architecture)
+    for key, value in args_dict.items():
+        if key in merged and value is None:
+            continue
+        merged[key] = value
+    return merged

@@ -1,0 +1,240 @@
+"""Dataset builders: on-disk volume ingest for the brain and cardiac
+datasets, plus the synthetic toy backend.
+
+Reference:
+  * brain loaders — datasets/common_brains.py:160-226 get_images (LR
+    suffix logic, per-dataset patient-id parsing), OASIS/dHCP/ADNI
+    dataset classes;
+  * ACDC — datasets/ACDC/data.py:419-506 ACDCImage (per-frame in-plane
+    resample to 1.4mm + blur + 1-99 percentile rescale),
+    data4d_simple.py pairs dataset;
+  * LR-volume creation tools — datasets/OASIS/dataset.py:104-122
+    create_lr_dataset, dHCP/dataset.py:14-36.
+
+Each builder returns lists of ``Volume`` that plug into TripletSampler.
+"""
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import yaml
+
+from ..config.data_config import DataConfig, get_config
+from ..utils.nifti import read_image, write_image
+from .synthetic import make_toy_dataset
+from .volume import (Volume, apply_2d_zoom_3d, apply_2d_zoom_4d,
+                     create_lr_volume, rescale_intensities)
+
+
+# ---------------------------------------------------------------------------
+# generic helpers
+# ---------------------------------------------------------------------------
+
+def _find_files(root: str, suffix: str) -> List[str]:
+    hits = []
+    for dirpath, _dirs, files in os.walk(os.path.expanduser(root)):
+        for f in files:
+            if f.endswith(suffix):
+                hits.append(os.path.join(dirpath, f))
+    hits.sort()
+    return hits
+
+
+def _patient_id_from_file(dataset: str, path: str) -> str:
+    name = os.path.basename(path)
+    if dataset == "OASIS":
+        return "_".join(name.split("_")[:3])
+    if dataset == "dHCP":
+        return name.split("_")[0]
+    if dataset == "ADNI":
+        parts = os.path.normpath(path).split(os.sep)
+        return parts[-4] + "_" + parts[-2] if len(parts) >= 4 else name
+    return os.path.splitext(name)[0].replace(".nii", "")
+
+
+def _split_patients(patient_ids: Sequence[str], split_file: Optional[str],
+                    ratios=(0.8, 0.1, 0.1), seed: int = 1234
+                    ) -> Dict[str, List[str]]:
+    """Use an on-disk yaml split when present, else a deterministic
+    seeded split (reference keeps yaml/xlsx split files per dataset)."""
+    if split_file and os.path.isfile(os.path.expanduser(split_file)):
+        with open(os.path.expanduser(split_file)) as fp:
+            split = yaml.safe_load(fp)
+        return {k: [str(p) for p in v] for k, v in split.items()}
+    ids = sorted(set(str(p) for p in patient_ids))
+    rs = np.random.RandomState(seed)
+    perm = rs.permutation(len(ids))
+    n_tr = int(len(ids) * ratios[0])
+    n_va = int(len(ids) * ratios[1])
+    return {
+        "training": [ids[i] for i in perm[:n_tr]],
+        "validation": [ids[i] for i in perm[n_tr:n_tr + n_va]],
+        "test": [ids[i] for i in perm[n_tr + n_va:]],
+    }
+
+
+# ---------------------------------------------------------------------------
+# brain datasets (OASIS / dHCP / ADNI / brainMASI)
+# ---------------------------------------------------------------------------
+
+def load_brain_volumes(dataset: str, downsample_steps: int,
+                       split: str = "training",
+                       limited_load: bool = False,
+                       include_hr_images: bool = False,
+                       rescale_int: bool = False,
+                       src_path: Optional[str] = None) -> List[Volume]:
+    """Load pre-generated synthetic-LR brain volumes
+    (reference: common_brains.py:160-226 get_images)."""
+    cfg = get_config(dataset)
+    root = src_path or cfg.image_dir
+    suffix = cfg.lr_file_suffix(downsample_steps)
+    files = _find_files(root, suffix)
+    if not files:
+        raise FileNotFoundError(
+            f"no '*{suffix}' volumes under {root} for {dataset}")
+    pids = [_patient_id_from_file(dataset, f) for f in files]
+    splits = _split_patients(pids, cfg.split_file)
+    wanted = set(splits.get(split, []))
+    sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
+    if limited_load:
+        sel = sel[:cfg.limited_load_max]
+    volumes = []
+    for pid, path in sel:
+        arr, spacing, _ = read_image(path)
+        arr = arr.astype(np.float32)
+        if rescale_int:
+            arr = rescale_intensities(arr, percs=(0, 100))
+        hr = None
+        if include_hr_images:
+            hr_path = path.replace(suffix, cfg.img_file_ext)
+            if os.path.isfile(hr_path):
+                hr_arr, _, _ = read_image(hr_path)
+                hr = hr_arr.astype(np.float32)
+                if rescale_int:
+                    hr = rescale_intensities(hr, percs=(0, 100))
+        volumes.append(Volume(image=arr, spacing=spacing, patient_id=pid,
+                              image_hr=hr))
+    return volumes
+
+
+def create_lr_dataset(dataset: str, downsample_steps: int,
+                      src_path: Optional[str] = None,
+                      out_path: Optional[str] = None) -> List[str]:
+    """Generate + save blurred synthetic-LR volumes next to the HR ones
+    (reference: OASIS/dataset.py:104-122, dHCP/dataset.py:14-36,
+    ADNI/create_dataset.py)."""
+    cfg = get_config(dataset)
+    root = src_path or cfg.image_dir
+    files = _find_files(root, cfg.img_file_ext)
+    written = []
+    for path in files:
+        arr, spacing, affine = read_image(path)
+        thickness = (downsample_steps if dataset != "dHCP"
+                     else downsample_steps)  # steps are in native-voxel units
+        lr = create_lr_volume(arr.astype(np.float32), thickness,
+                              subsample=False)
+        suffix = cfg.lr_file_suffix(downsample_steps)
+        out = path.replace(cfg.img_file_ext, suffix)
+        if out_path:
+            out = os.path.join(out_path, os.path.basename(out))
+        write_image(out, lr.astype(np.float32), spacing=spacing,
+                    affine=affine)
+        written.append(out)
+    return written
+
+
+# ---------------------------------------------------------------------------
+# cardiac (ACDC 4D and friends)
+# ---------------------------------------------------------------------------
+
+# patients whose native slice thickness is 5mm → SR test split
+# (reference: datasets/ACDC/data.py:21-23 PATIENT_LIST_5MM_SLICE_THICKNESS)
+ACDC_5MM_PATIENTS = (4, 5, 9, 18, 54, 63, 69, 75, 79, 80, 90, 94)
+
+
+def load_acdc_volumes(split: str = "training",
+                      limited_load: bool = False,
+                      resample: bool = True,
+                      rescale: bool = True,
+                      src_path: Optional[str] = None,
+                      frame_limit: Optional[int] = None) -> List[Volume]:
+    """Load ACDC 4D cine volumes; each frame becomes one 3-D Volume
+    (pair sampling never crosses frames, matching the reference's
+    (pat, frame, slice) index — datasets/ACDC/data4d_simple.py:131-240).
+
+    Per-frame preprocessing mirrors ACDCImage.preprocessed4d
+    (data.py:471-506): in-plane resample to 1.4x1.4 mm with blur, 1-99
+    percentile rescale.
+    """
+    cfg = get_config("ACDC")
+    root = src_path or cfg.image_dir
+    files = _find_files(root, "4d.nii.gz") or _find_files(root, ".nii.gz")
+    if not files:
+        raise FileNotFoundError(f"no ACDC volumes under {root}")
+    pids = [_patient_id_from_file("ACDC", f) for f in files]
+    splits = _split_patients(pids, cfg.split_file)
+    wanted = set(splits.get(split, []))
+    sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
+    if limited_load:
+        sel = sel[:cfg.limited_load_max]
+    volumes: List[Volume] = []
+    for pid, path in sel:
+        arr, spacing, _ = read_image(path)
+        arr = arr.astype(np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        if frame_limit:
+            arr = arr[:frame_limit]
+        if resample and cfg.voxel_spacing_resample is not None:
+            arr = apply_2d_zoom_4d(arr, spacing[-2:],
+                                   cfg.voxel_spacing_resample)
+        for t in range(arr.shape[0]):
+            frame = arr[t]
+            if rescale:
+                frame = rescale_intensities(frame, percs=(1, 99))
+            volumes.append(Volume(
+                image=frame.astype(np.float32), spacing=np.asarray(spacing),
+                patient_id=f"{pid}_f{t:02d}"))
+    return volumes
+
+
+# ---------------------------------------------------------------------------
+# dispatcher used by the train CLIs
+# ---------------------------------------------------------------------------
+
+def get_datasets(args: Dict) -> Tuple[List[Volume], List[Volume]]:
+    """(train, validation) volume lists for a settings dict.
+
+    ``use_synthetic_data`` (or unavailable data dirs for the MNIST toys)
+    routes to the procedural toy backend — the test/fixture path
+    (SURVEY.md §4: MNIST3D-style synthetic data is the de-facto fake
+    backend)."""
+    dataset = args["dataset"]
+    ds = int(args.get("downsample_steps") or 2)
+    limited = bool(args.get("limited_load", False))
+
+    if args.get("use_synthetic_data") or dataset in ("MNIST3D", "MNISTRoto"):
+        width = int(args.get("aug_patch_size") or args.get("width", 64))
+        n_train = 4 if limited else 12
+        train = make_toy_dataset(n_train, size=width, num_slices=8 * ds + 1,
+                                 seed=int(args.get("seed", 0)) % 100000)
+        val = make_toy_dataset(2, size=width, num_slices=8 * ds + 1,
+                               seed=int(args.get("seed", 0)) % 100000 + 999)
+        return train, val
+
+    if dataset in ("OASIS", "dHCP", "ADNI", "brainMASI"):
+        train = load_brain_volumes(dataset, ds, "training",
+                                   limited_load=limited)
+        val = load_brain_volumes(dataset, ds, "validation",
+                                 limited_load=limited)
+        return train, val
+
+    if dataset in ("ACDC", "ACDCC", "ACDCLBL"):
+        train = load_acdc_volumes("training", limited_load=limited)
+        val = load_acdc_volumes("validation", limited_load=limited)
+        return train, val
+
+    raise ValueError(f"unknown dataset {dataset!r}")

@@ -1,0 +1,90 @@
+"""End-to-end CLI smoke tests on the synthetic backend (CPU-runnable —
+the framework's equivalent of the reference's MNIST3D smoke path,
+SURVEY.md §4)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(os.environ,
+           JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=8",
+           PYTHONPATH=REPO)
+
+
+def _run(cmd, **kw):
+    return subprocess.run(cmd, cwd=REPO, env=ENV, capture_output=True,
+                          text=True, timeout=1200, **kw)
+
+
+@pytest.fixture(scope="module")
+def trained_exper(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exper"))
+    r = _run([sys.executable, "train_brain_aesr.py",
+              "-d", "MNIST3D", "-m", "ae_combined",
+              "--downsample_steps", "2", "-e", "2", "-b", "4",
+              "--width", "32", "--latent_width", "16", "--depth", "8",
+              "--latent", "8", "--lr", "0.001",
+              "--image_mix_loss_func", "mse",
+              "--epoch_threshold", "-1", "--use_synthetic_data",
+              "-o", out, "-id", "smoke"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    exper_dir = os.path.join(out, "smoke")
+    assert os.path.isfile(os.path.join(exper_dir, "settings.yaml"))
+    return exper_dir
+
+
+def test_train_cli_outputs(trained_exper):
+    models = os.listdir(os.path.join(trained_exper, "models"))
+    assert any(m.endswith(".models") for m in models)
+    assert os.path.isfile(os.path.join(trained_exper, "losses_train.npz"))
+    imgs = os.listdir(os.path.join(trained_exper, "log_images"))
+    assert any(i.endswith(".png") for i in imgs)
+
+
+def test_generate_hr_volumes_cli(trained_exper, tmp_path):
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import write_nifti, read_nifti
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    vol = make_toy_dataset(1, 32, 7, seed=3)[0]
+    write_nifti(os.path.join(in_dir, "pat.nii.gz"), vol.image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+
+    r = _run([sys.executable, "generate_hr_volumes.py",
+              "--exper_dir", trained_exper, "--model_nbr", "0",
+              "--data_input_dir", in_dir, "--output_dir", out_dir,
+              "--num_interpolations", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = [f for f in os.listdir(out_dir) if f.endswith(".nii.gz")]
+    assert len(outs) == 1
+    arr, spacing, _ = read_nifti(os.path.join(out_dir, outs[0]))
+    assert arr.shape[0] == (7 - 1) * 3 + 1          # 2 interp per gap
+    np.testing.assert_allclose(spacing[0], 2.0)     # 6mm / 3
+    # original slices kept verbatim (use_original=True path)
+    np.testing.assert_allclose(arr[::3], vol.image, atol=1e-6)
+
+
+def test_find_best_model_cli(trained_exper):
+    r = _run([sys.executable, "find_best_model.py",
+              "--exper_dir", trained_exper, "--use_synthetic_data",
+              "--downsample_steps", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "best per metric" in r.stdout
+
+
+def test_bench_json_contract():
+    r = _run([sys.executable, "bench.py"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    data = json.loads(line)
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in data
+    assert data["value"] > 0
