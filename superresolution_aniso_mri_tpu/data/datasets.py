@@ -238,3 +238,148 @@ def get_datasets(args: Dict) -> Tuple[List[Volume], List[Volume]]:
         return train, val
 
     raise ValueError(f"unknown dataset {dataset!r}")
+
+
+# ---------------------------------------------------------------------------
+# eval-only cardiac loaders (sunnybrook / ARVC) and dHCP preprocessing
+# ---------------------------------------------------------------------------
+
+SUNNYBROOK_SPACING = (8.0, 1.25, 1.25)
+
+
+def load_sunnybrook_volumes(src_path: Optional[str] = None,
+                            resample: bool = True,
+                            rescale: bool = True,
+                            limited_load: bool = False,
+                            file_suffix: str = "_ES.mhd") -> List[Volume]:
+    """Sunnybrook ED/ES short-axis MetaImage volumes (eval-only dataset;
+    reference: datasets/sunnybrook/dataset.py:10-60 — fixed 8x1.25x1.25mm
+    spacing, x-flip, optional 1.4mm in-plane resample + 1-99 rescale)."""
+    cfg = get_config("sunnybrook")
+    root = src_path or cfg.image_dir
+    files = sorted(glob.glob(os.path.join(os.path.expanduser(root),
+                                          "*" + file_suffix)))
+    if not files:
+        raise FileNotFoundError(f"no '*{file_suffix}' under {root}")
+    if limited_load:
+        files = files[:20]
+    volumes = []
+    for fname in files:
+        pid = os.path.basename(fname).replace(file_suffix, "")
+        for phase, path in (("ES", fname),
+                            ("ED", fname.replace("ES", "ED"))):
+            arr, _sp, _ = read_image(path)
+            arr = np.flip(arr.astype(np.float32), axis=2).copy()
+            spacing = np.asarray(SUNNYBROOK_SPACING, np.float64)
+            if resample and cfg.voxel_spacing_resample is not None:
+                arr = apply_2d_zoom_3d(arr, spacing[-2:],
+                                       cfg.voxel_spacing_resample)
+                spacing = np.array([spacing[0],
+                                    *cfg.voxel_spacing_resample], np.float64)
+            if rescale:
+                arr = rescale_intensities(arr, percs=(1, 99))
+            volumes.append(Volume(image=arr.astype(np.float32),
+                                  spacing=spacing,
+                                  patient_id=f"{pid}_{phase}"))
+    return volumes
+
+
+def load_arvc_volumes(split: str = "training", limited_load: bool = False,
+                      src_path: Optional[str] = None) -> List[Volume]:
+    """ARVC 4D cardiac pairs — same per-frame pipeline as ACDC
+    (reference: datasets/ARVC/dataset_sr.py, a subclass of the ACDC 4D
+    pairs dataset)."""
+    cfg = get_config("ARVC")
+    root = src_path or cfg.image_dir
+    return load_acdc_volumes(split=split, limited_load=limited_load,
+                             src_path=root)
+
+
+def create_dhcp_dataset(src_path: str, out_path: str,
+                        patch_size: int = 256,
+                        background_threshold: float = 0.05) -> List[str]:
+    """Crop raw dHCP volumes to the brain bounding box, zero the
+    background, pad to patch_size and save
+    (reference: datasets/dHCP/create_dataset.py:87-136 — the original
+    uses nilearn's background mask; here a percentile-threshold mask
+    (same outcome: brain bbox + zeroed background) since nilearn is not
+    available)."""
+    import scipy.ndimage as ndi
+
+    src_path = os.path.expanduser(src_path)
+    out_path = os.path.expanduser(out_path)
+    os.makedirs(out_path, exist_ok=True)
+    written = []
+    for path in _find_files(src_path, ".nii.gz"):
+        arr, spacing, _ = read_image(path)
+        arr = arr.astype(np.float32)
+        thr = background_threshold * np.percentile(arr, 99)
+        mask = ndi.binary_fill_holes(
+            ndi.binary_closing(arr > thr, iterations=2))
+        if not mask.any():
+            continue
+        nz = np.nonzero(mask)
+        sl = tuple(slice(int(a.min()), int(a.max()) + 1) for a in nz)
+        cropped = np.where(mask[sl], arr[sl], 0.0).astype(np.float32)
+        from .transforms import pad_to_size
+        cropped = pad_to_size(cropped, patch_size)
+        pid = _patient_id_from_file("dHCP", path)
+        out = os.path.join(out_path, f"{pid}.nii.gz")
+        write_image(out, cropped, spacing=spacing)
+        written.append(out)
+    return written
+
+
+def create_split_file(out_path: str, patid_list: Sequence[str],
+                      num_split=(200, 20, 20), seed: int = 1234) -> str:
+    """Persist a training/validation/test patient split as yaml
+    (reference: dHCP/create_dataset.py:139-166)."""
+    rs = np.random.RandomState(seed)
+    ids = list(patid_list)
+    rs.shuffle(ids)
+    n_tr, n_te, n_va = num_split
+    split = {
+        "training": ids[:n_tr],
+        "test": ids[n_tr:n_tr + n_te],
+        "validation": ids[n_tr + n_te:n_tr + n_te + n_va],
+    }
+    fname = os.path.join(os.path.expanduser(out_path), "train_test_split.yaml")
+    with open(fname, "w") as fp:
+        yaml.safe_dump(split, fp)
+    return fname
+
+
+def load_acdc_labeled_volumes(split: str = "training",
+                              limited_load: bool = False,
+                              src_path: Optional[str] = None) -> List[Volume]:
+    """ACDC ED/ES frames with segmentation labels for the ACDCLBL
+    multi-channel model (reference: datasets/ACDC/data_with_labels.py:14-276
+    — 2-channel (image+label) volumes). Expects per-patient
+    'patientXXX_frameYY.nii.gz' + '_gt' label files."""
+    cfg = get_config("ACDCLBL")
+    root = src_path or cfg.image_dir
+    img_files = [f for f in _find_files(root, ".nii.gz")
+                 if "_gt" not in f and "frame" in os.path.basename(f)]
+    if not img_files:
+        raise FileNotFoundError(f"no labeled ACDC frames under {root}")
+    pids = [_patient_id_from_file("ACDC", f).split("_")[0]
+            for f in img_files]
+    splits = _split_patients(pids, cfg.split_file)
+    wanted = set(splits.get(split, []))
+    sel = [(p, f) for p, f in zip(pids, img_files) if p in wanted]
+    if limited_load:
+        sel = sel[:cfg.limited_load_max]
+    volumes = []
+    for pid, path in sel:
+        arr, spacing, _ = read_image(path)
+        arr = rescale_intensities(arr.astype(np.float32), percs=(1, 99))
+        gt_path = path.replace(".nii.gz", "_gt.nii.gz")
+        labels = None
+        if os.path.isfile(gt_path):
+            lbl, _, _ = read_image(gt_path)
+            labels = lbl.astype(np.int32)
+        volumes.append(Volume(
+            image=arr, spacing=np.asarray(spacing),
+            patient_id=os.path.basename(path).replace(".nii.gz", ""),
+            labels=labels))
+    return volumes

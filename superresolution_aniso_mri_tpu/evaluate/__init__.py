@@ -9,6 +9,16 @@ from .quantitative_comparison import (
 )
 from .ppl import compute_ppl
 from .reconstruction import evaluate_model_reconstruction
+from . import seg_metrics
+from .clinical import (
+    volumes_over_time, compute_phase_volumes, peak_rates,
+    exchange_base_apex, bland_altman_arrays, structure_volume,
+)
+from .sax_to_lax import (
+    resample_sax_to_lax, make_transform, make_identity_grid,
+    make_lax_identity_grid, grid_sample_3d,
+)
+from .combine_ae_caisr import combine_volumes, create_combined_images
 
 __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
@@ -16,5 +26,10 @@ __all__ = [
     "list_epoch_checkpoints", "evaluate_image", "generate_val_volume_grids",
     "compare_quantitative", "load_results", "format_latex_string",
     "generate_synth_slices_mask", "compute_ppl",
-    "evaluate_model_reconstruction",
+    "evaluate_model_reconstruction", "seg_metrics",
+    "volumes_over_time", "compute_phase_volumes", "peak_rates",
+    "exchange_base_apex", "bland_altman_arrays", "structure_volume",
+    "resample_sax_to_lax", "make_transform", "make_identity_grid",
+    "make_lax_identity_grid", "grid_sample_3d", "combine_volumes",
+    "create_combined_images",
 ]

@@ -44,6 +44,10 @@ FAMILY_OF_MODEL = {
     "acai": "acai", "acai_combined": "acai",
     "multichannel": "multichannel",
     "multichannel_combined": "multichannel_combined",
+    "alpha": "alpha",
+    "alpha_end_to_end": "alpha",
+    "alpha_only": "alpha",
+    "alpha_combined": "alpha",
 }
 
 
@@ -66,6 +70,11 @@ class LossConfig:
     # multichannel
     nclasses: int = 4
     dice_weight: float = 0.1
+    # alpha probes: coefficient count & scheme
+    # (reference: base_alpha_trainer.py:141-154 _determine_num_alphas;
+    #  schemes at base_alpha_trainer.py:98-126)
+    num_alphas: int = 32
+    latent: int = 16
 
     @property
     def family(self) -> str:
@@ -335,6 +344,125 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
     return total, (new_bs, metrics, aux)
 
 
+def alpha_mix(alpha: Array, z1: Array, z3: Array, num_alphas: int,
+              latent: int) -> Array:
+    """Apply a predicted-coefficient mixing scheme
+    (reference: base_alpha_trainer.py:98-126 synthesize_batch_images).
+
+    num_alphas: 2 → scalar pair; ``latent`` (per-channel convex);
+    2*latent (two independent halves); latent_width² (spatial map).
+    """
+    b = z1.shape[0]
+    if num_alphas == 2:
+        return (alpha[:, 0, None, None, None] * z1
+                + alpha[:, 1, None, None, None] * z3)
+    if num_alphas == latent:
+        a = alpha[:, None, None, :]
+        return a * z1 + (1.0 - a) * z3
+    if num_alphas == 2 * latent:
+        a1 = alpha[:, None, None, :latent]
+        a3 = alpha[:, None, None, latent:]
+        return a1 * z1 + a3 * z3
+    # spatial map: [B, lw*lw] → [B, lw, lw, 1]
+    lw = z1.shape[1]
+    a = alpha.reshape(b, lw, lw, 1)
+    return a * z1 + (1.0 - a) * z3
+
+
+def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
+                  mix_weight):
+    """Alpha-probe families (reference: kwatsch/alpha/*):
+      * 'alpha'           — AlphaTrainer: probe input + decode + latent
+        encodes all detached; probe learns via latent MSE, AE via recon.
+      * 'alpha_end_to_end'— no detaching, full joint gradients.
+      * 'alpha_only'      — frozen AE, probe-only loss (no recon term).
+      * 'alpha_combined'  — end-to-end + separate mix decoder.
+    ``mix_weight`` is unused (the reference weights image/latent 0.5/0.5,
+    base_alpha_trainer.py:14-28).
+    """
+    variant = cfg.model
+    ae, probe = models["ae"], models["probe"]
+    dec_mix = models.get("decoder_mix")
+    x = batch["image"]
+    between = batch["slice_between"]
+    mask = batch.get("loss_mask")
+    b = x.shape[0] // 2
+    feats = batch.get("alpha_features")
+    if feats is None:
+        feats = jnp.zeros((b, 5), jnp.float32)
+
+    def fwd(mdl, inp):
+        z = mdl.encode(inp, train=True)
+        return z, mdl.decode(z, train=True)
+
+    (z, out), new_bs_ae = _apply(ae, params["ae"], batch_stats["ae"], fwd, x,
+                                 train=True)
+    if variant == "alpha_only":
+        z = jax.lax.stop_gradient(z)
+        out = jax.lax.stop_gradient(out)
+
+    z1, z3 = z[:b], z[b:]
+    z_cat = jnp.concatenate([z1, z3], axis=-1)
+    if variant in ("alpha", "alpha_only"):
+        z_cat = jax.lax.stop_gradient(z_cat)
+    alpha, new_bs_probe = _apply(
+        probe, params["probe"], batch_stats["probe"],
+        lambda mdl, zz, ff: mdl(zz, ff, train=True), z_cat, feats,
+        train=True)
+    z_mix = alpha_mix(alpha, z1, z3, cfg.num_alphas, cfg.latent)
+
+    if variant == "alpha_combined" and dec_mix is not None:
+        s_mix, _ = _apply(dec_mix, params["decoder_mix"],
+                          batch_stats.get("decoder_mix", {}),
+                          lambda mdl, zz: mdl(zz, train=True),
+                          z_mix, train=True)
+    else:
+        s_mix, _ = _apply(ae, params["ae"], new_bs_ae,
+                          lambda mdl, zz: mdl.decode(zz, train=True),
+                          z_mix, train=True)
+        if variant in ("alpha", "alpha_only"):
+            # reference decodes under no_grad (base_alpha_trainer.py:118-121)
+            s_mix = jax.lax.stop_gradient(s_mix)
+
+    z_ref, _ = _apply(ae, params["ae"], new_bs_ae,
+                      lambda mdl, img: mdl.encode(img, train=True),
+                      between, train=True)
+    z_syn, _ = _apply(ae, params["ae"], new_bs_ae,
+                      lambda mdl, img: mdl.encode(img, train=True),
+                      s_mix, train=True)
+    if variant in ("alpha", "alpha_only"):
+        z_ref = jax.lax.stop_gradient(z_ref)
+        z_syn = jax.lax.stop_gradient(z_syn)
+
+    loss_img = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+    l_lat1 = mse(z_ref, z_mix)
+    l_lat2 = mse(z_ref, z_syn)
+    loss_extra = 0.5 * loss_img + 0.5 * (l_lat1 + l_lat2)
+
+    metrics = {
+        "loss_latent_1": jax.lax.stop_gradient(l_lat1),
+        "loss_latent_2": jax.lax.stop_gradient(l_lat2),
+        "loss_ae_dist_extra": jax.lax.stop_gradient(loss_img),
+        "loss_ae_extra": jax.lax.stop_gradient(loss_extra),
+        "pred_alpha_mean": jax.lax.stop_gradient(jnp.mean(alpha)),
+    }
+    if variant == "alpha_only":
+        total = loss_extra
+        metrics["loss_ae_dist"] = jax.lax.stop_gradient(mse(out, x))
+    else:
+        loss_ae, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
+        total = loss_ae + loss_extra
+        metrics["loss_ae_dist"] = loss_dist
+        metrics["loss_laploss"] = loss_lap
+    metrics["loss_ae"] = total
+    new_bs = dict(batch_stats)
+    new_bs["ae"] = new_bs_ae
+    new_bs["probe"] = new_bs_probe
+    aux = {"reconstruction": out, "slice_inbetween_mix": s_mix,
+           "z_mix": z_mix, "pred_alphas": alpha}
+    return total, (new_bs, metrics, aux)
+
+
 # ---------------------------------------------------------------------------
 # step builders
 # ---------------------------------------------------------------------------
@@ -363,6 +491,9 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
         if family in ("multichannel", "multichannel_combined"):
             return _multichannel_losses(model, cfg, lpips_params, params,
                                         batch_stats, batch, mix_weight)
+        if family == "alpha":
+            return _alpha_losses(model, cfg, lpips_params, params,
+                                 batch_stats, batch, mix_weight)
         raise ValueError(f"unknown family {family}")
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
@@ -404,7 +535,7 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             (z, recon), _ = _apply(model, params, batch_stats, fwd, x,
                                    train=False)
             target = x
-        elif family == "acai":
+        elif family in ("acai", "alpha"):
             ae = model["ae"]
             def fwd(mdl, inp):
                 z = mdl.encode(inp, train=False)
@@ -429,7 +560,7 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
                                                   target)
 
         z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
-        if family == "acai":
+        if family in ("acai", "alpha"):
             s_mix, _ = _apply(model["ae"], params["ae"], batch_stats["ae"],
                               lambda mdl, zz: mdl.decode(zz, train=False),
                               z_mix, train=False)

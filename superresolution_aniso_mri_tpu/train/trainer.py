@@ -33,11 +33,40 @@ from .state import SRTrainState, create_train_state, make_optimizer
 from .steps import FAMILY_OF_MODEL, LossConfig, make_eval_step, make_train_step
 
 
+def alpha_num_coefficients(alpha_class: str, latent: int,
+                           latent_width: int) -> int:
+    """Probe class → coefficient count
+    (reference: base_alpha_trainer.py:141-154; ExBN mapped to its actual
+    2*latent output — the reference mapping would crash on it)."""
+    if alpha_class in ("AlphaProbe", "AlphaProbev2"):
+        return 2
+    if alpha_class == "AlphaProbe16Convex":
+        return latent
+    if alpha_class in ("AlphaProbe16v1", "AlphaProbe16v2",
+                       "AlphaProbe16ExBN"):
+        return 2 * latent
+    if alpha_class.startswith("AlphaProbe256"):
+        return latent_width * latent_width
+    raise ValueError(f"unknown alpha_class {alpha_class!r}")
+
+
 def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
     model_name = args["model"]
-    if args.get("dataset") == "ACDCLBL":
+    if args.get("dataset") == "ACDCLBL" and not model_name.startswith("alpha"):
         model_name = ("multichannel_combined" if "combined" in model_name
                       else "multichannel")
+    if model_name.startswith("alpha"):
+        return LossConfig(
+            model=model_name,
+            recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
+            use_laploss=bool(args.get("use_laploss", False)),
+            image_mix_loss_func=args.get("alpha_loss_func") or "mse",
+            use_masks=bool(args.get("get_masks", False)),
+            num_alphas=alpha_num_coefficients(
+                args.get("alpha_class") or "AlphaProbe16v1",
+                int(args["latent"]), int(args["latent_width"])),
+            latent=int(args["latent"]),
+        )
     return LossConfig(
         model=model_name,
         recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
@@ -106,6 +135,40 @@ class Trainer:
                            "disc": v_disc.get("batch_stats", {})}
             tx = make_optimizer(float(self.args["lr"]),
                                 float(self.args.get("weight_decay", 0.0)),
+                                float(self.args.get("momentum", 0.9)),
+                                cosine_steps)
+            self.state = SRTrainState.create(
+                apply_fn=ae.apply, params=params, tx=tx,
+                batch_stats=batch_stats)
+        elif self.family == "alpha":
+            # AE + probe (+ separate mix decoder for alpha_combined),
+            # one Adam over all groups with weight_decay=0
+            # (reference: alpha/trainer_alpha.py:24-28,
+            #  alpha/alpha_combined.py:20-23)
+            from ..models import AlphaDecoder, make_alpha_probe
+
+            probe = make_alpha_probe(
+                self.args.get("alpha_class") or "AlphaProbe16v1",
+                self.model_config, additional_dims=5,
+                use_batchnorm=bool(self.args.get("use_batchnorm_probe",
+                                                 False)))
+            self.model = {"ae": ae, "probe": probe}
+            k1, k2, k3 = jax.random.split(init_rng, 3)
+            v_ae = ae.init(k1, sample, train=False)
+            lw = self.model_config.latent_width
+            z_cat = jnp.zeros((2, lw, lw, 2 * self.model_config.latent))
+            v_probe = probe.init(k2, z_cat, jnp.zeros((2, 5)))
+            params = {"ae": v_ae["params"], "probe": v_probe["params"]}
+            batch_stats = {"ae": v_ae.get("batch_stats", {}),
+                           "probe": v_probe.get("batch_stats", {})}
+            if self.args["model"] == "alpha_combined":
+                dec_mix = AlphaDecoder(self.model_config)
+                z_sample = jnp.zeros((2, lw, lw, self.model_config.latent))
+                v_dm = dec_mix.init(k3, z_sample, train=False)
+                self.model["decoder_mix"] = dec_mix
+                params["decoder_mix"] = v_dm["params"]
+                batch_stats["decoder_mix"] = v_dm.get("batch_stats", {})
+            tx = make_optimizer(float(self.args["lr"]), 0.0,
                                 float(self.args.get("momentum", 0.9)),
                                 cosine_steps)
             self.state = SRTrainState.create(
@@ -214,10 +277,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _ae_model(self):
-        return self.model["ae"] if self.family == "acai" else self.model
+        return self.model["ae"] if isinstance(self.model, dict) else self.model
 
     def _ae_params(self):
-        if self.family == "acai":
+        if isinstance(self.model, dict):
             return self.state.params["ae"], self.state.batch_stats["ae"]
         return self.state.params, self.state.batch_stats
 
