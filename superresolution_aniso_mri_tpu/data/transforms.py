@@ -122,6 +122,50 @@ def _rotate_any_one(key: Array, img: Array, max_degree: int) -> Array:
     return top * (1 - dy) + bot * dy
 
 
+def _noise_one(key: Array, img: Array, sigma_max: float = 0.05) -> Array:
+    """Additive gaussian noise with random sigma, clipped back to [0,1]
+    (reference: datasets/ACDC/acdc_transforms.py noise transform)."""
+    ks, kn = jax.random.split(key)
+    sigma = jax.random.uniform(ks, (), minval=0.0, maxval=sigma_max)
+    noise = sigma * jax.random.normal(kn, img.shape, img.dtype)
+    return jnp.clip(img + noise, 0.0, 1.0)
+
+
+def _blur_one(key: Array, img: Array) -> Array:
+    """Random light gaussian blur via a fixed 3x3 binomial kernel applied
+    with probability 1/2 (reference: acdc_transforms.py blur transform)."""
+    k = jnp.asarray([0.25, 0.5, 0.25], img.dtype)
+    x = img[None]
+    kh = k.reshape(3, 1, 1, 1)
+    kw = k.reshape(1, 3, 1, 1)
+    c = img.shape[-1]
+    kh = jnp.tile(kh, (1, 1, 1, c)) if c > 1 else kh
+    kw = jnp.tile(kw, (1, 1, 1, c)) if c > 1 else kw
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 1, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 3, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    blurred = x[0]
+    do = jax.random.bernoulli(key, 0.5)
+    return jnp.where(do, blurred, img)
+
+
+def _mirror_one(key: Array, img: Array) -> Array:
+    """Random horizontal/vertical flips
+    (reference: acdc_transforms.py mirroring)."""
+    kh, kv = jax.random.split(key)
+    img = jnp.where(jax.random.bernoulli(kh), img[:, ::-1, :], img)
+    img = jnp.where(jax.random.bernoulli(kv), img[::-1, :, :], img)
+    return img
+
+
 # ---------------------------------------------------------------------------
 # composed pipeline
 # ---------------------------------------------------------------------------
@@ -138,6 +182,9 @@ class AugmentConfig:
     intensity: bool = True
     rotate_any: bool = False
     max_degree: int = 45
+    noise: bool = False
+    blur: bool = False
+    mirror: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -148,7 +195,7 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     if cfg.aug_patch_size is not None and cfg.aug_patch_size < x.shape[1]:
         x = center_crop(x, cfg.aug_patch_size)
 
-    keys = jax.random.split(key, 4 * b).reshape(4, b, 2)
+    keys = jax.random.split(key, 7 * b).reshape(7, b, 2)
     if cfg.random_crop and x.shape[1] > cfg.patch_size:
         x = jax.vmap(lambda k, i: _random_crop_one(k, i, cfg.patch_size))(
             keys[0], x)
@@ -159,8 +206,14 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
             keys[3], x)
     if cfg.rot90:
         x = jax.vmap(_rot90_one)(keys[1], x)
+    if cfg.mirror:
+        x = jax.vmap(_mirror_one)(keys[4], x)
+    if cfg.blur:
+        x = jax.vmap(_blur_one)(keys[5], x)
     if cfg.intensity:
         x = jax.vmap(_intensity_one)(keys[2], x)
+    if cfg.noise:
+        x = jax.vmap(_noise_one)(keys[6], x)
     return x
 
 

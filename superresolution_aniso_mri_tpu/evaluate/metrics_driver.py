@@ -11,8 +11,9 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import (lpips_distance, masked_mean, psnr_volume, ssim_volume,
+from ..ops import (lpips_distance, masked_mean, psnr_volume,
                    synth_slice_mask, vif_volume)
+from ..ops.pallas_kernels import ssim_volume_fused
 
 
 def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
@@ -52,7 +53,7 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
 
     ref_j = jnp.asarray(ref)
     up_j = jnp.asarray(up)
-    ssim_s = ssim_volume(ref_j, up_j, data_range)
+    ssim_s = ssim_volume_fused(ref_j, up_j, data_range)  # pallas on TPU
     psnr_s = psnr_volume(ref_j, up_j, data_range)
     vif_s = vif_volume(ref_j, up_j)
 

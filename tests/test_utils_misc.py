@@ -1,0 +1,74 @@
+"""Tests for misc utils (mosaic/pixelate), extra augmentations, the
+pallas SSIM kernel (interpret mode) and loss-curve plotting."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from superresolution_aniso_mri_tpu.utils.image_misc import (
+    make_mosaic, unmake_mosaic, pixelate, find_rectangle,
+)
+from superresolution_aniso_mri_tpu.data.transforms import (
+    AugmentConfig, augment_batch,
+)
+from superresolution_aniso_mri_tpu.ops.pallas_kernels import (
+    ssim_volume_pallas, ssim_volume_fused,
+)
+from superresolution_aniso_mri_tpu.ops.metrics import ssim_volume
+from superresolution_aniso_mri_tpu.utils.loss_curves import show_loss_curves
+
+
+def test_mosaic_roundtrip():
+    imgs = np.random.RandomState(0).rand(6, 8, 8).astype(np.float32)
+    m = make_mosaic(imgs)
+    assert m.shape == (2 * 8, 3 * 8)
+    back = unmake_mosaic(m, 8, 8)
+    np.testing.assert_allclose(back[:6], imgs)
+    assert find_rectangle(10) == (3, 4)
+
+
+def test_pixelate():
+    img = np.arange(64, dtype=np.float32).reshape(8, 8)
+    out = pixelate(img, block=4)
+    assert out.shape == img.shape
+    # each 4x4 block is constant at its mean
+    assert np.allclose(out[:4, :4], img[:4, :4].mean())
+
+
+def test_extra_augmentations():
+    rng = np.random.RandomState(0)
+    triplet = jnp.asarray(rng.rand(3, 16, 16, 3), jnp.float32)
+    cfg = AugmentConfig(patch_size=16, random_crop=False, rot90=False,
+                        intensity=False, noise=True, blur=True, mirror=True)
+    out = augment_batch(jax.random.PRNGKey(0), triplet, cfg)
+    assert out.shape == triplet.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    out2 = augment_batch(jax.random.PRNGKey(0), triplet, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_pallas_ssim_matches_xla_interpret():
+    rng = np.random.RandomState(1)
+    import scipy.ndimage
+    a = scipy.ndimage.gaussian_filter(rng.rand(3, 40, 40), 1.5)
+    a = ((a - a.min()) / (a.max() - a.min())).astype(np.float32)
+    b = np.clip(a + 0.02 * rng.rand(3, 40, 40).astype(np.float32), 0, 1)
+    got = np.asarray(ssim_volume_pallas(jnp.asarray(a), jnp.asarray(b),
+                                        interpret=True))
+    expect = np.asarray(ssim_volume(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # fused dispatcher falls back to XLA on CPU
+    got2 = np.asarray(ssim_volume_fused(a, b))
+    np.testing.assert_allclose(got2, expect, atol=1e-6)
+
+
+def test_loss_curve_plot(tmp_path):
+    iters = np.arange(10)
+    tr = {"loss_ae_dist": np.linspace(1, 0.1, 10),
+          "loss_ae_dist_extra": np.linspace(0.5, 0.05, 10),
+          "loss_latent_1": np.linspace(0.2, 0.02, 10)}
+    te = {k: v * 1.1 for k, v in tr.items()}
+    out = str(tmp_path / "curves.png")
+    show_loss_curves(iters, tr, te, save_path=out)
+    assert os.path.isfile(out)
