@@ -19,6 +19,15 @@ from .sax_to_lax import (
     make_lax_identity_grid, grid_sample_3d,
 )
 from .combine_ae_caisr import combine_volumes, create_combined_images
+from .drivers import (
+    evaluate_interpolation_performance,
+    test_interpolation_with_rigid_transformations,
+    create_brain_volumes, create_cardiac_volumes,
+)
+from .model_registry import (
+    CARDIAC_MODEL_SPECS, BRAIN_MODEL_SPECS, load_model_specs,
+    register_model, get_trainer_for_spec,
+)
 
 __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
@@ -31,5 +40,9 @@ __all__ = [
     "exchange_base_apex", "bland_altman_arrays", "structure_volume",
     "resample_sax_to_lax", "make_transform", "make_identity_grid",
     "make_lax_identity_grid", "grid_sample_3d", "combine_volumes",
-    "create_combined_images",
+    "create_combined_images", "evaluate_interpolation_performance",
+    "test_interpolation_with_rigid_transformations",
+    "create_brain_volumes", "create_cardiac_volumes",
+    "CARDIAC_MODEL_SPECS", "BRAIN_MODEL_SPECS", "load_model_specs",
+    "register_model", "get_trainer_for_spec",
 ]

@@ -1,0 +1,93 @@
+"""Dataset-level eval drivers (brain / cardiac) + interp-performance
+wrappers.
+
+Reference: evaluate/brain/evaluate_model.py:14-170 (create_brain_volumes
++ conventional variant), evaluate/cardiac/evaluate_model.py:14-120,
+evaluate/evaluate_interpolations.py:9-63 (evaluate_interpolation_performance,
+test_interpolation_with_rigid_transformations).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+import scipy.ndimage
+
+from ..data import Volume
+from .create_hr_images import create_hr_images
+
+
+def evaluate_interpolation_performance(trainer, volumes: Iterable[Volume],
+                                       downsample_steps: int,
+                                       **kwargs) -> Dict:
+    """Thin wrapper used by the best-model sweep
+    (reference: evaluate_interpolations.py:42-63)."""
+    return create_hr_images(trainer, volumes, downsample_steps,
+                            save_volumes=False, **kwargs)
+
+
+def test_interpolation_with_rigid_transformations(
+        trainer, volume: Volume, downsample_steps: int,
+        angles=(0, 5, 10, 15, 20)) -> Dict[int, Dict]:
+    """Rotate the volume in-plane by each angle, evaluate, report the
+    metric sensitivity (reference: evaluate_interpolations.py:9-39)."""
+    results = {}
+    for angle in angles:
+        img = volume.image
+        if angle:
+            img = np.stack([
+                scipy.ndimage.rotate(img[s], angle, reshape=False,
+                                     order=1, mode="constant")
+                for s in range(img.shape[0])
+            ]).astype(np.float32)
+            img = np.clip(img, 0.0, 1.0)
+        vol = Volume(image=img, spacing=volume.spacing,
+                     patient_id=f"{volume.patient_id}_rot{angle}")
+        res = create_hr_images(trainer, [vol], downsample_steps,
+                               save_volumes=False)
+        results[angle] = res["aggregate"]
+    return results
+
+
+def create_brain_volumes(trainer, dataset: str, downsample_steps: int,
+                         split: str = "test",
+                         output_dir: Optional[str] = None,
+                         limited_load: bool = False,
+                         save_volumes: bool = True,
+                         interpol_method: str = "model",
+                         **kwargs) -> Dict:
+    """Brain SR volume generation + scoring
+    (reference: evaluate/brain/evaluate_model.py:58-170)."""
+    from ..data.datasets import get_datasets, load_brain_volumes
+
+    if dataset in ("MNIST3D", "MNISTRoto"):
+        _train, volumes = get_datasets({
+            "dataset": dataset, "downsample_steps": downsample_steps,
+            "use_synthetic_data": True, "limited_load": limited_load,
+            "width": kwargs.pop("width", 64), "seed": 0})
+    else:
+        volumes = load_brain_volumes(dataset, downsample_steps, split,
+                                     limited_load=limited_load,
+                                     include_hr_images=True)
+    return create_hr_images(trainer, volumes, downsample_steps,
+                            output_dir=output_dir,
+                            interpol_method=interpol_method,
+                            save_volumes=save_volumes, **kwargs)
+
+
+def create_cardiac_volumes(trainer, downsample_steps: int,
+                           split: str = "test",
+                           output_dir: Optional[str] = None,
+                           limited_load: bool = False,
+                           save_volumes: bool = True,
+                           interpol_method: str = "model",
+                           **kwargs) -> Dict:
+    """Cardiac (ACDC) SR volume generation + scoring
+    (reference: evaluate/cardiac/evaluate_model.py:14-120)."""
+    from ..data.datasets import load_acdc_volumes
+
+    volumes = load_acdc_volumes(split, limited_load=limited_load)
+    return create_hr_images(trainer, volumes, downsample_steps,
+                            output_dir=output_dir,
+                            interpol_method=interpol_method,
+                            save_volumes=save_volumes, **kwargs)

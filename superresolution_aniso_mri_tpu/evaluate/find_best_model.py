@@ -47,8 +47,11 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
         raise ValueError(f"no epoch checkpoints in {exper_dir}/models")
 
     history: Dict[str, List[float]] = {k: [] for k in METRICS_TRACKED}
+    # build (and compile) the trainer once; swap checkpoints in-place —
+    # the reference re-instantiates per epoch (find_best_model.py:68-69)
+    trainer = get_trainer(exper_dir, model_nbr=None, eval_mode=True)
     for epoch in epoch_range:
-        trainer = get_trainer(exper_dir, model_nbr=epoch, eval_mode=True)
+        trainer.load(os.path.join(exper_dir, "models", f"{epoch}.models"))
         res = create_hr_images(trainer, volumes, downsample_steps,
                                save_volumes=False)
         for k in METRICS_TRACKED:
