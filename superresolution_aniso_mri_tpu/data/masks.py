@@ -1,0 +1,42 @@
+"""Loss-mask generation from cardiac segmentations.
+
+Reference: datasets/ACDC/data4d_simple.py:454-502 get_4d_acdc_masks —
+dilated binary masks of the RV/MYO/LV structures used as elementwise
+loss masks (``--get_masks`` training path).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.ndimage
+
+
+def make_loss_mask(labels: np.ndarray, dilation_iters: int = 8,
+                   include_labels=(1, 2, 3)) -> np.ndarray:
+    """Binary foreground mask dilated by ``dilation_iters`` voxels.
+
+    ``labels``: integer map [..., H, W] (ACDC: 1=RV, 2=MYO, 3=LV).
+    Returns float32 mask of the same shape (2-D dilation per slice).
+    """
+    fg = np.isin(labels, include_labels)
+    if fg.ndim == 2:
+        mask = scipy.ndimage.binary_dilation(fg, iterations=dilation_iters)
+        return mask.astype(np.float32)
+    out = np.zeros_like(fg, dtype=np.float32)
+    flat = fg.reshape(-1, fg.shape[-2], fg.shape[-1])
+    out_flat = out.reshape(flat.shape)
+    for i in range(flat.shape[0]):
+        if flat[i].any():
+            out_flat[i] = scipy.ndimage.binary_dilation(
+                flat[i], iterations=dilation_iters)
+    return out
+
+
+def masks_for_volume(labels3d: np.ndarray, dilation_iters: int = 8
+                     ) -> np.ndarray:
+    """Per-slice loss masks for a [S, H, W] label volume; slices without
+    any structure get an all-ones mask (no loss suppression), matching
+    the reference's behaviour for unlabeled slices."""
+    masks = make_loss_mask(labels3d, dilation_iters)
+    empty = ~labels3d.reshape(labels3d.shape[0], -1).any(axis=1)
+    masks[empty] = 1.0
+    return masks

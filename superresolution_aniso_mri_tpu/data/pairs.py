@@ -49,6 +49,10 @@ class TripletSampler:
         hs = [v.image.shape[1] for v in self.volumes]
         ws = [v.image.shape[2] for v in self.volumes]
         self.pad_size = pad_size if pad_size is not None else max(max(hs), max(ws))
+        # pad every volume ONCE at construction — per-item padding was
+        # the sampler's hot spot (3 HxW copies per sample)
+        self._padded = [pad_to_size(v.image, self.pad_size)
+                        for v in self.volumes]
 
     def __len__(self) -> int:
         return len(self._idcs)
@@ -79,10 +83,8 @@ class TripletSampler:
             a_from, a_to = determine_interpol_coefficients(s_from, s_to, between)
         else:
             a_from, a_to = 0.5, 0.5
-        img = vol.image
+        img = self._padded[int(vi)]
         triplet = np.stack([img[s_from], img[s_to], img[between]], axis=-1)
-        triplet = pad_to_size(np.moveaxis(triplet, -1, 0), self.pad_size)
-        triplet = np.moveaxis(triplet, 0, -1)
         return {
             "triplet": triplet.astype(np.float32),       # [H, W, 3]
             "alpha_from": np.float32(a_from),

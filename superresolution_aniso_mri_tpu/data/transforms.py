@@ -122,6 +122,35 @@ def _rotate_any_one(key: Array, img: Array, max_degree: int) -> Array:
     return top * (1 - dy) + bot * dy
 
 
+def _elastic_one(key: Array, img: Array, alpha: float = 10.0,
+                 grid: int = 4) -> Array:
+    """Elastic deformation: a coarse random displacement field upsampled
+    to image resolution, applied with bilinear warping
+    (reference: shared_transforms.py SpatialTransformToHalfBatch:15-45,
+    which delegates to batchgenerators' elastic transform — same idea
+    expressed as one fused gather)."""
+    h, w, _ = img.shape
+    kx, ky = jax.random.split(key)
+    coarse = jax.random.normal(kx, (grid, grid, 2)) * alpha
+    field = jax.image.resize(coarse, (h, w, 2), method="bilinear")
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + field[..., 0]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + field[..., 1]
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    dy = (yy - y0)[..., None]
+    dx = (xx - x0)[..., None]
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return jnp.where(valid[..., None], img[yc, xc, :], 0.0)
+
+    top = gather(y0, x0) * (1 - dx) + gather(y0, x0 + 1) * dx
+    bot = gather(y0 + 1, x0) * (1 - dx) + gather(y0 + 1, x0 + 1) * dx
+    return top * (1 - dy) + bot * dy
+
+
 def _noise_one(key: Array, img: Array, sigma_max: float = 0.05) -> Array:
     """Additive gaussian noise with random sigma, clipped back to [0,1]
     (reference: datasets/ACDC/acdc_transforms.py noise transform)."""
@@ -185,6 +214,8 @@ class AugmentConfig:
     noise: bool = False
     blur: bool = False
     mirror: bool = False
+    elastic: bool = False
+    elastic_alpha: float = 10.0
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -195,7 +226,10 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     if cfg.aug_patch_size is not None and cfg.aug_patch_size < x.shape[1]:
         x = center_crop(x, cfg.aug_patch_size)
 
-    keys = jax.random.split(key, 7 * b).reshape(7, b, 2)
+    keys = jax.random.split(key, 8 * b).reshape(8, b, 2)
+    if cfg.elastic:
+        x = jax.vmap(lambda k, i: _elastic_one(k, i, cfg.elastic_alpha))(
+            keys[7], x)
     if cfg.random_crop and x.shape[1] > cfg.patch_size:
         x = jax.vmap(lambda k, i: _random_crop_one(k, i, cfg.patch_size))(
             keys[0], x)

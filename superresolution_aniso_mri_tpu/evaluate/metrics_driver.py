@@ -53,7 +53,10 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
 
     ref_j = jnp.asarray(ref)
     up_j = jnp.asarray(up)
-    ssim_s = ssim_volume_fused(ref_j, up_j, data_range)  # pallas on TPU
+    # long-axis views can be thinner than the 7x7 window → win 5
+    # (reference: metrics.py:146-152 win_size=5 fallback)
+    win = 7 if min(ref.shape[1], ref.shape[2]) >= 8 else 5
+    ssim_s = ssim_volume_fused(ref_j, up_j, data_range, win)  # pallas on TPU
     psnr_s = psnr_volume(ref_j, up_j, data_range)
     vif_s = vif_volume(ref_j, up_j)
 

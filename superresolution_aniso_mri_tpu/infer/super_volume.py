@@ -75,11 +75,13 @@ def interleave_volume(recon: Array, interp: Array) -> Array:
 
 def latent_space_interp(trainer, alpha: float, img1, img2):
     """Single-alpha pair interpolation (reference:
-    kwatsch/img_interpolation.py:58-92): returns
+    kwatsch/img_interpolation.py:58-92, which routes through the SR
+    model when one is loaded): returns
     decode(alpha * enc(img1) + (1-alpha) * enc(img2))."""
-    z1 = trainer.encode(img1)
-    z2 = trainer.encode(img2)
-    return trainer.decode(alpha * z1 + (1.0 - alpha) * z2)
+    z1 = trainer.encode(img1, use_sr_model=True)
+    z2 = trainer.encode(img2, use_sr_model=True)
+    return trainer.decode(alpha * z1 + (1.0 - alpha) * z2,
+                          use_sr_model=True)
 
 
 def create_super_volume(trainer, images, alpha_range=None,
@@ -112,10 +114,22 @@ def create_super_volume(trainer, images, alpha_range=None,
     kept = jnp.asarray(images)[..., None]   # [K, H, W, 1]
 
     synth = _get_synthesizer(trainer)
-    params, batch_stats = trainer._ae_params()
-    out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
-                use_original=use_original)
-    new_volume = interleave_volume(out["recon"], out["interp"])
+    params_sr = getattr(trainer, "params_sr", None)
+    if params_sr is not None:
+        # AE+CAISR combo: synthesis from the SR model, reconstructions
+        # from the primary model (reference: evaluate/common.py:182-205 —
+        # trainer.predict uses the AE, latent_space_interp passes
+        # use_sr_model=True)
+        p_sr, bs_sr = params_sr
+        out = synth(p_sr, bs_sr, kept, jnp.asarray(alpha_range),
+                    use_original=True)
+        recon = kept if use_original else trainer.predict(kept)
+        new_volume = interleave_volume(recon, out["interp"])
+    else:
+        params, batch_stats = trainer._ae_params()
+        out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
+                    use_original=use_original)
+        new_volume = interleave_volume(out["recon"], out["interp"])
     new_volume = np.asarray(new_volume)[..., 0]
 
     if generate_inbetween_slices and remain != 0:

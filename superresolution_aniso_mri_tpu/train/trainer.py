@@ -187,6 +187,10 @@ class Trainer:
                                         self.lpips_params)
         self._jit_encode = None
         self._jit_decode = None
+        # optional second "SR" model: AE reconstructions + CAISR synthesis
+        # combos (reference: kwatsch/get_trainer.py:88-181 model_nbr_sr,
+        # base_trainer.py:325-343 _use_sr_model)
+        self.params_sr = None
 
         # bookkeeping mirrors the reference's loss dicts
         self.losses = defaultdict(list)
@@ -252,13 +256,18 @@ class Trainer:
 
     def train(self, batch: Dict[str, Any], keep_predictions: bool = False):
         """One optimisation step on a device-ready batch
-        (image/slice_between/alpha_from/alpha_to [+loss_mask])."""
+        (image/slice_between/alpha_from/alpha_to [+loss_mask]).
+
+        Metrics are appended as DEVICE arrays — no host sync per step;
+        the flush (`show_loss_on_tensorboard`) converts lazily. Keeps the
+        loop async so the TPU never waits on Python bookkeeping.
+        """
         self._iters += 1
         self.state, metrics = self.train_step(
             self.state, batch, self._next_rng(),
             jnp.float32(self._mix_weight()))
         for k, v in metrics.items():
-            self.losses[k].append(float(v))
+            self.losses[k].append(v)
         return metrics
 
     def validate(self, batch: Dict[str, Any]):
@@ -284,7 +293,32 @@ class Trainer:
             return self.state.params["ae"], self.state.batch_stats["ae"]
         return self.state.params, self.state.batch_stats
 
-    def encode(self, x):
+    def load_caisr(self, fname: str) -> None:
+        """Load a second model's params for SR synthesis
+        (reference: base_trainer.py:358-367 load_caisr)."""
+        from .checkpoint import load_checkpoint_raw
+        from flax import serialization
+
+        raw = load_checkpoint_raw(fname)
+        p, bs = self._ae_params()
+        params_sr = serialization.from_state_dict(p, raw["model_dict_ae"])
+        bs_sr = serialization.from_state_dict(bs, raw.get("batch_stats", {}))
+        self.params_sr = (params_sr, bs_sr)
+
+    def _sr_params(self, use_sr_model: bool = False):
+        if use_sr_model and self.params_sr is not None:
+            return self.params_sr
+        return self._ae_params()
+
+    def encode(self, x, use_sr_model: bool = False):
+        p, bs = self._sr_params(use_sr_model)
+        return self._encode_fn()(p, bs, x)
+
+    def decode(self, z, use_sr_model: bool = False):
+        p, bs = self._sr_params(use_sr_model)
+        return self._decode_fn()(p, bs, z)
+
+    def _encode_fn(self):
         if self._jit_encode is None:
             mdl = self._ae_model()
 
@@ -300,10 +334,9 @@ class Trainer:
                 return mdl.apply(variables, inp, method=mdl.encode)
 
             self._jit_encode = enc
-        p, bs = self._ae_params()
-        return self._jit_encode(p, bs, x)
+        return self._jit_encode
 
-    def decode(self, z):
+    def _decode_fn(self):
         if self._jit_decode is None:
             mdl = self._ae_model()
 
@@ -315,11 +348,10 @@ class Trainer:
                 return mdl.apply(variables, zz, method=mdl.decode)
 
             self._jit_decode = dec
-        p, bs = self._ae_params()
-        return self._jit_decode(p, bs, z)
+        return self._jit_decode
 
-    def predict(self, x):
-        return self.decode(self.encode(x))
+    def predict(self, x, use_sr_model: bool = False):
+        return self.decode(self.encode(x, use_sr_model), use_sr_model)
 
     # ------------------------------------------------------------------
     # checkpoints / losses (on-disk contract)
@@ -356,7 +388,8 @@ class Trainer:
         for key, values in loss_dict.items():
             if not values:
                 continue
-            mean_value = float(np.mean(values))
+            # single host sync per flush (values may be device scalars)
+            mean_value = float(np.mean([float(v) for v in values]))
             mean_losses[key].append(mean_value)
             if self.tb_writer is not None:
                 self.tb_writer.add_scalar(f"{key}/{eval_type}", mean_value,

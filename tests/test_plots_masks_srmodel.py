@@ -1,0 +1,114 @@
+"""Tests: plotting API, loss masks, elastic aug, AE+CAISR second model."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from superresolution_aniso_mri_tpu.data.masks import (
+    make_loss_mask, masks_for_volume,
+)
+from superresolution_aniso_mri_tpu.data.transforms import (
+    AugmentConfig, augment_batch,
+)
+from superresolution_aniso_mri_tpu.evaluate.plots import (
+    metric_boxplots, qualitative_comparison_figure, long_axis_strip,
+    bland_altman_plot,
+)
+from superresolution_aniso_mri_tpu.data import make_toy_dataset
+from superresolution_aniso_mri_tpu.infer import create_super_volume
+from superresolution_aniso_mri_tpu.train import Trainer
+
+
+def test_loss_masks():
+    lbl = np.zeros((16, 16), np.int32)
+    lbl[6:10, 6:10] = 2
+    m = make_loss_mask(lbl, dilation_iters=2)
+    assert m.shape == lbl.shape
+    assert m.sum() > 16
+    vol = np.zeros((3, 16, 16), np.int32)
+    vol[1, 6:10, 6:10] = 3
+    mv = masks_for_volume(vol, 2)
+    assert mv[0].all() and mv[2].all()      # empty slices → ones
+    assert 16 < mv[1].sum() < 256
+
+
+def test_elastic_augmentation():
+    rng = np.random.RandomState(0)
+    triplet = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    cfg = AugmentConfig(patch_size=32, random_crop=False, rot90=False,
+                        intensity=False, elastic=True, elastic_alpha=3.0)
+    out = augment_batch(jax.random.PRNGKey(0), triplet, cfg)
+    assert out.shape == triplet.shape
+    # deformation changes the image but geometric consistency holds
+    assert not np.allclose(np.asarray(out), np.asarray(triplet))
+    same = jnp.asarray(np.repeat(rng.rand(2, 32, 32, 1), 3, -1))
+    outc = np.asarray(augment_batch(jax.random.PRNGKey(1), same, cfg))
+    np.testing.assert_allclose(outc[..., 0], outc[..., 2], atol=1e-6)
+
+
+def test_plots(tmp_path):
+    rng = np.random.RandomState(0)
+    res = {"model": {"ssim_synth": rng.rand(5) * 0.1 + 0.9,
+                     "psnr_synth": rng.rand(5) + 30,
+                     "vif_synth": rng.rand(5) * 0.1 + 0.8},
+           "linear": {"ssim_synth": rng.rand(5) * 0.1 + 0.85,
+                      "psnr_synth": rng.rand(5) + 28,
+                      "vif_synth": rng.rand(5) * 0.1 + 0.75}}
+    p1 = str(tmp_path / "box.png")
+    metric_boxplots(res, save_path=p1)
+    assert os.path.isfile(p1)
+
+    vol = rng.rand(9, 16, 16).astype(np.float32)
+    p2 = str(tmp_path / "qual.png")
+    qualitative_comparison_figure(vol, {"m": vol}, save_path=p2)
+    assert os.path.isfile(p2)
+
+    p3 = str(tmp_path / "lax.png")
+    long_axis_strip(vol, save_path=p3)
+    assert os.path.isfile(p3)
+
+    p4 = str(tmp_path / "ba.png")
+    bland_altman_plot([50, 55, 60], [52, 54, 61], save_path=p4)
+    assert os.path.isfile(p4)
+
+
+def _toy_trainer(seed=0):
+    return Trainer({
+        "dataset": "MNIST3D", "model": "ae_combined",
+        "ae_class": "VanillaACAI", "width": 32, "latent_width": 16,
+        "depth": 8, "latent": 8, "colors": 1, "lr": 1e-3,
+        "weight_decay": 0.0, "batch_size": 4, "epochs": 2,
+        "epoch_threshold": -1, "ex_loss_weight1": 0.01,
+        "use_batchnorm": False, "use_sigmoid": True, "use_laploss": False,
+        "use_percept_loss": False, "image_mix_loss_func": "mse",
+        "downsample_steps": 2, "seed": seed, "output_dir": None,
+    })
+
+
+def test_second_sr_model_combo(tmp_path):
+    """AE reconstructions + CAISR synthesis (reference model_nbr_sr)."""
+    t_ae = _toy_trainer(seed=0)
+    t_sr = _toy_trainer(seed=99)          # different params
+    ckpt = str(tmp_path / "caisr.models")
+    t_sr.save_models(ckpt, 5)
+
+    vol = make_toy_dataset(1, 32, 7, seed=2)[0]
+    base = create_super_volume(t_ae, vol.image, alpha_range=[0.5],
+                               downsample_steps=2,
+                               generate_inbetween_slices=True)
+
+    t_ae.load_caisr(ckpt)
+    combo = create_super_volume(t_ae, vol.image, alpha_range=[0.5],
+                                downsample_steps=2,
+                                generate_inbetween_slices=True)
+    # recon (even) slices identical (primary model), synth slices differ
+    np.testing.assert_allclose(combo["upsampled_image"][::2],
+                               base["upsampled_image"][::2], atol=1e-6)
+    assert not np.allclose(combo["upsampled_image"][1::2],
+                           base["upsampled_image"][1::2])
+    # encode/decode honour the use_sr_model switch
+    x = jnp.asarray(vol.image[:2])[..., None]
+    z_ae = np.asarray(t_ae.encode(x))
+    z_sr = np.asarray(t_ae.encode(x, use_sr_model=True))
+    assert not np.allclose(z_ae, z_sr)
