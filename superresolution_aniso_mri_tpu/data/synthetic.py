@@ -62,3 +62,60 @@ def make_toy_dataset(num_volumes: int = 4, size: int = 32,
     return [make_rotated_volume(size=size, num_slices=num_slices,
                                 seed=seed + i)
             for i in range(num_volumes)]
+
+
+class RotoTripletSampler:
+    """On-the-fly rotation triplets (the MNISTRoto backend).
+
+    Reference: datasets/MNIST/data_roto.py:19-126 MakeRotatedTriple —
+    instead of pre-built volumes, each sample rotates a base image by a
+    random start angle θ and returns (θ, θ+Δ, θ+αΔ) rotations with
+    grad_step Δ=5° per virtual slice and α drawn from the gap. Plugs into
+    the same batch contract as TripletSampler.
+    """
+
+    def __init__(self, num_images: int = 16, size: int = 32,
+                 grad_step: float = 5.0, downsample_steps: int = 2,
+                 seed: int = 0):
+        rs = np.random.RandomState(seed)
+        self.images = [_phantom2d(size, rs) for _ in range(num_images)]
+        self.grad_step = float(grad_step)
+        self.downsample_steps = int(downsample_steps)
+        self.rs = np.random.RandomState(seed + 1)
+        self.size = size
+
+    def __len__(self) -> int:
+        return len(self.images) * 36  # nominal epoch length
+
+    def _rotate(self, img: np.ndarray, angle: float) -> np.ndarray:
+        out = scipy.ndimage.rotate(img, angle, reshape=False, order=1,
+                                   mode="constant", cval=0.0)
+        return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+    def sample_item(self, idx: int = 0):
+        img = self.images[self.rs.randint(len(self.images))]
+        gap = self.grad_step * self.downsample_steps
+        theta = float(self.rs.uniform(0.0, 360.0))
+        # in-between position strictly inside the gap (virtual slice grid)
+        k = int(self.rs.randint(1, self.downsample_steps)) \
+            if self.downsample_steps > 1 else 0.5
+        frac = k / self.downsample_steps
+        s_from = self._rotate(img, theta)
+        s_to = self._rotate(img, theta + gap)
+        s_between = self._rotate(img, theta + frac * gap)
+        a_from = 1.0 - frac
+        a_to = frac
+        triplet = np.stack([s_from, s_to, s_between], axis=-1)
+        return {"triplet": triplet.astype(np.float32),
+                "alpha_from": np.float32(a_from),
+                "alpha_to": np.float32(a_to),
+                "is_inbetween": np.float32(1.0),
+                "patient_index": np.int32(0)}
+
+    def sample_batch(self, batch_size: int):
+        items = [self.sample_item() for _ in range(batch_size)]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+    def epoch_batches(self, batch_size: int):
+        for _ in range(max(1, len(self) // batch_size)):
+            yield self.sample_batch(batch_size)

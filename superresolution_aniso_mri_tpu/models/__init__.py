@@ -8,6 +8,8 @@ from .vae import VAE, VAE2
 from .multi_channel import MultiChannelAE
 from .variants import LargerAE, VanillaACAIStrided
 from .alpha import make_alpha_probe, AlphaDecoder, SELayer
+from .legacy import (LegacyAE, LegacyAEAdv, DiscriminatorSpatial,
+                     DiscriminatorFakeReal)
 
 MODEL_REGISTRY = {
     "VanillaACAI": VanillaACAI,
@@ -34,5 +36,6 @@ __all__ = [
     "AEConfig", "VanillaACAI", "Encoder", "Decoder", "Discriminator",
     "VAE", "VAE2", "MultiChannelAE", "LargerAE", "VanillaACAIStrided",
     "MODEL_REGISTRY", "build_model", "make_alpha_probe", "AlphaDecoder",
-    "SELayer", "lerp", "swap_halves",
+    "SELayer", "lerp", "swap_halves", "LegacyAE", "LegacyAEAdv",
+    "DiscriminatorSpatial", "DiscriminatorFakeReal",
 ]
