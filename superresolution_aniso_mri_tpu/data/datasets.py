@@ -188,6 +188,9 @@ def load_acdc_volumes(split: str = "training",
             arr = arr[None]
         if frame_limit:
             arr = arr[:frame_limit]
+        bad_limit = acdc_frame_limit(pid)
+        if bad_limit is not None:
+            arr = arr[:bad_limit]
         if resample and cfg.voxel_spacing_resample is not None:
             arr = apply_2d_zoom_4d(arr, spacing[-2:],
                                    cfg.voxel_spacing_resample)
@@ -382,4 +385,47 @@ def load_acdc_labeled_volumes(split: str = "training",
             image=arr, spacing=np.asarray(spacing),
             patient_id=os.path.basename(path).replace(".nii.gz", ""),
             labels=labels))
+    return volumes
+
+
+# frames with invalid intensities to drop per patient
+# (reference: datasets/ACDC/data.py:475-485 — patients 015/034 keep only
+# the first 20 frames, patient 045 likewise)
+ACDC_BAD_FRAME_LIMITS = {"patient015": 20, "patient034": 20,
+                         "patient045": 20}
+
+
+def acdc_frame_limit(patient_id: str) -> Optional[int]:
+    for pid, limit in ACDC_BAD_FRAME_LIMITS.items():
+        if pid in str(patient_id):
+            return limit
+    return None
+
+
+def load_sax_volumes(root_dir: str, file_suffix: str = ".nii.gz",
+                     resample: bool = True, rescale: bool = True,
+                     new_spacing=(1.4, 1.4),
+                     limited_load: bool = False) -> List[Volume]:
+    """Generic short-axis eval-only loader (PIE-style datasets —
+    reference: datasets/cardiac_image.py:7-120, sax_dataset.py:9-140:
+    read a directory of SAX volumes, resample in-plane, rescale)."""
+    files = _find_files(root_dir, file_suffix)
+    if not files:
+        raise FileNotFoundError(f"no '*{file_suffix}' under {root_dir}")
+    if limited_load:
+        files = files[:5]
+    volumes = []
+    for path in files:
+        arr, spacing, _ = read_image(path)
+        arr = arr.astype(np.float32)
+        if arr.ndim == 4:
+            arr = arr[0]
+        if resample:
+            arr = apply_2d_zoom_3d(arr, spacing[-2:], new_spacing)
+            spacing = np.array([spacing[0], *new_spacing], np.float64)
+        if rescale:
+            arr = rescale_intensities(arr, percs=(1, 99))
+        volumes.append(Volume(image=arr, spacing=np.asarray(spacing),
+                              patient_id=os.path.basename(path)
+                              .replace(file_suffix, "")))
     return volumes

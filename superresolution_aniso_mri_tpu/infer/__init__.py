@@ -1,5 +1,6 @@
 """Inference: whole-volume super-resolution kernels + baselines."""
 from .super_volume import (
+    apply_blur_filter, rescale_volume,
     create_super_volume, create_simple_interpolation, simple_interpolation,
     latent_space_interp, make_volume_synthesizer, interleave_volume,
 )
@@ -9,3 +10,9 @@ __all__ = [
     "simple_interpolation", "latent_space_interp",
     "make_volume_synthesizer", "interleave_volume",
 ]
+
+from .patches import (extract_patches, assemble_patches,
+                      reconstruct_in_patches, interpolate_in_patches)
+__all__ += ["apply_blur_filter", "rescale_volume", "extract_patches",
+            "assemble_patches", "reconstruct_in_patches",
+            "interpolate_in_patches"]

@@ -1,0 +1,60 @@
+"""Patch-tiled reconstruction/interpolation.
+
+Reference: evaluate/common.py:44-68 (eval_on_different_patch_size /
+create_recon_from_diff_psize — unfold into patches, reconstruct, re-grid)
+and kwatsch/img_interpolation.py:20-55 (patch-tiled interpolation).
+TPU-shape: the unfold is a reshape/transpose, ALL patches of ALL slices
+reconstruct in one batched call, and the re-assembly is the inverse
+reshape — no per-slice Python loop.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def extract_patches(volume: Array, patch: int) -> Array:
+    """[S, H, W] → [S * (H//p) * (W//p), p, p, 1] (non-overlapping)."""
+    s, h, w = volume.shape
+    gh, gw = h // patch, w // patch
+    x = volume[:, :gh * patch, :gw * patch]
+    x = x.reshape(s, gh, patch, gw, patch)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(s * gh * gw, patch, patch, 1)
+
+
+def assemble_patches(patches: Array, s: int, h: int, w: int,
+                     patch: int) -> Array:
+    """Inverse of extract_patches → [S, gh*p, gw*p]."""
+    gh, gw = h // patch, w // patch
+    x = patches.reshape(s, gh, gw, patch, patch)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(s, gh * patch, gw * patch)
+
+
+def reconstruct_in_patches(trainer, volume, patch: int = 32) -> np.ndarray:
+    """Reconstruct a [S, H, W] volume through the AE at a smaller patch
+    size than trained (reference: evaluate/common.py:44-68)."""
+    volume = jnp.asarray(volume, jnp.float32)
+    s, h, w = volume.shape
+    tiles = extract_patches(volume, patch)
+    recon = trainer.predict(tiles)
+    out = assemble_patches(recon[..., 0], s, h, w, patch)
+    return np.asarray(out)
+
+
+def interpolate_in_patches(trainer, img1, img2, alpha: float,
+                           patch: int = 32) -> np.ndarray:
+    """Latent interpolation of one slice pair, patch-tiled
+    (reference: kwatsch/img_interpolation.py:20-55)."""
+    a = jnp.asarray(img1, jnp.float32)[None]
+    b = jnp.asarray(img2, jnp.float32)[None]
+    h, w = a.shape[1:3]
+    pa = extract_patches(a, patch)
+    pb = extract_patches(b, patch)
+    z = alpha * trainer.encode(pa) + (1.0 - alpha) * trainer.encode(pb)
+    dec = trainer.decode(z)
+    return np.asarray(assemble_patches(dec[..., 0], 1, h, w, patch)[0])

@@ -239,3 +239,22 @@ def create_simple_interpolation(images: np.ndarray, expand_factor: int,
     if remain > 0:
         up = np.concatenate([up, orig[-remain:]], axis=0)
     return up
+
+
+def apply_blur_filter(img: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Per-slice 2-D gaussian post-blur of an SR volume
+    (reference: evaluate/common.py:121-127 apply_blur_filter /
+    generate_blurred_sr_image — one vectorised call, not a slice loop)."""
+    import scipy.ndimage
+    return scipy.ndimage.gaussian_filter(
+        np.asarray(img, np.float32), (0.0, sigma, sigma))
+
+
+def rescale_volume(vol: np.ndarray) -> np.ndarray:
+    """Min-max rescale + clamp (reference: evaluate/common.py:129-133
+    rescale_tensor)."""
+    vol = np.asarray(vol, np.float32)
+    rng = vol.max() - vol.min()
+    if rng == 0:
+        return np.zeros_like(vol)
+    return np.clip((vol - vol.min()) / rng, 0.0, 1.0)

@@ -186,3 +186,38 @@ def test_grids(tmp_path):
     out = str(tmp_path / "grid.png")
     save_image_grid(g, out)
     assert os.path.isfile(out)
+
+
+def test_patch_tiled_reconstruction(trainer, toy_volume):
+    from superresolution_aniso_mri_tpu.infer import (
+        reconstruct_in_patches, interpolate_in_patches, extract_patches,
+        assemble_patches,
+    )
+    import jax.numpy as jnp
+
+    vol = toy_volume.image[:3]
+    # extract/assemble round trip
+    p = extract_patches(jnp.asarray(vol), 16)
+    assert p.shape == (3 * 4, 16, 16, 1)
+    back = np.asarray(assemble_patches(p[..., 0], 3, 32, 32, 16))
+    np.testing.assert_allclose(back, vol, atol=1e-6)
+
+    recon = reconstruct_in_patches(trainer, vol, patch=16)
+    assert recon.shape == vol.shape
+    interp = interpolate_in_patches(trainer, vol[0], vol[1], 0.5, patch=16)
+    assert interp.shape == (32, 32)
+
+
+def test_blur_and_rescale_utils():
+    from superresolution_aniso_mri_tpu.infer import (
+        apply_blur_filter, rescale_volume,
+    )
+    vol = np.random.RandomState(0).rand(3, 16, 16).astype(np.float32)
+    b = apply_blur_filter(vol, 1.0)
+    assert b.shape == vol.shape
+    # z-axis must NOT be blurred (sigma 0 on axis 0)
+    import scipy.ndimage
+    np.testing.assert_allclose(
+        b[1], scipy.ndimage.gaussian_filter(vol[1], 1.0), atol=1e-6)
+    r = rescale_volume(vol * 5 + 2)
+    assert r.min() == 0.0 and r.max() == 1.0
