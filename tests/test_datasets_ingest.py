@@ -1,0 +1,131 @@
+"""On-disk dataset ingest tests using synthetic NIfTI fixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from superresolution_aniso_mri_tpu.data.datasets import (
+    load_brain_volumes, create_lr_dataset, create_dhcp_dataset,
+    create_split_file, load_acdc_volumes, load_sax_volumes,
+    acdc_frame_limit, _split_patients,
+)
+from superresolution_aniso_mri_tpu.data import simulate_thick_slices
+from superresolution_aniso_mri_tpu.utils import read_nifti, write_nifti
+
+
+def _write_oasis_tree(root, n_patients=4, ds=3):
+    """OASIS-style files: OAS1_<id>_MR1 ... t88_gfc.nii.gz (+_3mm LR)."""
+    rng = np.random.RandomState(0)
+    for i in range(n_patients):
+        pdir = os.path.join(root, f"OAS1_{i:04d}_MR1")
+        os.makedirs(pdir, exist_ok=True)
+        hr = rng.rand(12, 16, 16).astype(np.float32)
+        write_nifti(os.path.join(pdir, f"OAS1_{i:04d}_MR1_t88_gfc.nii.gz"),
+                    hr, spacing=np.array([1.0, 1.0, 1.0]))
+        lr = simulate_thick_slices(hr, float(ds))
+        write_nifti(os.path.join(
+            pdir, f"OAS1_{i:04d}_MR1_t88_gfc_{ds}mm.nii.gz"),
+            lr, spacing=np.array([1.0, 1.0, 1.0]))
+
+
+def test_load_brain_volumes_oasis_style(tmp_path):
+    root = str(tmp_path)
+    _write_oasis_tree(root, n_patients=5, ds=3)
+    vols = load_brain_volumes("OASIS", 3, split="training",
+                              include_hr_images=True, src_path=root)
+    assert len(vols) >= 1
+    v = vols[0]
+    assert v.image.shape == (12, 16, 16)
+    assert v.image_hr is not None
+    assert v.patient_id.startswith("OAS1_")
+
+
+def test_create_lr_dataset_roundtrip(tmp_path):
+    root = str(tmp_path)
+    rng = np.random.RandomState(1)
+    pdir = os.path.join(root, "OAS1_0001_MR1")
+    os.makedirs(pdir)
+    hr = rng.rand(10, 8, 8).astype(np.float32)
+    write_nifti(os.path.join(pdir, "OAS1_0001_MR1_t88_gfc.nii.gz"), hr,
+                spacing=np.array([1.0, 1.0, 1.0]))
+    written = create_lr_dataset("OASIS", 4, src_path=root)
+    assert len(written) == 1
+    assert written[0].endswith("_4mm.nii.gz")
+    lr, sp, _ = read_nifti(written[0])
+    np.testing.assert_allclose(lr, simulate_thick_slices(hr, 4.0),
+                               atol=1e-5)
+
+
+def test_create_dhcp_dataset(tmp_path):
+    src = tmp_path / "raw"
+    out = tmp_path / "crop"
+    os.makedirs(src)
+    rng = np.random.RandomState(2)
+    vol = np.zeros((10, 24, 24), np.float32)
+    vol[2:8, 6:18, 6:18] = rng.rand(6, 12, 12) * 0.8 + 0.2  # "brain"
+    write_nifti(str(src / "1234_t2w.nii.gz"), vol,
+                spacing=np.array([0.5, 0.5, 0.5]))
+    written = create_dhcp_dataset(str(src), str(out), patch_size=16)
+    assert len(written) == 1
+    arr, _, _ = read_nifti(written[0])
+    assert arr.shape[1] == 16 and arr.shape[2] == 16
+
+
+def test_create_split_file(tmp_path):
+    ids = [f"p{i:03d}" for i in range(20)]
+    fname = create_split_file(str(tmp_path), ids, num_split=(12, 4, 4))
+    import yaml
+    with open(fname) as fp:
+        split = yaml.safe_load(fp)
+    assert len(split["training"]) == 12
+    assert len(split["test"]) == 4
+    assert len(split["validation"]) == 4
+    assert not (set(split["training"]) & set(split["test"]))
+
+
+def test_load_acdc_volumes_4d(tmp_path):
+    rng = np.random.RandomState(3)
+    for i in (1, 15):
+        pdir = tmp_path / f"patient{i:03d}"
+        os.makedirs(pdir)
+        vol4d = (rng.rand(25, 6, 20, 20) * 500).astype(np.float32)
+        write_nifti(str(pdir / f"patient{i:03d}_4d.nii.gz"), vol4d,
+                    spacing=np.array([10.0, 1.6, 1.6]))
+    # use a split file covering both patients as training
+    import yaml
+    split = {"training": ["patient001_4d", "patient015_4d"],
+             "validation": [], "test": []}
+    os.environ["SR_DATA_ROOT"] = str(tmp_path / "nonexist")
+    vols = load_acdc_volumes("training", src_path=str(tmp_path),
+                             resample=True, rescale=True)
+    # patient015: bad-frame limit 20 → 20 frames; patient001 → 25 frames
+    # (generic seeded split may drop one patient; at least one must load)
+    assert len(vols) >= 20
+    v = vols[0]
+    # resampled in-plane to 1.4mm: 20 * 1.6 / 1.4 ≈ 22.8 → 22/23 px
+    assert v.image.shape[0] == 6
+    assert v.image.shape[1] in (22, 23)
+    assert 0.0 <= v.image.min() and v.image.max() <= 1.0
+    assert acdc_frame_limit("patient015_4d") == 20
+    n015 = sum(1 for v in vols if "patient015" in v.patient_id)
+    assert n015 in (0, 20)
+
+
+def test_load_sax_volumes(tmp_path):
+    rng = np.random.RandomState(4)
+    write_nifti(str(tmp_path / "case1.nii.gz"),
+                (rng.rand(5, 20, 20) * 300).astype(np.float32),
+                spacing=np.array([8.0, 1.6, 1.6]))
+    vols = load_sax_volumes(str(tmp_path), resample=True, rescale=True)
+    assert len(vols) == 1
+    assert vols[0].image.max() <= 1.0
+
+
+def test_split_patients_yaml_and_fallback(tmp_path):
+    ids = [f"p{i}" for i in range(10)]
+    split = _split_patients(ids, None)
+    assert len(split["training"]) == 8
+    yaml_file = tmp_path / "split.yaml"
+    yaml_file.write_text("training: [p0, p1]\nvalidation: [p2]\ntest: [p3]\n")
+    split2 = _split_patients(ids, str(yaml_file))
+    assert split2["training"] == ["p0", "p1"]
