@@ -92,14 +92,21 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                   f"(epoch {trainer.epoch})")
 
     try:
+        from ..data.prefetch import prefetch_epoch
+
         for epoch in range(trainer.epoch, epochs):
             t0 = time.time()
             last_batch = None
-            for raw in sampler.epoch_batches(batch_size):
-                rng, k = jax.random.split(rng)
-                batch = _device_batch(raw, aug_cfg, k)
+
+            def to_device(raw, _rng_box=[rng]):
+                _rng_box[0], k = jax.random.split(_rng_box[0])
+                return _device_batch(raw, aug_cfg, k)
+
+            # background thread keeps 2 device-ready batches ahead
+            for batch in prefetch_epoch(sampler, batch_size, to_device):
                 trainer.train(batch)
                 last_batch = batch
+            rng, _ = jax.random.split(rng)
             # end-of-epoch validation (reference validates on the last
             # iterations of each epoch, train_cardiac_aesr.py:179-189)
             rng, k = jax.random.split(rng)

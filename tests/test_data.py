@@ -169,3 +169,24 @@ def test_metaimage_roundtrip(tmp_path):
     back, sp, _ = read_metaimage(path)
     np.testing.assert_allclose(back, arr)
     np.testing.assert_allclose(sp, [2.0, 1.0, 0.5])
+
+
+def test_prefetch_iterator():
+    from superresolution_aniso_mri_tpu.data.prefetch import (
+        PrefetchIterator, prefetch_epoch,
+    )
+    vols = make_toy_dataset(num_volumes=1, size=16, num_slices=9, seed=0)
+    s = TripletSampler(vols, downsample_steps=2, seed=0)
+    seen = list(prefetch_epoch(s, 4, lambda raw: raw["triplet"].sum()))
+    direct_count = sum(1 for _ in s.epoch_batches(4))
+    assert len(seen) == direct_count
+
+    # exceptions propagate
+    def bad_iter():
+        yield 1
+        raise RuntimeError("boom")
+    it = PrefetchIterator(bad_iter(), lambda x: x)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        next(it)
