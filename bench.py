@@ -48,18 +48,27 @@ def main():
 
     def run():
         out = synth(params, batch_stats, volume, alphas, use_original=False)
-        full = interleave_volume(out["recon"], out["interp"])
-        return jax.block_until_ready(full)
+        return interleave_volume(out["recon"], out["interp"])
 
     full = run()  # compile + warm up
+    float(jnp.sum(full))  # force completion via readback
     assert full.shape[0] == (num_lr_slices - 1) * (ds - 1 + 1) + 1
 
-    times = []
-    for _ in range(10):
+    # amortized pipelined timing: enqueue N volumes, read back the last —
+    # excludes the host<->device round-trip latency of a per-call sync
+    # (which on a tunneled chip dwarfs the compute) while still bounding
+    # true device time from above.
+    reps = 3
+    n = 8
+    per_rep = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    latency = float(np.median(times))
+        res = None
+        for _ in range(n):
+            res = run()
+        float(jnp.sum(res))
+        per_rep.append((time.perf_counter() - t0) / n)
+    latency = float(np.median(per_rep))
 
     baseline_s = 1.0  # north-star target: < 1 s / volume on one v5e chip
     print(json.dumps({

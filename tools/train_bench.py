@@ -40,14 +40,15 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
         "alpha_from": jnp.full((batch_pairs,), 0.5),
         "alpha_to": jnp.full((batch_pairs,), 0.5),
     }
-    t.train(batch)  # compile
-    times = []
+    m = t.train(batch)  # compile
+    float(m["loss_ae"])  # force completion via readback
+    # amortized pipelined timing (a per-step readback would measure the
+    # host<->device round trip, not the step)
+    t0 = time.perf_counter()
     for _ in range(steps):
-        t0 = time.perf_counter()
         m = t.train(batch)
-        jax.block_until_ready(m["loss_ae"])
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
+    float(m["loss_ae"])
+    med = (time.perf_counter() - t0) / steps
     print(f"{name:>28} [{compute_dtype:8}]: {med * 1e3:8.3f} ms/step "
           f"({batch_pairs / med:8.1f} pairs/s)")
     return med
