@@ -115,7 +115,9 @@ def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
         w = jnp.asarray(params["convs"][i]["kernel"])
         b = jnp.asarray(params["convs"][i]["bias"])
         dn = jax.lax.conv_dimension_numbers(h.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME", dimension_numbers=dn)
+        h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME",
+                                         dimension_numbers=dn,
+                                         precision=jax.lax.Precision.HIGHEST)
         h = jax.nn.relu(h + b)
         if i in slice_ends:
             feats.append(h)
@@ -165,7 +167,8 @@ def lpips_distance(params: Dict[str, Any], in0: Array, in1: Array,
             dn = jax.lax.conv_dimension_numbers(diff.shape, lw.shape,
                                                 ("NHWC", "HWIO", "NHWC"))
             d = jax.lax.conv_general_dilated(diff, lw, (1, 1), "VALID",
-                                             dimension_numbers=dn)
+                                             dimension_numbers=dn,
+                                             precision=jax.lax.Precision.HIGHEST)
             val = val + jnp.mean(d, axis=(1, 2, 3))
         else:
             val = val + jnp.mean(jnp.sum(diff, axis=-1), axis=(1, 2))
