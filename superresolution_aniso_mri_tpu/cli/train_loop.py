@@ -23,8 +23,7 @@ from ..data import AugmentConfig, TripletSampler, augment_batch, \
     prepare_batch_pairs
 from ..data.datasets import get_datasets
 from ..train import Trainer
-from ..utils.grids import generate_batch_compare_grid, generate_recon_grid, \
-    save_image_grid
+from ..utils.grids import generate_recon_grid, save_image_grid
 
 
 def build_augment_config(args: Dict) -> AugmentConfig:

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import yaml
 
-from ..config.data_config import DataConfig, get_config
+from ..config.data_config import get_config
 from ..utils.nifti import read_image, write_image
 from .synthetic import make_toy_dataset
 from .volume import (Volume, apply_2d_zoom_3d, apply_2d_zoom_4d,

@@ -8,7 +8,7 @@ test_interpolation_with_rigid_transformations).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, Optional
 
 import numpy as np
 import scipy.ndimage

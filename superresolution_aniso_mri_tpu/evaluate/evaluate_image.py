@@ -9,7 +9,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..data.transforms import center_crop, pad_to_size
+from ..data.transforms import pad_to_size
 from ..infer import create_super_volume
 from ..utils.grids import create_compare_image
 

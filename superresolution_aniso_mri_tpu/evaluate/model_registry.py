@@ -14,7 +14,7 @@ yaml format:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import yaml
 

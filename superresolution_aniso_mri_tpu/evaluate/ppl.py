@@ -7,7 +7,6 @@ percentile filter, mean.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..ops import lpips_distance

@@ -8,7 +8,7 @@ same "erode-by-binary-structure → border voxels → EDT" construction.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy import ndimage

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .acai import Decoder, _conv, _leaky
+from .acai import Decoder, _leaky
 from .config import AEConfig
 
 Array = jax.Array

@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .acai import _conv, _leaky, _upsample2x
-from .config import AEConfig
+from .acai import _conv, _leaky
 
 Array = jax.Array
 

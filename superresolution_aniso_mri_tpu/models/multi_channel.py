@@ -12,7 +12,6 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .acai import Encoder as _Encoder
 from .acai import _conv, _leaky, _upsample2x
 from .config import AEConfig
 

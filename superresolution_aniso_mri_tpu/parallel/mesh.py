@@ -12,11 +12,9 @@ No NCCL/MPI: collectives are compiler-inserted from sharding annotations.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

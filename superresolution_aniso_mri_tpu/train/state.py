@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
-import jax
 import optax
 from flax import struct
 from flax.training import train_state

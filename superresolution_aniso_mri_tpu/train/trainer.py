@@ -30,7 +30,7 @@ from ..models import AEConfig, Discriminator, build_model
 from ..ops import get_lpips_params
 from .checkpoint import load_checkpoint, save_checkpoint
 from .state import SRTrainState, create_train_state, make_optimizer
-from .steps import FAMILY_OF_MODEL, LossConfig, make_eval_step, make_train_step
+from .steps import LossConfig, make_eval_step, make_train_step
 
 
 def alpha_num_coefficients(alpha_class: str, latent: int,

@@ -168,3 +168,18 @@ def test_loss_reduction_on_toy_volume(toy_sampler, tmp_path):
         if it >= 25:
             losses_last.append(float(m["loss_ae_dist"]))
     assert np.mean(losses_last) < np.mean(losses_first)
+
+
+def test_perceptual_loss_training(toy_sampler, tmp_path):
+    """ae_combined with the LPIPS perceptual loss (fallback weights)
+    must train stably — the reference's default ACDC/dHCP config."""
+    t = Trainer(_toy_args("ae_combined", tmp_path,
+                          use_percept_loss=True,
+                          image_mix_loss_func="perceptual"))
+    assert t.lpips_params is not None
+    batch = _device_batch(toy_sampler)
+    first = t.train(batch)
+    for _ in range(5):
+        m = t.train(batch)
+    assert np.isfinite(float(m["loss_ae"]))
+    assert float(m["loss_ae"]) < float(first["loss_ae"])
