@@ -26,13 +26,19 @@ class SRTrainState(train_state.TrainState):
 
 def make_optimizer(lr: float, weight_decay: float = 0.0,
                    momentum: float = 0.9,
-                   cosine_steps: Optional[int] = None) -> optax.GradientTransformation:
+                   cosine_steps: Optional[int] = None,
+                   max_grad_norm: float = 0.0) -> optax.GradientTransformation:
+    """``max_grad_norm > 0`` adds global-norm clipping
+    (reference: kwatsch/acai_utils.py clip_grad_norm via the trainers'
+    max_grad_norm argument)."""
     if cosine_steps:
         schedule = optax.cosine_decay_schedule(
             init_value=lr, decay_steps=cosine_steps, alpha=0.0)
     else:
         schedule = lr
     parts = []
+    if max_grad_norm:
+        parts.append(optax.clip_by_global_norm(max_grad_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     parts.append(optax.adam(schedule, b1=momentum, b2=0.999))
@@ -41,10 +47,12 @@ def make_optimizer(lr: float, weight_decay: float = 0.0,
 
 def create_train_state(model, rng, sample_input, lr: float,
                        weight_decay: float = 0.0, momentum: float = 0.9,
-                       cosine_steps: Optional[int] = None) -> SRTrainState:
+                       cosine_steps: Optional[int] = None,
+                       max_grad_norm: float = 0.0) -> SRTrainState:
     variables = model.init(rng, sample_input, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(lr, weight_decay, momentum, cosine_steps)
+    tx = make_optimizer(lr, weight_decay, momentum, cosine_steps,
+                        max_grad_norm)
     return SRTrainState.create(
         apply_fn=model.apply, params=params, tx=tx, batch_stats=batch_stats)

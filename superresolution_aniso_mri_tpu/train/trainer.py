@@ -179,7 +179,8 @@ class Trainer:
             self.state = create_train_state(
                 ae, init_rng, sample, float(self.args["lr"]),
                 float(self.args.get("weight_decay", 0.0)),
-                float(self.args.get("momentum", 0.9)), cosine_steps)
+                float(self.args.get("momentum", 0.9)), cosine_steps,
+                float(self.args.get("max_grad_norm", 0) or 0))
 
         self.train_step = make_train_step(self.model, self.loss_config,
                                           self.lpips_params)

@@ -8,3 +8,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the axon sitecustomize registers its backend at interpreter start and can
+# override env-based platform selection; pin it explicitly via jax.config
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
