@@ -47,8 +47,9 @@ def main():
     synth = make_volume_synthesizer(model)
 
     def run():
-        out = synth(params, batch_stats, volume, alphas, use_original=False)
-        return interleave_volume(out["recon"], out["interp"])
+        out = synth(params, batch_stats, volume, alphas, use_original=False,
+                    interleave=True)
+        return out["volume"]
 
     full = run()  # compile + warm up
     float(jnp.sum(full))  # force completion via readback

@@ -35,9 +35,10 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
     [K-1, A, H, W, C].
     """
 
-    @partial(jax.jit, static_argnames=("use_original",))
+    @partial(jax.jit, static_argnames=("use_original", "interleave"))
     def synthesize(params, batch_stats, kept: Array, alphas: Array,
-                   use_original: bool = False) -> Dict[str, Array]:
+                   use_original: bool = False,
+                   interleave: bool = False) -> Dict[str, Array]:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -57,7 +58,13 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
         dec = model.apply(variables, z_flat, method=model.decode)
         interp = dec.reshape((am, k1) + dec.shape[1:])
         interp = jnp.swapaxes(interp, 0, 1)     # [K-1, A, H, W, C]
-        return {"recon": recon, "interp": interp}
+        out = {"recon": recon, "interp": interp}
+        if interleave:
+            # full interleaved volume (+clamp) inside the same program —
+            # a single device execution end to end
+            out["volume"] = jnp.clip(interleave_volume(recon, interp),
+                                     0.0, 1.0)
+        return out
 
     return synthesize
 
@@ -128,8 +135,8 @@ def create_super_volume(trainer, images, alpha_range=None,
     else:
         params, batch_stats = trainer._ae_params()
         out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
-                    use_original=use_original)
-        new_volume = interleave_volume(out["recon"], out["interp"])
+                    use_original=use_original, interleave=True)
+        new_volume = out["volume"]
     new_volume = np.asarray(new_volume)[..., 0]
 
     if generate_inbetween_slices and remain != 0:
