@@ -74,9 +74,11 @@ def _band_reflect(n: int, sigma: float, truncate: float = 4.0) -> np.ndarray:
         k = _gauss_kernel1d(sigma, int(truncate * sigma + 0.5))
         m = len(k)
         r = m // 2
+        # periodic triangular reflection (period 2n) — handles kernels
+        # wider than the axis, like scipy's repeated mirroring
         idx = np.arange(-r, n + r)
-        ref = np.where(idx < 0, -idx - 1, idx)
-        ref = np.where(ref >= n, 2 * n - ref - 1, ref)
+        j = np.mod(idx, 2 * n)
+        ref = np.where(j < n, j, 2 * n - 1 - j)
         out = np.zeros((n, n), np.float32)
         rows = np.repeat(np.arange(n), m)
         cols = ref[np.arange(n)[:, None] + np.arange(m)].ravel()
