@@ -169,3 +169,52 @@ def test_avgpool_and_nearest_upsample_parity():
     np.testing.assert_allclose(np.asarray(u_jax),
                                u_torch.numpy().transpose(0, 2, 3, 1),
                                atol=1e-6)
+
+
+def test_full_model_forward_parity_with_torch():
+    """Full VanillaACAI encode→decode vs a functional torch chain with
+    the SAME weights — composition-level cross-framework parity."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6,
+                   use_batchnorm=False, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 32, 32, 1).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+    out_jax = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    p = variables["params"]
+
+    def t_conv(h, params, padding):
+        w = torch.tensor(np.transpose(np.asarray(params["kernel"]),
+                                      (3, 2, 0, 1)))  # HWIO → OIHW
+        b = torch.tensor(np.asarray(params["bias"]))
+        return F.conv2d(h, w, b, padding=padding)
+
+    lrelu = lambda h: F.leaky_relu(h, 0.01)
+    h = torch.tensor(x.transpose(0, 3, 1, 2))
+    # encoder: stem 1x1 → [conv3 lrelu ×2 → avgpool] per scale → pre-head → head
+    h = t_conv(h, p["enc"]["stem"], 0)
+    for scale in range(cfg.scales):
+        h = lrelu(t_conv(h, p["enc"][f"Conv_{2 * scale}"], 1))
+        h = lrelu(t_conv(h, p["enc"][f"Conv_{2 * scale + 1}"], 1))
+        h = F.avg_pool2d(h, 2)
+    h = lrelu(t_conv(h, p["enc"][f"Conv_{2 * cfg.scales}"], 1))
+    z = t_conv(h, p["enc"]["head"], 1)
+    # decoder: [conv3 lrelu ×2 → nearest 2x] per scale → conv lrelu → out → sigmoid
+    h = z
+    for scale in range(cfg.scales):
+        h = lrelu(t_conv(h, p["dec"][f"Conv_{2 * scale}"], 1))
+        h = lrelu(t_conv(h, p["dec"][f"Conv_{2 * scale + 1}"], 1))
+        h = F.interpolate(h, scale_factor=2, mode="nearest")
+    h = lrelu(t_conv(h, p["dec"][f"Conv_{2 * cfg.scales}"], 1))
+    out_torch = torch.sigmoid(t_conv(h, p["dec"]["out"], 1))
+
+    np.testing.assert_allclose(out_jax,
+                               out_torch.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-3)  # default (bf16) conv precision
