@@ -83,6 +83,9 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
             print(f"  {k}: {m:.4f} ({s:.4f})")
     result = {"per_volume": dict(zip(per_volume_ids, per_volume)),
               "aggregate": agg}
+    if lpips_params is not None:
+        from ..ops.lpips import lpips_weights_info
+        result["lpips_mode"] = lpips_weights_info()["mode"]
     if output_dir:
         save_metrics(output_dir, None, result, downsample_steps,
                      interpol_method, eval_axis)
@@ -105,6 +108,9 @@ def save_metrics(output_dir: str, eval_dataset, metrics_dict: Dict,
     for pid, m in metrics_dict["per_volume"].items():
         for k, v in m.items():
             flat.setdefault(k, []).append(v)
+    extra = {}
+    if metrics_dict.get("lpips_mode"):
+        extra["lpips_mode"] = np.array(metrics_dict["lpips_mode"])
     np.savez(os.path.join(results_dir, fname),
              patient_ids=np.array(list(metrics_dict["per_volume"].keys())),
-             **{k: np.array(v) for k, v in flat.items()})
+             **{k: np.array(v) for k, v in flat.items()}, **extra)

@@ -16,8 +16,8 @@ def compute_ppl(trainer, images: np.ndarray, num_pairs: int = 64,
                 epsilon: float = 1e-4, seed: int = 0) -> float:
     """``images``: [N, H, W] pool of slices in [0,1]."""
     if trainer.lpips_params is None:
-        from ..ops import init_lpips_params
-        lpips_params = init_lpips_params()
+        from ..ops import get_lpips_params
+        lpips_params = get_lpips_params()
     else:
         lpips_params = trainer.lpips_params
     rs = np.random.RandomState(seed)

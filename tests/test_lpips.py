@@ -61,3 +61,51 @@ def test_sum_mode():
     b = jnp.asarray(rng.rand(1, 32, 32, 1), jnp.float32)
     d = np.asarray(lpips_distance(p, a, b, use_lin=False))
     assert d.shape == (1,) and d[0] > 0
+
+
+def test_default_params_use_shipped_lin_weights():
+    """get_lpips_params() must resolve the converted learned lin weights
+    shipped in weights/lpips_lin_vgg.npz (from the reference's
+    lpips/weights/v0.1/vgg.pth) and record a non-silent mode marker."""
+    import os
+    import warnings
+
+    from superresolution_aniso_mri_tpu.ops import (
+        get_lpips_params, lpips_weights_info,
+    )
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        p = get_lpips_params()
+    info = lpips_weights_info()
+    assert info["mode"] in ("converted", "lin_converted_vgg_random")
+    if info["mode"] == "lin_converted_vgg_random":
+        # fallback must be loud
+        assert any("NOT true LPIPS" in str(w.message) for w in caught)
+    assert info["path"] and os.path.isfile(info["path"])
+    data = np.load(info["path"])
+    for k in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(p["lins"][k]["kernel"]), data[f"lin{k}_kernel"])
+    # learned weights are non-uniform (uniform = the random fallback)
+    lin0 = np.asarray(p["lins"][0]["kernel"]).ravel()
+    assert lin0.std() > 1e-3
+
+
+def test_lpips_mode_marker_in_settings(tmp_path):
+    """A perceptual-loss trainer records lpips_mode in settings.yaml."""
+    from superresolution_aniso_mri_tpu.config import load_settings
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    args = {
+        "dataset": "ACDC", "model": "ae_combined", "ae_class": "VanillaACAI",
+        "width": 32, "latent_width": 16, "depth": 4, "latent": 4,
+        "batch_size": 2, "lr": 1e-4, "epochs": 1,
+        "image_mix_loss_func": "perceptual", "use_percept_loss": True,
+        "output_dir": str(tmp_path / "exp"), "seed": 0,
+    }
+    trainer = Trainer(args)
+    trainer.prepare_run()
+    settings = load_settings(str(tmp_path / "exp" / "settings.yaml"))
+    assert settings.get("lpips_mode") in (
+        "converted", "lin_converted_vgg_random", "random")

@@ -28,19 +28,21 @@ _VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
 _LPIPS_CHANNELS = (64, 128, 256, 512, 512)
 
 
-def convert(vgg16_path: str, lin_path: str | None, out_path: str) -> None:
+def convert(vgg16_path: str | None, lin_path: str | None,
+            out_path: str) -> None:
     import torch
 
-    sd = torch.load(vgg16_path, map_location="cpu", weights_only=True)
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
     out = {}
-    for i, idx in enumerate(_VGG16_CONV_IDX):
-        w = sd[f"features.{idx}.weight"].numpy()  # (out, in, kh, kw)
-        b = sd[f"features.{idx}.bias"].numpy()
-        out[f"conv{i}_kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(
-            np.float32)
-        out[f"conv{i}_bias"] = b.astype(np.float32)
+    if vgg16_path:
+        sd = torch.load(vgg16_path, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        for i, idx in enumerate(_VGG16_CONV_IDX):
+            w = sd[f"features.{idx}.weight"].numpy()  # (out, in, kh, kw)
+            b = sd[f"features.{idx}.bias"].numpy()
+            out[f"conv{i}_kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(
+                np.float32)
+            out[f"conv{i}_bias"] = b.astype(np.float32)
 
     if lin_path:
         lin_sd = torch.load(lin_path, map_location="cpu", weights_only=True)
@@ -63,12 +65,15 @@ def convert(vgg16_path: str, lin_path: str | None, out_path: str) -> None:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--vgg16", required=True,
-                   help="torchvision vgg16 state_dict .pth")
+    p.add_argument("--vgg16", default=None,
+                   help="torchvision vgg16 state_dict .pth (omit for a "
+                        "lin-only npz, e.g. weights/lpips_lin_vgg.npz)")
     p.add_argument("--lin", default=None,
-                   help="LPIPS v0.1 vgg lin weights .pth (optional)")
+                   help="LPIPS v0.1 vgg lin weights .pth")
     p.add_argument("--out", default="weights/lpips_vgg.npz")
     a = p.parse_args()
+    if not a.vgg16 and not a.lin:
+        p.error("need --vgg16 and/or --lin")
     convert(a.vgg16, a.lin, a.out)
 
 
