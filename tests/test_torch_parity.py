@@ -218,3 +218,179 @@ def test_full_model_forward_parity_with_torch():
     np.testing.assert_allclose(out_jax,
                                out_torch.numpy().transpose(0, 2, 3, 1),
                                atol=5e-3)  # default (bf16) conv precision
+
+
+# ---------------------------------------------------------------------------
+# Multi-step training-trajectory parity (VERDICT r1 item 3): pin Adam
+# semantics, BN batch-stat updates and loss weighting against a real torch
+# oracle rather than by construction.
+# ---------------------------------------------------------------------------
+
+class _TorchAEOracle:
+    """Functional torch re-implementation of the reference ae_combined MSE
+    trainer (reference: kwatsch/trainer_ae.py:18-109 AEBaseTrainer,
+    kwatsch/cardiac/trainer_ae.py:10-50 AETrainerEndToEnd), initialized
+    from a Flax VanillaACAI param tree so both frameworks start from
+    identical weights."""
+
+    def __init__(self, jax_params, cfg, lr):
+        self.cfg = cfg
+        self.tensors = []          # trainable leaves, Adam order-stable
+        self.enc = self._convert(jax_params["enc"], cfg.scales)
+        self.dec = self._convert(jax_params["dec"], cfg.scales)
+        self.opt = torch.optim.Adam(self.tensors, lr=lr,
+                                    betas=(0.9, 0.999), eps=1e-8)
+
+    def _convert(self, tree, scales):
+        import numpy as _np
+
+        side = {"conv": {}, "bn": {}}
+        for name, p in sorted(tree.items()):
+            if name.startswith("BatchNorm"):
+                scale_t = torch.tensor(_np.asarray(p["scale"]),
+                                       requires_grad=True)
+                bias_t = torch.tensor(_np.asarray(p["bias"]),
+                                      requires_grad=True)
+                c = scale_t.shape[0]
+                side["bn"][name] = {
+                    "weight": scale_t, "bias": bias_t,
+                    "running_mean": torch.zeros(c),
+                    "running_var": torch.ones(c)}
+                self.tensors += [scale_t, bias_t]
+            else:
+                w = torch.tensor(_np.transpose(
+                    _np.asarray(p["kernel"]), (3, 2, 0, 1)),
+                    requires_grad=True)  # HWIO → OIHW
+                b = torch.tensor(_np.asarray(p["bias"]), requires_grad=True)
+                side["conv"][name] = {"weight": w, "bias": b}
+                self.tensors += [w, b]
+        return side
+
+    def _conv(self, side, name, h, padding):
+        import torch.nn.functional as F
+        c = side["conv"][name]
+        return F.conv2d(h, c["weight"], c["bias"], padding=padding)
+
+    def _bn(self, side, idx, h, training):
+        import torch.nn.functional as F
+        bn = side["bn"][f"BatchNorm_{idx}"]
+        return F.batch_norm(h, bn["running_mean"], bn["running_var"],
+                            bn["weight"], bn["bias"], training=training,
+                            momentum=0.1, eps=1e-5)
+
+    def encode(self, x, training=True):
+        import torch.nn.functional as F
+        lrelu = lambda h: F.leaky_relu(h, 0.01)
+        cfg = self.cfg
+        h = self._conv(self.enc, "stem", x, 0)
+        for s in range(cfg.scales):
+            h = lrelu(self._conv(self.enc, f"Conv_{2 * s}", h, 1))
+            h = lrelu(self._conv(self.enc, f"Conv_{2 * s + 1}", h, 1))
+            if cfg.use_batchnorm:
+                h = self._bn(self.enc, s, h, training)
+            h = F.avg_pool2d(h, 2)
+        h = lrelu(self._conv(self.enc, f"Conv_{2 * cfg.scales}", h, 1))
+        return self._conv(self.enc, "head", h, 1)
+
+    def decode(self, z, training=True):
+        import torch.nn.functional as F
+        lrelu = lambda h: F.leaky_relu(h, 0.01)
+        cfg = self.cfg
+        h = z
+        for i, s in enumerate(range(cfg.scales - 1, -1, -1)):
+            h = lrelu(self._conv(self.dec, f"Conv_{2 * i}", h, 1))
+            h = lrelu(self._conv(self.dec, f"Conv_{2 * i + 1}", h, 1))
+            if cfg.use_batchnorm:
+                h = self._bn(self.dec, i, h, training)
+            h = F.interpolate(h, scale_factor=2, mode="nearest")
+        h = lrelu(self._conv(self.dec, f"Conv_{2 * cfg.scales}", h, 1))
+        h = self._conv(self.dec, "out", h, 1)
+        return torch.sigmoid(h) if cfg.use_sigmoid else h
+
+    def train_step(self, image, between, mix_weight):
+        """One reference train step: loss = MSE(recon, x) +
+        w1 * MSE(dec(0.5 z1 + 0.5 z2), slice_between)
+        (reference: cardiac/trainer_ae.py:10-50,103-130,165-182)."""
+        import torch.nn.functional as F
+        x = torch.tensor(image.transpose(0, 3, 1, 2))
+        sb = torch.tensor(between.transpose(0, 3, 1, 2))
+        b = sb.shape[0]
+        self.opt.zero_grad()
+        z = self.encode(x)
+        out = self.decode(z)
+        loss_dist = F.mse_loss(out, x)
+        z_mix = 0.5 * z[:b] + 0.5 * z[b:]
+        synth = self.decode(z_mix)
+        loss_mix = F.mse_loss(synth, sb)
+        loss = loss_dist + mix_weight * loss_mix
+        loss.backward()
+        self.opt.step()
+        return float(loss), float(loss_dist), float(loss_mix)
+
+
+def _run_trajectory_parity(use_batchnorm, n_steps, rtol):
+    import jax
+    import jax.numpy as jnp
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, create_train_state, make_train_step,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6,
+                   use_batchnorm=use_batchnorm, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    lr, w1, b = 1e-3, 0.05, 4
+    rng = np.random.RandomState(7)
+    batches = [
+        {"image": rng.rand(2 * b, 32, 32, 1).astype(np.float32),
+         "slice_between": rng.rand(b, 32, 32, 1).astype(np.float32),
+         "alpha_from": np.full((b,), 0.5, np.float32),
+         "alpha_to": np.full((b,), 0.5, np.float32)}
+        for _ in range(n_steps)]
+
+    with jax.default_matmul_precision("highest"):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((2, 32, 32, 1)), lr=lr)
+        oracle = _TorchAEOracle(state.params, cfg, lr)
+        step = make_train_step(
+            model,
+            LossConfig(model="ae_combined", recon_loss="mse",
+                       image_mix_loss_func="mse"),
+            donate=False)
+        traj_jax, traj_torch = [], []
+        key = jax.random.PRNGKey(1)
+        for batch in batches:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, jb, key, jnp.float32(w1))
+            traj_jax.append(float(metrics["loss_ae"]))
+            loss_t, _, _ = oracle.train_step(
+                batch["image"], batch["slice_between"], w1)
+            traj_torch.append(loss_t)
+
+    traj_jax, traj_torch = np.array(traj_jax), np.array(traj_torch)
+    np.testing.assert_allclose(traj_jax, traj_torch, rtol=rtol, atol=1e-6)
+    assert traj_jax[-1] < traj_jax[0]  # it actually trained
+    return state, oracle
+
+
+def test_train_trajectory_parity_with_torch():
+    """50 ae_combined MSE steps from identical weights/batches: the loss
+    trajectories of our jitted step and the torch reference-trainer
+    oracle must coincide — pinning Adam + loss-weighting semantics."""
+    state, oracle = _run_trajectory_parity(
+        use_batchnorm=False, n_steps=50, rtol=2e-3)
+    # final weights agree too (not just the scalar losses). Adam's
+    # near-sign updates amplify fp32 framework noise to ~ a few steps'
+    # worth of lr over 50 steps, so the bound is a few x lr.
+    w_jax = np.asarray(state.params["enc"]["stem"]["kernel"])
+    w_torch = oracle.enc["conv"]["stem"]["weight"].detach().numpy()
+    np.testing.assert_allclose(
+        w_jax, w_torch.transpose(2, 3, 1, 0), atol=5e-3)
+
+
+def test_train_trajectory_parity_with_torch_batchnorm():
+    """Same trajectory pin with BatchNorm active: per-batch statistics in
+    train mode drive both frameworks identically (running stats differ
+    only by torch's unbiased-var convention and never enter the
+    train-mode forward)."""
+    _run_trajectory_parity(use_batchnorm=True, n_steps=20, rtol=5e-3)
