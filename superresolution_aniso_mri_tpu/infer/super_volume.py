@@ -27,12 +27,34 @@ import numpy as np
 Array = jax.Array
 
 
+def _chunked_apply(model, variables, x: Array, method, chunk: Optional[int]):
+    """Apply encode/decode over the leading axis in fixed-size chunks via
+    ``lax.map`` so peak HBM is bounded by ``chunk`` slices instead of the
+    whole stack (the TPU equivalent of the reference's host-side
+    chunking, kwatsch/base_trainer.py:216-323). ``chunk=None`` runs one
+    batched call — fastest when it fits."""
+    n = x.shape[0]
+    if chunk is None or n <= chunk:
+        return model.apply(variables, x, method=method)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+    chunks = xp.reshape((-1, chunk) + x.shape[1:])
+    out = jax.lax.map(
+        lambda c: model.apply(variables, c, method=method), chunks)
+    return out.reshape((-1,) + out.shape[2:])[:n]
+
+
 def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
     """Build the jitted kernel for one model.
 
     Returns synth(params, batch_stats, kept [K,H,W,C], alphas [A],
     use_original) → dict with 'recon' [K,H,W,C] and 'interp'
     [K-1, A, H, W, C].
+
+    ``decode_batch`` bounds the number of slices held in flight through
+    the conv stacks: encode/decode run as a ``lax.map`` over
+    ``decode_batch``-sized chunks, so arbitrarily long volumes (e.g.
+    500 slices x 256^2 at ds=6 → ~2500 decode slices) cannot blow HBM.
     """
 
     @partial(jax.jit, static_argnames=("use_original", "interleave"))
@@ -43,11 +65,13 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        z = model.apply(variables, kept, method=model.encode)  # [K, lw, lw, c]
+        z = _chunked_apply(model, variables, kept, model.encode,
+                           decode_batch)                # [K, lw, lw, c]
         if use_original:
             recon = kept
         else:
-            recon = model.apply(variables, z, method=model.decode)
+            recon = _chunked_apply(model, variables, z, model.decode,
+                                   decode_batch)
 
         z_prev = z[:-1]                         # [K-1, ...]
         z_next = z[1:]
@@ -55,7 +79,8 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
         z_mix = a * z_next[None] + (1.0 - a) * z_prev[None]  # [A, K-1, ...]
         am, k1 = z_mix.shape[0], z_mix.shape[1]
         z_flat = z_mix.reshape((am * k1,) + z_mix.shape[2:])
-        dec = model.apply(variables, z_flat, method=model.decode)
+        dec = _chunked_apply(model, variables, z_flat, model.decode,
+                             decode_batch)
         interp = dec.reshape((am, k1) + dec.shape[1:])
         interp = jnp.swapaxes(interp, 0, 1)     # [K-1, A, H, W, C]
         out = {"recon": recon, "interp": interp}
@@ -91,15 +116,51 @@ def latent_space_interp(trainer, alpha: float, img1, img2):
                           use_sr_model=True)
 
 
+# Kept-slice-count buckets: volumes pad up to the next bucket so an
+# epoch sweep over ragged datasets (30-500 slices/volume) compiles a
+# handful of programs instead of one per distinct K (SURVEY §7
+# "pad-and-mask bucket shapes"; the ~20 s/compile cost is the axon
+# backend's, see docs/STATUS.md).
+SLICE_BUCKETS = (8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+
+# HBM budget for in-flight decode activations before chunking engages
+_DECODE_ACT_BUDGET_BYTES = 1 << 30
+
+
+def bucket_size(k: int) -> int:
+    """Next bucket ≥ k (beyond the table: next multiple of 128)."""
+    for b in SLICE_BUCKETS:
+        if k <= b:
+            return b
+    return ((k + 127) // 128) * 128
+
+
+def _auto_decode_batch(n_total: int, h: int, w: int, depth: int) -> Optional[int]:
+    """Chunk size bounding decoder activations to the HBM budget.
+
+    The dominant activation is the full-resolution feature map
+    (depth channels at H x W, float32) plus same-size fwd temporaries —
+    budgeted with 4x headroom. Returns None when everything fits in one
+    batched call (the fast path)."""
+    per_slice = h * w * max(depth, 32) * 4 * 4
+    cap = max(32, _DECODE_ACT_BUDGET_BYTES // max(per_slice, 1))
+    return None if n_total <= cap else int(cap)
+
+
 def create_super_volume(trainer, images, alpha_range=None,
                         use_original: bool = False,
                         downsample_steps: Optional[int] = None,
                         generate_inbetween_slices: bool = False,
-                        labels=None) -> Dict[str, np.ndarray]:
+                        labels=None, pad_to_bucket: bool = True,
+                        decode_batch="auto") -> Dict[str, np.ndarray]:
     """Host wrapper with the reference's exact tail-slice semantics
     (reference: evaluate/common.py:134-235).
 
     ``images``: [S, H, W] (numpy or jax) in [0,1].
+    ``pad_to_bucket`` pads the kept-slice count to a bucket shape
+    (identical outputs; bounds recompiles over ragged datasets).
+    ``decode_batch``: 'auto' | None | int — chunked encode/decode so long
+    volumes can't exceed HBM.
     Returns {'upsampled_image' [S', H, W], 'pred_alphas', 'upsampled_labels'}.
     """
     images = np.asarray(images, np.float32)
@@ -119,8 +180,20 @@ def create_super_volume(trainer, images, alpha_range=None,
         images = images[::downsample_steps]
 
     kept = jnp.asarray(images)[..., None]   # [K, H, W, 1]
+    k_true = kept.shape[0]
+    a_n = int(len(alpha_range))
 
-    synth = _get_synthesizer(trainer)
+    k_pad = bucket_size(k_true) if pad_to_bucket else k_true
+    if k_pad > k_true:
+        kept = jnp.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3)
+
+    if decode_batch == "auto":
+        depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
+        n_total = max(k_pad, (k_pad - 1) * a_n)
+        decode_batch = _auto_decode_batch(n_total, kept.shape[1],
+                                          kept.shape[2], depth)
+
+    synth = _get_synthesizer(trainer, decode_batch)
     params_sr = getattr(trainer, "params_sr", None)
     if params_sr is not None:
         # AE+CAISR combo: synthesis from the SR model, reconstructions
@@ -130,13 +203,16 @@ def create_super_volume(trainer, images, alpha_range=None,
         p_sr, bs_sr = params_sr
         out = synth(p_sr, bs_sr, kept, jnp.asarray(alpha_range),
                     use_original=True)
-        recon = kept if use_original else trainer.predict(kept)
-        new_volume = interleave_volume(recon, out["interp"])
+        interp = out["interp"][:k_true - 1]
+        kept_true = kept[:k_true]
+        recon = kept_true if use_original else trainer.predict(kept_true)
+        new_volume = interleave_volume(recon, interp)
     else:
         params, batch_stats = trainer._ae_params()
         out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
                     use_original=use_original, interleave=True)
-        new_volume = out["volume"]
+        # valid prefix of the padded interleaved volume
+        new_volume = out["volume"][:(k_true - 1) * (a_n + 1) + 1]
     new_volume = np.asarray(new_volume)[..., 0]
 
     if generate_inbetween_slices and remain != 0:
@@ -146,7 +222,7 @@ def create_super_volume(trainer, images, alpha_range=None,
                                     axis=0)
     new_volume = np.clip(new_volume, 0.0, 1.0)
 
-    k1 = kept.shape[0] - 1
+    k1 = k_true - 1
     pred_alphas = np.repeat(alpha_range[None, :], k1, axis=0).reshape(-1)
     return {"upsampled_image": new_volume, "upsampled_labels": None,
             "pred_alphas": pred_alphas}
@@ -155,11 +231,12 @@ def create_super_volume(trainer, images, alpha_range=None,
 _SYNTH_CACHE: dict = {}
 
 
-def _get_synthesizer(trainer):
+def _get_synthesizer(trainer, decode_batch: Optional[int] = None):
     mdl = trainer._ae_model()
-    key = id(mdl)
+    key = (id(mdl), decode_batch)
     if key not in _SYNTH_CACHE:
-        _SYNTH_CACHE[key] = make_volume_synthesizer(mdl)
+        _SYNTH_CACHE[key] = make_volume_synthesizer(
+            mdl, decode_batch=decode_batch)
     return _SYNTH_CACHE[key]
 
 

@@ -221,3 +221,67 @@ def test_blur_and_rescale_utils():
         b[1], scipy.ndimage.gaussian_filter(vol[1], 1.0), atol=1e-6)
     r = rescale_volume(vol * 5 + 2)
     assert r.min() == 0.0 and r.max() == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Ragged-volume strategy (VERDICT r1 item 4): slice-count buckets bound
+# recompiles; chunked decode bounds HBM.
+# ---------------------------------------------------------------------------
+
+def test_bucketing_identical_results(trainer):
+    """pad_to_bucket pads + slices back: outputs must be bit-identical."""
+    vol = make_toy_dataset(1, 32, 11, seed=3)[0].image  # K=6 → bucket 8
+    kwargs = dict(alpha_range=[0.5], downsample_steps=2,
+                  generate_inbetween_slices=True)
+    a = create_super_volume(trainer, vol, pad_to_bucket=True, **kwargs)
+    b = create_super_volume(trainer, vol, pad_to_bucket=False, **kwargs)
+    np.testing.assert_array_equal(a["upsampled_image"], b["upsampled_image"])
+
+
+def test_ragged_volumes_share_compiled_programs(trainer):
+    """10 volumes of differing slice counts must compile ≤ 3 synthesizer
+    programs thanks to bucket padding (VERDICT done-criterion)."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+
+    sv._SYNTH_CACHE.clear()
+    slice_counts = [31, 35, 39, 41, 45, 49, 53, 57, 61, 63]  # K: 15..31
+    for i, s in enumerate(slice_counts):
+        vol = make_toy_dataset(1, 32, s, seed=10 + i)[0].image
+        res = create_super_volume(trainer, vol, alpha_range=[0.5],
+                                  downsample_steps=2,
+                                  generate_inbetween_slices=True)
+        assert res["upsampled_image"].shape[0] == s
+    assert len(sv._SYNTH_CACHE) == 1
+    synthesize = next(iter(sv._SYNTH_CACHE.values()))
+    assert synthesize._cache_size() <= 3, (
+        f"{synthesize._cache_size()} compiled programs for ragged sweep")
+
+
+def test_chunked_decode_matches_unchunked(trainer):
+    """decode_batch chunking (lax.map) is numerically identical to the
+    single-batch path."""
+    vol = make_toy_dataset(1, 32, 17, seed=4)[0].image
+    kwargs = dict(alpha_range=[0.25, 0.5, 0.75], downsample_steps=4,
+                  generate_inbetween_slices=True, pad_to_bucket=False)
+    a = create_super_volume(trainer, vol, decode_batch=None, **kwargs)
+    b = create_super_volume(trainer, vol, decode_batch=3, **kwargs)
+    np.testing.assert_allclose(a["upsampled_image"], b["upsampled_image"],
+                               atol=1e-6)
+
+
+def test_long_volume_completes_with_auto_chunking(trainer):
+    """A 501-slice volume runs to completion through the auto decode_batch
+    path (forced small budget to exercise chunking on CPU)."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+
+    old = sv._DECODE_ACT_BUDGET_BYTES
+    sv._DECODE_ACT_BUDGET_BYTES = 1 << 22  # force chunking at toy sizes
+    try:
+        vol = make_toy_dataset(1, 32, 501, seed=6)[0].image
+        res = create_super_volume(trainer, vol, alpha_range=[0.5],
+                                  downsample_steps=2,
+                                  generate_inbetween_slices=True)
+        assert res["upsampled_image"].shape[0] == 501
+        assert np.isfinite(res["upsampled_image"]).all()
+    finally:
+        sv._DECODE_ACT_BUDGET_BYTES = old
