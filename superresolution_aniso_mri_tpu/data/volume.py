@@ -34,6 +34,10 @@ class Volume:
     direction: Optional[tuple] = None
     image_hr: Optional[np.ndarray] = None  # paired HR ground truth, if any
     labels: Optional[np.ndarray] = None
+    # scanner-native (z, y, x) spacing before model-space resampling —
+    # used by the eval driver's resample-back-to-original option
+    # (reference: evaluate/create_HR_images.py:81-107)
+    original_spacing: Optional[np.ndarray] = None
 
     @property
     def num_slices(self) -> int:

@@ -13,11 +13,90 @@ from typing import Dict, Iterable, List, Optional
 import numpy as np
 
 from ..data import Volume
+from ..data.volume import apply_2d_zoom_3d, apply_2d_zoom_4d
 from ..infer import create_simple_interpolation, create_super_volume
 from ..utils import write_image
 from .metrics_driver import aggregate_metrics, compute_volume_metrics
 
 FILTER_BENCH = ("linear", "bspline", "lanczos", "nearest")
+
+
+def save_3d_volume(image: np.ndarray, patient_id: str, output_dir: str,
+                   sr_spacing, file_suffix: Optional[str] = None,
+                   model: Optional[str] = None,
+                   original_spacing=None, resample: bool = False,
+                   labels: Optional[np.ndarray] = None,
+                   output_dir_labels: Optional[str] = None) -> str:
+    """Save a super-resolved 3D volume with the reference's on-disk
+    contract (reference: evaluate/create_HR_images.py:81-107
+    save_3d_volume): per-patient subdirectory,
+    ``<pat>_<file_suffix or model>.nii.gz``; with ``resample=True`` the
+    volume is resampled in-plane back to ``original_spacing`` (y, x) —
+    z keeps the SR spacing — before saving."""
+    sr_spacing = np.asarray(sr_spacing, np.float64).copy()
+    if resample:
+        if original_spacing is None:
+            raise ValueError("resample=True requires original_spacing")
+        image = apply_2d_zoom_3d(image, sr_spacing, original_spacing,
+                                 do_blur=True, as_type=np.float32)
+        sr_spacing[1:] = np.asarray(original_spacing, np.float64)[1:]
+    pat_dir = os.path.join(output_dir, patient_id)
+    os.makedirs(pat_dir, exist_ok=True)
+    fname = f"{patient_id}_{file_suffix if file_suffix else model}.nii.gz"
+    path = os.path.join(pat_dir, fname)
+    write_image(path, np.asarray(image, np.float32), spacing=sr_spacing)
+    if labels is not None:
+        lbl_spacing = sr_spacing.copy()
+        if resample:
+            labels = apply_2d_zoom_3d(labels, sr_spacing, original_spacing,
+                                      do_blur=False, order=0,
+                                      as_type=np.int32)
+        lbl_dir = os.path.join(output_dir_labels or output_dir + "_labels",
+                               patient_id)
+        os.makedirs(lbl_dir, exist_ok=True)
+        write_image(os.path.join(lbl_dir, fname),
+                    np.asarray(labels, np.int32), spacing=lbl_spacing)
+    return path
+
+
+def save_4d_volume(volume4d: np.ndarray, patient_id: str, output_dir: str,
+                   sr_spacing, file_suffix: Optional[str] = None,
+                   model: Optional[str] = None,
+                   original_spacing=None, resample: bool = False,
+                   labels4d: Optional[np.ndarray] = None,
+                   output_dir_labels: Optional[str] = None) -> str:
+    """Save a [t, z, y, x] SR volume (reference:
+    evaluate/create_HR_images.py:199-236 save_4d_volume): filename
+    ``<pat>_4d_<model>.nii.gz`` (or ``<pat>_<file_suffix>``); optional
+    per-frame in-plane resample back to the original (y, x) spacing with
+    nearest-order label resampling."""
+    sr_spacing = np.asarray(sr_spacing, np.float64).copy()
+    spacing_img = sr_spacing.copy()
+    if resample:
+        if original_spacing is None:
+            raise ValueError("resample=True requires original_spacing")
+        volume4d = apply_2d_zoom_4d(volume4d, sr_spacing, original_spacing,
+                                    do_blur=True, as_type=np.float32)
+        spacing_img[1:] = np.asarray(original_spacing, np.float64)[1:]
+    pat_dir = os.path.join(output_dir, patient_id)
+    os.makedirs(pat_dir, exist_ok=True)
+    suffix = file_suffix if file_suffix else f"4d_{model}"
+    fname = f"{patient_id}_{suffix}.nii.gz"
+    path = os.path.join(pat_dir, fname)
+    write_image(path, np.asarray(volume4d, np.float32), spacing=spacing_img)
+    if labels4d is not None:
+        lbl_spacing = sr_spacing.copy()
+        if resample:
+            labels4d = apply_2d_zoom_4d(labels4d, sr_spacing,
+                                        original_spacing, do_blur=False,
+                                        order=0, as_type=np.int32)
+            lbl_spacing[1:] = np.asarray(original_spacing, np.float64)[1:]
+        lbl_dir = os.path.join(output_dir_labels or output_dir + "_labels",
+                               patient_id)
+        os.makedirs(lbl_dir, exist_ok=True)
+        write_image(os.path.join(lbl_dir, fname),
+                    np.asarray(labels4d, np.int32), spacing=lbl_spacing)
+    return path
 
 
 def create_hr_images(trainer, volumes: Iterable[Volume],
@@ -28,40 +107,68 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                      use_original: bool = False,
                      eval_axis: int = 0,
                      compute_percept_metrics: bool = False,
+                     resample: bool = False,
+                     original_spacing=None,
                      verbose: bool = False) -> Dict:
     """Evaluate SR quality over a dataset of HR volumes.
 
     ``interpol_method``: 'model' → latent-interpolation synthesis;
     any of FILTER_BENCH → conventional z interpolation baseline.
-    Returns {'per_volume': {...}, 'aggregate': {...}}.
+    Volumes whose ``image`` is 4D ([t, z, y, x]) are super-resolved
+    frame by frame and saved as one 4D NIfTI (reference:
+    evaluate/create_HR_images.py:199-236). ``resample=True`` resamples
+    saved volumes in-plane back to ``original_spacing`` (or the
+    volume's own ``original_spacing`` attribute) — reference
+    :81-107, 239-424. Returns {'per_volume': {...}, 'aggregate': {...}}.
     """
     alpha_range = np.linspace(0, 1, downsample_steps + 1)[1:-1]
     per_volume: List[Dict] = []
     per_volume_ids = []
     lpips_params = trainer.lpips_params if (
         trainer is not None and compute_percept_metrics) else None
+    model_name = (trainer.args.get("model", "model") if trainer is not None
+                  else interpol_method)
+
+    def _synthesize(img3d):
+        if interpol_method == "model":
+            result = create_super_volume(
+                trainer, img3d, alpha_range=alpha_range,
+                downsample_steps=downsample_steps,
+                generate_inbetween_slices=True,
+                use_original=use_original)
+            return result["upsampled_image"], False
+        return create_simple_interpolation(
+            img3d, downsample_steps, method=interpol_method,
+            generate_inbetween_slices=True), True
 
     for vol in volumes:
         hr = vol.image_hr if vol.image_hr is not None else vol.image
         hr = np.asarray(hr, np.float32)
-        if interpol_method == "model":
-            result = create_super_volume(
-                trainer, vol.image, alpha_range=alpha_range,
-                downsample_steps=downsample_steps,
-                generate_inbetween_slices=True,
-                use_original=use_original)
-            upsampled = result["upsampled_image"]
-            conv = False
+        img = np.asarray(vol.image, np.float32)
+        is_4d = img.ndim == 4
+        if is_4d:
+            frames, conv = [], False
+            frame_metrics = []
+            for t in range(img.shape[0]):
+                up_t, conv = _synthesize(img[t])
+                frames.append(up_t)
+                n = min(hr.shape[1], len(up_t))
+                frame_metrics.append(compute_volume_metrics(
+                    hr[t][:n], up_t[:n], downsample_steps=downsample_steps,
+                    conv_interpol=conv, eval_axis=eval_axis,
+                    lpips_params=lpips_params))
+            upsampled = np.stack(frames, axis=0)
+            # volume metrics = mean over frames (reference accumulates
+            # per-frame results into the same per-patient lists)
+            metrics = {k: float(np.mean([m[k] for m in frame_metrics]))
+                       for k in frame_metrics[0]}
         else:
-            upsampled = create_simple_interpolation(
-                vol.image, downsample_steps, method=interpol_method,
-                generate_inbetween_slices=True)
-            conv = True
-        n = min(len(hr), len(upsampled))
-        metrics = compute_volume_metrics(
-            hr[:n], upsampled[:n], downsample_steps=downsample_steps,
-            conv_interpol=conv, eval_axis=eval_axis,
-            lpips_params=lpips_params)
+            upsampled, conv = _synthesize(img)
+            n = min(len(hr), len(upsampled))
+            metrics = compute_volume_metrics(
+                hr[:n], upsampled[:n], downsample_steps=downsample_steps,
+                conv_interpol=conv, eval_axis=eval_axis,
+                lpips_params=lpips_params)
         per_volume.append(metrics)
         per_volume_ids.append(vol.patient_id)
         if verbose:
@@ -71,11 +178,19 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
             os.makedirs(output_dir, exist_ok=True)
             new_spacing = np.array(vol.spacing, np.float64).copy()
             new_spacing[0] = new_spacing[0] / downsample_steps
-            fname = os.path.join(
-                output_dir, f"{vol.patient_id}_{interpol_method}"
-                            f"_{downsample_steps}x.nii.gz")
-            write_image(fname, upsampled.astype(np.float32),
-                        spacing=new_spacing)
+            orig_sp = (original_spacing if original_spacing is not None
+                       else getattr(vol, "original_spacing", None))
+            suffix = f"{interpol_method}_{downsample_steps}x"
+            if is_4d:
+                save_4d_volume(
+                    upsampled, vol.patient_id, output_dir, new_spacing,
+                    file_suffix=f"4d_{suffix}", model=model_name,
+                    original_spacing=orig_sp, resample=resample)
+            else:
+                save_3d_volume(
+                    upsampled, vol.patient_id, output_dir, new_spacing,
+                    file_suffix=suffix, model=model_name,
+                    original_spacing=orig_sp, resample=resample)
 
     agg = aggregate_metrics(per_volume)
     if verbose:

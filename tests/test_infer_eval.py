@@ -128,7 +128,12 @@ def test_create_hr_images_and_baselines(trainer, tmp_path):
                            output_dir=str(tmp_path), save_volumes=True)
     assert len(res["per_volume"]) == 2
     assert "ssim_synth" in res["aggregate"]
-    saved = [f for f in os.listdir(tmp_path) if f.endswith(".nii.gz")]
+    # reference on-disk contract: per-patient subdirectory
+    # (reference evaluate/create_HR_images.py:81-107)
+    saved = [os.path.join(d, f) for d in os.listdir(tmp_path)
+             if os.path.isdir(os.path.join(tmp_path, d)) and d != "results"
+             for f in os.listdir(os.path.join(tmp_path, d))
+             if f.endswith(".nii.gz")]
     assert len(saved) == 2
     assert os.path.isdir(os.path.join(tmp_path, "results"))
 
@@ -285,3 +290,59 @@ def test_long_volume_completes_with_auto_chunking(trainer):
         assert np.isfinite(res["upsampled_image"]).all()
     finally:
         sv._DECODE_ACT_BUDGET_BYTES = old
+
+
+# ---------------------------------------------------------------------------
+# 4D save + in-plane resample-back (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+def test_create_hr_images_4d_save(trainer, tmp_path):
+    """A 4D cardiac volume is SR'd frame-by-frame and saved as ONE 4D
+    NIfTI with (t, z, y, x) dims and z-spacing / downsample_steps."""
+    from superresolution_aniso_mri_tpu.utils import read_image
+
+    frames = np.stack([make_toy_dataset(1, 32, 9, seed=20 + t)[0].image
+                       for t in range(3)], axis=0)  # [3, 9, 32, 32]
+    vol = Volume(image=frames, spacing=np.array([5.0, 1.4, 1.4]),
+                 patient_id="pat4d")
+    res = create_hr_images(trainer, [vol], downsample_steps=2,
+                           output_dir=str(tmp_path), save_volumes=True)
+    assert "pat4d" in res["per_volume"]
+    path = os.path.join(tmp_path, "pat4d",
+                        "pat4d_4d_model_2x.nii.gz")
+    assert os.path.isfile(path)
+    arr, spacing, _ = read_image(path)
+    assert arr.shape == (3, 9, 32, 32)
+    np.testing.assert_allclose(spacing, [2.5, 1.4, 1.4], atol=1e-6)
+
+
+def test_save_3d_volume_resample_back(tmp_path):
+    """resample=True returns the volume to the original in-plane spacing
+    (z keeps the SR spacing) — reference create_HR_images.py:81-107."""
+    from superresolution_aniso_mri_tpu.evaluate import save_3d_volume
+    from superresolution_aniso_mri_tpu.utils import read_image
+
+    img = np.random.RandomState(0).rand(8, 32, 32).astype(np.float32)
+    sr_spacing = [2.5, 1.4, 1.4]
+    original_spacing = [5.0, 2.8, 2.8]
+    path = save_3d_volume(img, "p1", str(tmp_path), sr_spacing,
+                          file_suffix="sr", original_spacing=original_spacing,
+                          resample=True)
+    arr, spacing, _ = read_image(path)
+    assert arr.shape == (8, 16, 16)          # in-plane halved (1.4 → 2.8)
+    np.testing.assert_allclose(spacing, [2.5, 2.8, 2.8], atol=1e-6)
+    assert np.isfinite(arr).all()
+
+
+def test_save_4d_volume_resample_back(tmp_path):
+    from superresolution_aniso_mri_tpu.evaluate import save_4d_volume
+    from superresolution_aniso_mri_tpu.utils import read_image
+
+    img = np.random.RandomState(1).rand(2, 6, 32, 32).astype(np.float32)
+    path = save_4d_volume(img, "p2", str(tmp_path), [2.5, 1.4, 1.4],
+                          model="ae_combined",
+                          original_spacing=[5.0, 2.8, 2.8], resample=True)
+    assert path.endswith("p2_4d_ae_combined.nii.gz")
+    arr, spacing, _ = read_image(path)
+    assert arr.shape == (2, 6, 16, 16)
+    np.testing.assert_allclose(spacing, [2.5, 2.8, 2.8], atol=1e-6)
