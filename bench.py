@@ -71,12 +71,24 @@ def main():
         per_rep.append((time.perf_counter() - t0) / n)
     latency = float(np.median(per_rep))
 
+    # prove the Pallas SSIM path executes through its production dispatch
+    # (ops/pallas_kernels.py ssim_volume_fused gates on default_backend)
+    from superresolution_aniso_mri_tpu.ops.pallas_kernels import (
+        ssim_volume_fused,
+    )
+    ref_v = full[..., 0][:8]
+    ssim_self = float(jnp.mean(ssim_volume_fused(ref_v, ref_v)))
+    ssim_path = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert abs(ssim_self - 1.0) < 1e-3, f"SSIM self-check failed: {ssim_self}"
+
     baseline_s = 1.0  # north-star target: < 1 s / volume on one v5e chip
     print(json.dumps({
         "metric": "oasis_6mm_to_1mm_volume_sr_latency",
         "value": round(latency, 5),
         "unit": "s/volume",
         "vs_baseline": round(baseline_s / latency, 3),
+        "ssim_kernel_path": ssim_path,
+        "ssim_selfcheck": round(ssim_self, 5),
     }))
 
 

@@ -42,6 +42,11 @@ def build_augment_config(args: Dict) -> AugmentConfig:
         random_crop=True, rot90=True, intensity=True,
         rotate_any=dataset in ("ACDC", "ACDCC", "ACDCLBL"),
         max_degree=45,
+        # dHCP/ADNI/brainMASI crop near the brain center
+        # (reference: dHCP/dataset.py:45, ADNI/dataset.py:21 —
+        # RandomCropNextToCenter(width, max_translation=35))
+        crop_next_to_center=dataset in ("dHCP", "ADNI", "brainMASI"),
+        max_translation=35,
     )
 
 
@@ -54,6 +59,33 @@ def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key) -> Dict:
         "alpha_from": jnp.asarray(raw["alpha_from"]),
         "alpha_to": jnp.asarray(raw["alpha_to"]),
     }
+
+
+def _generate_volume_previews(trainer, val_vols, merged: Dict,
+                              epoch: int) -> None:
+    """Synthesize full validation volumes (ds=2) and save compare grids
+    per epoch (reference: base_trainer.py:149-162,
+    evaluate/evaluate_image.py:36-107). Cardiac 4D volumes preview one
+    frame; brain volumes preview the whole stack."""
+    interval = int(merged.get("volume_preview_interval", 1) or 0)
+    if not val_vols or interval <= 0 or epoch % interval != 0:
+        return
+    from ..evaluate import generate_val_volume_grids
+
+    vol = val_vols[0]
+    image_dicts = {getattr(vol, "patient_id", "val0") or "val0":
+                   {"image": np.asarray(vol.image, np.float32)}}
+    try:
+        res = generate_val_volume_grids(
+            trainer, image_dicts,
+            eval_patch_size=int(merged["width"]))
+    except Exception as exc:  # preview must never kill training
+        print(f"volume preview skipped: {exc}")
+        return
+    for pid, grid in res["grids"].items():
+        save_image_grid(grid, os.path.join(
+            trainer.dir_images, f"synth_vol_{pid}_e{epoch:03d}.png"))
+        trainer.log_tb_image(f"val/synth_volume_{pid}", grid)
 
 
 def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
@@ -106,12 +138,17 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                 trainer.train(batch)
                 last_batch = batch
             rng, _ = jax.random.split(rng)
-            # end-of-epoch validation (reference validates on the last
-            # iterations of each epoch, train_cardiac_aesr.py:179-189)
-            rng, k = jax.random.split(rng)
-            val_raw = val_sampler.sample_batch(test_batch_size)
-            val_batch = _device_batch(val_raw, val_cfg, k)
-            trainer.validate(val_batch)
+            # end-of-epoch validation over several batches so best-model
+            # selection averages a real estimate rather than one noisy
+            # batch (reference validates a dedicated batch per epoch,
+            # train_cardiac_aesr.py:179-189; we widen it)
+            n_val = int(merged.get("num_val_batches", 4) or 4)
+            val_batch = None
+            for _ in range(n_val):
+                rng, k = jax.random.split(rng)
+                val_raw = val_sampler.sample_batch(test_batch_size)
+                val_batch = _device_batch(val_raw, val_cfg, k)
+                trainer.validate(val_batch)
             trainer.show_loss_on_tensorboard("train")
             trainer.show_loss_on_tensorboard("test")
 
@@ -128,6 +165,17 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                     np.asarray(trainer.test_predictions["reconstruction"]))
                 save_image_grid(grid, os.path.join(
                     trainer.dir_images, f"val_recons_e{epoch:03d}.png"))
+                trainer.log_tb_image("val/reconstructions", grid)
+
+            # synthesized-volume previews: super-resolve a held-out val
+            # volume and dump the original-vs-synth compare grid — the
+            # reference's main training-time QA signal
+            # (reference: base_trainer.py:149-162 _generate_val_volumes,
+            # evaluate/evaluate_image.py:82-107)
+            _generate_volume_previews(trainer, val_vols, merged, epoch)
+
+            if merged.get("log_tensorboard") and epoch % 10 == 0:
+                trainer.log_tb_histograms()
             trainer.reset_losses()
             trainer.end_epoch_processing()
     except KeyboardInterrupt:

@@ -20,3 +20,15 @@ __all__ = [
     "center_crop", "TripletSampler", "make_toy_dataset",
     "make_rotated_volume",
 ]
+
+from .acdc_aux import (  # noqa: E402
+    get_acdc_fold_patient_ids, acdc_sr_seg_fold, load_acdc_sr_seg_slices,
+    ACDCSRSegImage, load_uncertainty_data, create_centered_dataset,
+    center_4d_volume,
+)
+
+__all__ += [
+    "get_acdc_fold_patient_ids", "acdc_sr_seg_fold",
+    "load_acdc_sr_seg_slices", "ACDCSRSegImage", "load_uncertainty_data",
+    "create_centered_dataset", "center_4d_volume",
+]

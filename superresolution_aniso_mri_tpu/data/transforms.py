@@ -151,6 +151,64 @@ def _elastic_one(key: Array, img: Array, alpha: float = 10.0,
     return top * (1 - dy) + bot * dy
 
 
+def _crop_next_to_center_one(key: Array, img: Array, size: int,
+                             max_translation: int) -> Array:
+    """Random crop centered near the image center, translated by at most
+    ±max_translation pixels per axis, window clamped inside the image
+    (reference: brainMASI/custom_transforms.py:12-82
+    RandomCropNextToCenter, used by the dHCP and ADNI train transforms
+    with max_translation=35)."""
+    h, w, _ = img.shape
+    ky, kx = jax.random.split(key)
+    cy = (h - size) // 2
+    cx = (w - size) // 2
+    mty = min(max_translation, max(cy, 0))
+    mtx = min(max_translation, max(cx, 0))
+    dy = jax.random.randint(ky, (), -mty, mty + 1) if mty else 0
+    dx = jax.random.randint(kx, (), -mtx, mtx + 1) if mtx else 0
+    top = jnp.clip(cy + dy, 0, max(h - size, 0))
+    left = jnp.clip(cx + dx, 0, max(w - size, 0))
+    return jax.lax.dynamic_slice(img, (top, left, 0),
+                                 (size, size, img.shape[2]))
+
+
+def _perspective_warp(img: Array, m: Array) -> Array:
+    """Apply homography ``m`` (dst←src convention of cv2.warpPerspective:
+    output pixel (x, y) samples the source at M⁻¹·(x, y, 1)) with
+    bilinear interpolation and zero border."""
+    h, w, _ = img.shape
+    minv = jnp.linalg.inv(m)
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
+    ones = jnp.ones_like(xx)
+    denom = minv[2, 0] * xx + minv[2, 1] * yy + minv[2, 2] * ones
+    xs = (minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]) / denom
+    ys = (minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]) / denom
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    dx = (xs - x0)[..., None]
+    dy = (ys - y0)[..., None]
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return jnp.where(valid[..., None], img[yc, xc, :], 0.0)
+
+    top = gather(y0, x0) * (1 - dx) + gather(y0, x0 + 1) * dx
+    bot = gather(y0 + 1, x0) * (1 - dx) + gather(y0 + 1, x0 + 1) * dx
+    return top * (1 - dy) + bot * dy
+
+
+def _perspective_one(key: Array, img: Array) -> Array:
+    """Random perspective warp: homography M = I + U(-0.002, 0.002)
+    (reference: datasets/ACDC/acdc_transforms.py:251-269
+    RandomPerspective via cv2.warpPerspective)."""
+    m = jnp.eye(3, dtype=jnp.float32) + jax.random.uniform(
+        key, (3, 3), jnp.float32, -0.002, 0.002)
+    return _perspective_warp(img, m)
+
+
 def _noise_one(key: Array, img: Array, sigma_max: float = 0.05) -> Array:
     """Additive gaussian noise with random sigma, clipped back to [0,1]
     (reference: datasets/ACDC/acdc_transforms.py noise transform)."""
@@ -216,6 +274,13 @@ class AugmentConfig:
     mirror: bool = False
     elastic: bool = False
     elastic_alpha: float = 10.0
+    # crop near the center instead of uniformly at random
+    # (reference: RandomCropNextToCenter, brainMASI/custom_transforms.py;
+    # dHCP/ADNI use max_translation=35)
+    crop_next_to_center: bool = False
+    max_translation: int = 35
+    # slight random homography (reference: acdc_transforms.py:251-269)
+    perspective: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -226,15 +291,20 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     if cfg.aug_patch_size is not None and cfg.aug_patch_size < x.shape[1]:
         x = center_crop(x, cfg.aug_patch_size)
 
-    keys = jax.random.split(key, 8 * b).reshape(8, b, 2)
+    keys = jax.random.split(key, 9 * b).reshape(9, b, 2)
     if cfg.elastic:
         x = jax.vmap(lambda k, i: _elastic_one(k, i, cfg.elastic_alpha))(
             keys[7], x)
-    if cfg.random_crop and x.shape[1] > cfg.patch_size:
+    if cfg.crop_next_to_center and x.shape[1] > cfg.patch_size:
+        x = jax.vmap(lambda k, i: _crop_next_to_center_one(
+            k, i, cfg.patch_size, cfg.max_translation))(keys[0], x)
+    elif cfg.random_crop and x.shape[1] > cfg.patch_size:
         x = jax.vmap(lambda k, i: _random_crop_one(k, i, cfg.patch_size))(
             keys[0], x)
     elif x.shape[1] > cfg.patch_size:
         x = center_crop(x, cfg.patch_size)
+    if cfg.perspective:
+        x = jax.vmap(_perspective_one)(keys[8], x)
     if cfg.rotate_any:
         x = jax.vmap(lambda k, i: _rotate_any_one(k, i, cfg.max_degree))(
             keys[3], x)

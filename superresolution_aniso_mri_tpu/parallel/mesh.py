@@ -65,16 +65,25 @@ def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
 
-    # jit with explicit in/out shardings — the canonical pjit pattern
-    batch_sharding_tree = {
-        "image": shard, "slice_between": shard,
-        "alpha_from": shard, "alpha_to": shard,
-    }
-    step = jax.jit(
-        lambda state, batch, rng, w: base_step(state, batch, rng, w),
-        in_shardings=(rep, batch_sharding_tree, rep, rep),
-        out_shardings=(rep, rep),
-    )
+    # jit with explicit in/out shardings — the canonical pjit pattern.
+    # The batch sharding tree is derived from the ACTUAL batch keys
+    # (loss_mask for ACDC --get_masks, alpha_features for alpha families,
+    # is_inbetween flags, ...): every batch entry carries a leading batch
+    # axis, so every leaf shards over the data axis. One jitted program
+    # per distinct key set.
+    cache: dict = {}
+
+    def step(state, batch, rng, w):
+        keys = tuple(sorted(batch))
+        if keys not in cache:
+            tree = {k: shard for k in keys}
+            cache[keys] = jax.jit(
+                lambda st, b, r, ww: base_step(st, b, r, ww),
+                in_shardings=(rep, tree, rep, rep),
+                out_shardings=(rep, rep),
+            )
+        return cache[keys](state, batch, rng, w)
+
     return step
 
 

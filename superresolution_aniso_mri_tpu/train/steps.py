@@ -58,6 +58,11 @@ class LossConfig:
     model: str = "ae_combined"
     recon_loss: str = "mse"               # 'mse' | 'perceptual'
     use_laploss: bool = False
+    # adds 0.135*(1 - SSIM(win=11)) to the MSE recon loss (reference
+    # semantics at base_trainer.py:179-181; the reference itself disabled
+    # the flag after a torch upgrade, trainer_ae.py:61-63 — we implement
+    # it with the differentiable JAX SSIM kernel)
+    use_ssim_loss: bool = False
     image_mix_loss_func: Optional[str] = None  # 'mse' | 'perceptual' | None
     use_extra_latent_loss: bool = False
     use_masks: bool = False
@@ -111,6 +116,11 @@ def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
         lap = jnp.float32(0.0)
     else:
         dist = mse(pred, target)
+        if cfg.use_ssim_loss:
+            from ..ops import ssim_volume
+            s = jnp.mean(ssim_volume(pred[..., 0], target[..., 0],
+                                     data_range=1.0, win_size=11))
+            dist = dist + 0.135 * (1.0 - s)
         lap = lap_loss(pred, target) if cfg.use_laploss else jnp.float32(0.0)
     return dist + lap, dist, lap
 

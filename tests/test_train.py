@@ -183,3 +183,31 @@ def test_perceptual_loss_training(toy_sampler, tmp_path):
         m = t.train(batch)
     assert np.isfinite(float(m["loss_ae"]))
     assert float(m["loss_ae"]) < float(first["loss_ae"])
+
+
+def test_use_ssim_loss_flag(toy_sampler):
+    """--use_ssim_loss adds 0.135*(1-SSIM(win=11)) to the MSE recon loss
+    (reference semantics base_trainer.py:179-181; the reference disabled
+    the flag — we implement it with the differentiable JAX SSIM)."""
+    import jax
+    from superresolution_aniso_mri_tpu.ops import ssim_volume, mse
+
+    base = Trainer(_toy_args("ae", None))
+    with_ssim = Trainer(_toy_args("ae", None, use_ssim_loss=True))
+    batch = _device_batch(toy_sampler)
+    m0 = base.validate(batch)
+    m1 = with_ssim.validate(batch)
+    # same weights (same seed): the SSIM term is the exact difference
+    pred = np.asarray(base.test_predictions["reconstruction"])
+    x = np.asarray(batch["image"])
+    s = float(np.mean(np.asarray(ssim_volume(
+        jnp.asarray(pred[..., 0]), jnp.asarray(x[..., 0]), 1.0, 11))))
+    expected = float(m0["loss_ae_dist"]) + 0.135 * (1.0 - s)
+    np.testing.assert_allclose(float(m1["loss_ae_dist"]), expected,
+                               rtol=1e-4)
+    # and it trains (gradients flow through the SSIM term)
+    before = np.array(jax.tree_util.tree_leaves(
+        with_ssim.state.params)[0])
+    with_ssim.train(batch)
+    after = np.array(jax.tree_util.tree_leaves(with_ssim.state.params)[0])
+    assert np.abs(after - before).max() > 0
