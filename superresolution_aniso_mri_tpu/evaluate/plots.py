@@ -115,3 +115,161 @@ def bland_altman_plot(values_a, values_b, label_a="method A",
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+def upsample_factor_compare(results: Dict[str, Dict[int, Sequence[float]]],
+                            metric: str = "ssim_synth",
+                            save_path: Optional[str] = None):
+    """Metric vs upsampling factor, one line per method
+    (reference: evaluate/plots/journal2/compare_upsampling_factors.py:46
+    upsample_compare). ``results``: {method: {factor: per-volume values}}."""
+    plt = _plt(save_path)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for method, per_factor in results.items():
+        factors = sorted(per_factor)
+        means = [float(np.mean(per_factor[f])) for f in factors]
+        stds = [float(np.std(per_factor[f])) for f in factors]
+        ax.errorbar(factors, means, yerr=stds, marker="o", capsize=3,
+                    label=method)
+    ax.set_xlabel("upsampling factor")
+    ax.set_ylabel(metric)
+    ax.legend()
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def interpolation_sequence_figure(slice_from: np.ndarray,
+                                  interpolants: np.ndarray,
+                                  slice_to: np.ndarray,
+                                  ground_truth: Optional[np.ndarray] = None,
+                                  save_path: Optional[str] = None):
+    """One row: from-slice, the latent interpolants in alpha order, the
+    to-slice; optional second row with the ground-truth in-between slices
+    (reference: evaluate/plots/journal2/synthesis.py:28
+    plot_interpol_sequence)."""
+    plt = _plt(save_path)
+    seq = [slice_from] + [interpolants[i] for i in
+                          range(interpolants.shape[0])] + [slice_to]
+    rows = 2 if ground_truth is not None else 1
+    fig, axes = plt.subplots(rows, len(seq),
+                             figsize=(2 * len(seq), 2 * rows))
+    axes = np.atleast_2d(axes)
+    for i, s in enumerate(seq):
+        axes[0, i].imshow(s, cmap="gray", vmin=0, vmax=1)
+        axes[0, i].axis("off")
+    axes[0, 0].set_title("from", fontsize=8)
+    axes[0, -1].set_title("to", fontsize=8)
+    if ground_truth is not None:
+        gts = [slice_from] + [ground_truth[i] for i in
+                              range(ground_truth.shape[0])] + [slice_to]
+        for i, s in enumerate(gts):
+            axes[1, i].imshow(s, cmap="gray", vmin=0, vmax=1)
+            axes[1, i].axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def compare_methods_slices(reference_slice: np.ndarray,
+                           method_slices: Dict[str, np.ndarray],
+                           show_diff: bool = True,
+                           save_path: Optional[str] = None):
+    """Reference + one column per method, optional |difference| row
+    (reference: evaluate/plots/journal2/evaluate_qualitatively.py:50
+    compare_methods_slices, get_diff at :219)."""
+    plt = _plt(save_path)
+    cols = 1 + len(method_slices)
+    rows = 2 if show_diff else 1
+    fig, axes = plt.subplots(rows, cols, figsize=(2.4 * cols, 2.4 * rows))
+    axes = np.atleast_2d(axes)
+    axes[0, 0].imshow(reference_slice, cmap="gray", vmin=0, vmax=1)
+    axes[0, 0].set_title("reference", fontsize=8)
+    for j, (name, sl) in enumerate(method_slices.items(), start=1):
+        axes[0, j].imshow(sl, cmap="gray", vmin=0, vmax=1)
+        axes[0, j].set_title(name, fontsize=8)
+        if show_diff:
+            diff = np.abs(reference_slice.astype(np.float32)
+                          - sl.astype(np.float32))
+            axes[1, j].imshow(diff, cmap="viridis")
+    for ax in axes.ravel():
+        ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def reconstructions_grid(method_volumes: Dict[str, np.ndarray],
+                         slice_ids: Sequence[int],
+                         save_path: Optional[str] = None):
+    """Rows = methods, columns = slices — the reconstruction comparison
+    grid (reference: evaluate/plots/journal2/reconstructions.py:99
+    plot_grid_reconstructions)."""
+    plt = _plt(save_path)
+    rows = len(method_volumes)
+    cols = len(slice_ids)
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    axes = np.atleast_2d(axes)
+    for i, (name, vol) in enumerate(method_volumes.items()):
+        for j, s in enumerate(slice_ids):
+            axes[i, j].imshow(vol[s], cmap="gray", vmin=0, vmax=1)
+            axes[i, j].axis("off")
+        axes[i, 0].set_ylabel(name, fontsize=8)
+        axes[i, 0].axis("on")
+        axes[i, 0].set_xticks([])
+        axes[i, 0].set_yticks([])
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def orthogonal_views_figure(volume: np.ndarray,
+                            save_path: Optional[str] = None):
+    """Axial / coronal / sagittal mid-views of a [z, y, x] volume
+    (reference: evaluate/plots/journal2/evaluate_qualitatively.py:13
+    plot_reference_coronal_sagittal)."""
+    plt = _plt(save_path)
+    mids = [volume.shape[0] // 2, volume.shape[1] // 2,
+            volume.shape[2] // 2]
+    views = [volume[mids[0]], volume[:, mids[1]], volume[:, :, mids[2]]]
+    titles = ["axial", "coronal", "sagittal"]
+    fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+    for ax, v, t in zip(axes, views, titles):
+        ax.imshow(v, cmap="gray", vmin=0, vmax=1, aspect="auto")
+        ax.set_title(t, fontsize=9)
+        ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def lax_views_compare(method_volumes: Dict[str, np.ndarray],
+                      axis: int = 1, position: Optional[int] = None,
+                      save_path: Optional[str] = None):
+    """One long-axis view per method at the same cut position
+    (reference: evaluate/plots/journal2/cardiac_lax_view.py:13
+    generate_lax_views)."""
+    plt = _plt(save_path)
+    names = list(method_volumes)
+    fig, axes = plt.subplots(1, len(names), figsize=(3 * len(names), 3))
+    for ax, name in zip(np.atleast_1d(axes), names):
+        vol = np.swapaxes(method_volumes[name], 0, axis)
+        p = position if position is not None else vol.shape[0] // 2
+        ax.imshow(vol[p], cmap="gray", vmin=0, vmax=1, aspect="auto")
+        ax.set_title(name, fontsize=9)
+        ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig

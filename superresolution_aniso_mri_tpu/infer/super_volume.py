@@ -67,22 +67,26 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
 
         z = _chunked_apply(model, variables, kept, model.encode,
                            decode_batch)                # [K, lw, lw, c]
-        if use_original:
-            recon = kept
-        else:
-            recon = _chunked_apply(model, variables, z, model.decode,
-                                   decode_batch)
 
-        z_prev = z[:-1]                         # [K-1, ...]
-        z_next = z[1:]
-        a = alphas[:, None, None, None, None]   # [A, 1, 1, 1, 1]
-        z_mix = a * z_next[None] + (1.0 - a) * z_prev[None]  # [A, K-1, ...]
-        am, k1 = z_mix.shape[0], z_mix.shape[1]
-        z_flat = z_mix.reshape((am * k1,) + z_mix.shape[2:])
-        dec = _chunked_apply(model, variables, z_flat, model.decode,
-                             decode_batch)
-        interp = dec.reshape((am, k1) + dec.shape[1:])
-        interp = jnp.swapaxes(interp, 0, 1)     # [K-1, A, H, W, C]
+        # mixed latents laid out [K-1, A, ...] directly — no transpose of
+        # the decoded stack, and ONE decoder pass covers reconstructions
+        # and interpolants (fewer logical ops; the axon transport is
+        # op-count-bound at ~20 µs/op, docs/STATUS.md)
+        a = alphas[None, :, None, None, None]   # [1, A, 1, 1, 1]
+        z_mix = a * z[1:, None] + (1.0 - a) * z[:-1, None]  # [K-1, A, ...]
+        k1, am = z_mix.shape[0], z_mix.shape[1]
+        z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
+        if use_original:
+            dec = _chunked_apply(model, variables, z_flat, model.decode,
+                                 decode_batch)
+            recon = kept
+            interp = dec.reshape((k1, am) + dec.shape[1:])
+        else:
+            dec = _chunked_apply(model, variables,
+                                 jnp.concatenate([z, z_flat], axis=0),
+                                 model.decode, decode_batch)
+            recon = dec[:z.shape[0]]
+            interp = dec[z.shape[0]:].reshape((k1, am) + dec.shape[1:])
         out = {"recon": recon, "interp": interp}
         if interleave:
             # full interleaved volume (+clamp) inside the same program —

@@ -112,3 +112,46 @@ def test_second_sr_model_combo(tmp_path):
     z_ae = np.asarray(t_ae.encode(x))
     z_sr = np.asarray(t_ae.encode(x, use_sr_model=True))
     assert not np.allclose(z_ae, z_sr)
+
+
+def test_figure_zoo(tmp_path):
+    """Remaining reference figure families (journal2/spie2021 scripts)
+    condensed into the plots API — each saves a non-empty png."""
+    from superresolution_aniso_mri_tpu.evaluate.plots import (
+        compare_methods_slices, interpolation_sequence_figure,
+        lax_views_compare, orthogonal_views_figure, reconstructions_grid,
+        upsample_factor_compare,
+    )
+
+    rng = np.random.RandomState(0)
+    vol = rng.rand(8, 24, 24).astype(np.float32)
+    paths = []
+
+    p = str(tmp_path / "upsample.png")
+    upsample_factor_compare(
+        {"caisr": {2: [0.9, 0.92], 4: [0.85, 0.86], 6: [0.8, 0.81]},
+         "linear": {2: [0.88, 0.89], 4: [0.8, 0.82], 6: [0.75, 0.74]}},
+        save_path=p); paths.append(p)
+
+    p = str(tmp_path / "seq.png")
+    interpolation_sequence_figure(vol[0], vol[1:4], vol[4],
+                                  ground_truth=vol[4:7], save_path=p)
+    paths.append(p)
+
+    p = str(tmp_path / "cmp.png")
+    compare_methods_slices(vol[0], {"caisr": vol[1], "linear": vol[2]},
+                           save_path=p); paths.append(p)
+
+    p = str(tmp_path / "recon_grid.png")
+    reconstructions_grid({"caisr": vol, "linear": vol}, [0, 3, 6],
+                         save_path=p); paths.append(p)
+
+    p = str(tmp_path / "ortho.png")
+    orthogonal_views_figure(vol, save_path=p); paths.append(p)
+
+    p = str(tmp_path / "lax.png")
+    lax_views_compare({"caisr": vol, "linear": vol}, save_path=p)
+    paths.append(p)
+
+    for p in paths:
+        assert os.path.isfile(p) and os.path.getsize(p) > 1000
