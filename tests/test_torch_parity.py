@@ -394,3 +394,58 @@ def test_train_trajectory_parity_with_torch_batchnorm():
     only by torch's unbiased-var convention and never enter the
     train-mode forward)."""
     _run_trajectory_parity(use_batchnorm=True, n_steps=20, rtol=5e-3)
+
+
+def test_train_trajectory_parity_brain_alphas():
+    """Brain-family pin: per-sample alpha_from/alpha_to latent mixing
+    (reference: kwatsch/brain/trainer_ae.py:20-32 _get_mixup_latent,
+    :92-132 AETrainerExtension1Brain.train) must track the torch oracle
+    exactly like the fixed-0.5 cardiac path."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, create_train_state, make_train_step,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6,
+                   use_batchnorm=False, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    lr, w1, b, n_steps = 1e-3, 0.05, 4, 25
+    rng = np.random.RandomState(11)
+    batches = []
+    for _ in range(n_steps):
+        af = rng.uniform(0.1, 0.9, b).astype(np.float32)
+        batches.append({
+            "image": rng.rand(2 * b, 32, 32, 1).astype(np.float32),
+            "slice_between": rng.rand(b, 32, 32, 1).astype(np.float32),
+            "alpha_from": af, "alpha_to": (1.0 - af).astype(np.float32)})
+
+    with jax.default_matmul_precision("highest"):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((2, 32, 32, 1)), lr=lr)
+        oracle = _TorchAEOracle(state.params, cfg, lr)
+        step = make_train_step(
+            model, LossConfig(model="ae_combined", recon_loss="mse",
+                              image_mix_loss_func="mse"), donate=False)
+        key = jax.random.PRNGKey(1)
+        for batch in batches:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, jb, key, jnp.float32(w1))
+
+            # torch oracle with per-sample alphas
+            x = torch.tensor(batch["image"].transpose(0, 3, 1, 2))
+            sb = torch.tensor(
+                batch["slice_between"].transpose(0, 3, 1, 2))
+            af = torch.tensor(batch["alpha_from"])[:, None, None, None]
+            at = torch.tensor(batch["alpha_to"])[:, None, None, None]
+            oracle.opt.zero_grad()
+            z = oracle.encode(x)
+            out = oracle.decode(z)
+            loss = F.mse_loss(out, x) + w1 * F.mse_loss(
+                oracle.decode(af * z[:b] + at * z[b:]), sb)
+            loss.backward()
+            oracle.opt.step()
+            np.testing.assert_allclose(float(metrics["loss_ae"]),
+                                       float(loss), rtol=2e-3, atol=1e-6)
