@@ -59,6 +59,11 @@ def parse_args(argv=None):
     parser.add_argument("--aug_patch_size", type=int, default=None)
     parser.add_argument("--get_masks", action="store_true")
     parser.add_argument("--log_tensorboard", action="store_true")
+    # TPU-rebuild extensions: multi-batch validation + preview cadence
+    parser.add_argument("--num_val_batches", type=int, default=4)
+    parser.add_argument("--volume_preview_interval", type=int, default=1,
+                        help="epochs between synthesized-volume previews "
+                             "(0 disables)")
     parser.add_argument("--epoch_threshold", type=int, default=100)
     # TPU-native extras
     parser.add_argument("--compute_dtype", type=str, default="float32",
