@@ -54,7 +54,11 @@ def test_create_brain_volumes_synthetic(tmp_path):
                                output_dir=str(tmp_path), width=32,
                                limited_load=True)
     assert len(res["per_volume"]) >= 1
-    saved = [f for f in os.listdir(tmp_path) if f.endswith(".nii.gz")]
+    # per-patient subdirs (reference create_HR_images.py:81-107 contract)
+    saved = [os.path.join(d, f) for d in os.listdir(tmp_path)
+             if os.path.isdir(os.path.join(tmp_path, d)) and d != "results"
+             for f in os.listdir(os.path.join(tmp_path, d))
+             if f.endswith(".nii.gz")]
     assert saved
 
 
