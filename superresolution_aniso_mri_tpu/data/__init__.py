@@ -32,3 +32,13 @@ __all__ += [
     "load_acdc_sr_seg_slices", "ACDCSRSegImage", "load_uncertainty_data",
     "create_centered_dataset", "center_4d_volume",
 ]
+
+from .masi import (  # noqa: E402
+    find_bbox, crop_to_brain, create_masi_cropped_dataset,
+    create_masi_lr_dataset, masi_train_test_split,
+)
+
+__all__ += [
+    "find_bbox", "crop_to_brain", "create_masi_cropped_dataset",
+    "create_masi_lr_dataset", "masi_train_test_split",
+]
