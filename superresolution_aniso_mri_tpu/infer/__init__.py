@@ -16,3 +16,11 @@ from .patches import (extract_patches, assemble_patches,
 __all__ += ["apply_blur_filter", "rescale_volume", "extract_patches",
             "assemble_patches", "reconstruct_in_patches",
             "interpolate_in_patches"]
+
+from .alpha_interp import (  # noqa: E402
+    latent_space_interp_pred_alpha, create_features,
+    synthesize_cardiac_features, get_alpha_probe_features,
+)
+
+__all__ += ["latent_space_interp_pred_alpha", "create_features",
+            "synthesize_cardiac_features", "get_alpha_probe_features"]

@@ -364,6 +364,24 @@ class Trainer:
     def predict(self, x, use_sr_model: bool = False):
         return self.decode(self.encode(x, use_sr_model), use_sr_model)
 
+    def predict_alpha(self, z_cat, features):
+        """Alpha-probe forward: predicted mixing coefficients from the
+        concatenated latents + scalar features (reference:
+        base_alpha_trainer.py predict_alpha). Only valid for alpha
+        families (model dict carries a 'probe')."""
+        if not (isinstance(self.model, dict) and "probe" in self.model):
+            raise ValueError("predict_alpha requires an alpha-family model")
+        probe = self.model["probe"]
+        variables = {"params": self.state.params["probe"]}
+        bs = self.state.batch_stats.get("probe", {})
+        if bs:
+            variables["batch_stats"] = bs
+        return probe.apply(variables, z_cat, features)
+
+    @property
+    def num_alphas(self) -> int:
+        return int(self.loss_config.num_alphas)
+
     # ------------------------------------------------------------------
     # checkpoints / losses (on-disk contract)
     # ------------------------------------------------------------------

@@ -215,3 +215,35 @@ def test_combine_volumes():
     # 4d variant
     out4 = combine_volumes(ae[None], caisr[None], ds)
     assert out4.shape == (1, 13, 4, 4)
+
+
+def test_latent_space_interp_pred_alpha():
+    """Probe-predicted mixing at inference
+    (reference: kwatsch/alpha/img_interpolation.py:44-92)."""
+    from superresolution_aniso_mri_tpu.infer import (
+        latent_space_interp_pred_alpha, synthesize_cardiac_features,
+    )
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    t = Trainer({
+        "dataset": "ACDC", "model": "alpha_end_to_end",
+        "ae_class": "VanillaACAI", "alpha_class": "AlphaProbe16v1",
+        "width": 32, "latent_width": 16, "depth": 4, "latent": 4,
+        "batch_size": 2, "lr": 1e-3, "epochs": 1, "downsample_steps": 2,
+        "seed": 0, "output_dir": None, "use_batchnorm": False,
+        "use_sigmoid": True,
+    })
+    feats = synthesize_cardiac_features(0.5, 9, 5.0, downsample_steps=2)
+    assert feats.shape == (4, 5)
+    np.testing.assert_allclose(feats[:, 2], 0.5)
+
+    rng = np.random.RandomState(0)
+    img1 = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
+    img2 = jnp.asarray(rng.rand(4, 32, 32, 1), jnp.float32)
+    decoded, alphas = latent_space_interp_pred_alpha(
+        t, img1, img2, downsample_steps=2,
+        feature_dict={"anatomy": "cardiac", "norm_frame_id": 0.5,
+                      "orig_num_slices": 9, "spacing": 5.0})
+    assert decoded.shape == (4, 32, 32, 1)
+    assert alphas.shape == (4, 2 * 4)  # AlphaProbe16v1 → 2*latent
+    assert np.isfinite(np.asarray(decoded)).all()
