@@ -273,3 +273,72 @@ def lax_views_compare(method_volumes: Dict[str, np.ndarray],
         fig.savefig(save_path, dpi=120)
         plt.close(fig)
     return fig
+
+
+class SegColorMap:
+    """Transparent-background segmentation colormap for label overlays
+    (reference: evaluate/plots/color_maps.py:5-29 SegColorMap /
+    :31 SegColorMapACDC via the ``colors`` argument)."""
+
+    DEFAULT = ((0, 0, 0), (10, 170, 28), (232, 167, 4), (43, 84, 206),
+               (230, 230, 0), (234, 9, 9))
+    ACDC = ((0, 0, 0), (234, 9, 9), (43, 84, 206), (10, 170, 28))
+
+    def __init__(self, alpha: float = 0.8, colors=DEFAULT):
+        c = np.asarray(colors, np.float64)
+        c = (c - c.min()) / (c.max() - c.min())
+        self.np_cmap = np.concatenate(
+            [c, np.full((len(c), 1), alpha)], axis=1)
+        self.np_cmap[0, -1] = 0.0  # background fully transparent
+
+    @property
+    def cmap(self):
+        from matplotlib.colors import ListedColormap
+        return ListedColormap(self.np_cmap)
+
+    def convert_multi_labels(self, label_array: np.ndarray) -> np.ndarray:
+        """Integer label map → RGBA array."""
+        return self.np_cmap[np.asarray(label_array, np.int64)]
+
+
+def label_overlay_figure(image: np.ndarray, labels: np.ndarray,
+                         alpha: float = 0.8, acdc: bool = False,
+                         save_path: Optional[str] = None):
+    """Grayscale slice with a transparent label overlay."""
+    plt = _plt(save_path)
+    cm = SegColorMap(alpha=alpha,
+                     colors=SegColorMap.ACDC if acdc else SegColorMap.DEFAULT)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    ax.imshow(image, cmap="gray", vmin=0, vmax=1)
+    ax.imshow(cm.convert_multi_labels(labels))
+    ax.axis("off")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=120)
+        plt.close(fig)
+    return fig
+
+
+def animate_volume(volume: np.ndarray, save_path: str,
+                   interval_ms: int = 100) -> str:
+    """Slice-scroll animation of a [z, y, x] volume saved as a gif
+    (reference: kwatsch/plot_utils.py:20-42 FuncAnimation helper)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    fig, ax = plt.subplots(figsize=(4, 4))
+    im = ax.imshow(volume[0], cmap="gray", vmin=0, vmax=1)
+    ax.axis("off")
+
+    def update(j):
+        im.set_data(volume[j])
+        return (im,)
+
+    anim = animation.FuncAnimation(fig, update, frames=volume.shape[0],
+                                   interval=interval_ms, blit=True)
+    anim.save(save_path, writer=animation.PillowWriter(
+        fps=max(1, 1000 // interval_ms)))
+    plt.close(fig)
+    return save_path

@@ -27,24 +27,24 @@ import numpy as np
 Array = jax.Array
 
 
-def _chunked_apply(model, variables, x: Array, method, chunk: Optional[int]):
-    """Apply encode/decode over the leading axis in fixed-size chunks via
+def _chunked_call(fn, x: Array, chunk: Optional[int]):
+    """Apply ``fn`` over the leading axis in fixed-size chunks via
     ``lax.map`` so peak HBM is bounded by ``chunk`` slices instead of the
     whole stack (the TPU equivalent of the reference's host-side
     chunking, kwatsch/base_trainer.py:216-323). ``chunk=None`` runs one
     batched call — fastest when it fits."""
     n = x.shape[0]
     if chunk is None or n <= chunk:
-        return model.apply(variables, x, method=method)
+        return fn(x)
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     chunks = xp.reshape((-1, chunk) + x.shape[1:])
-    out = jax.lax.map(
-        lambda c: model.apply(variables, c, method=method), chunks)
+    out = jax.lax.map(fn, chunks)
     return out.reshape((-1,) + out.shape[2:])[:n]
 
 
-def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
+def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
+                            packed: bool = False):
     """Build the jitted kernel for one model.
 
     Returns synth(params, batch_stats, kept [K,H,W,C], alphas [A],
@@ -55,7 +55,16 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
     the conv stacks: encode/decode run as a ``lax.map`` over
     ``decode_batch``-sized chunks, so arbitrarily long volumes (e.g.
     500 slices x 256^2 at ds=6 → ~2500 decode slices) cannot blow HBM.
+
+    ``packed=True`` folds every nearest-2x upsample of the decoder into
+    the following conv (space-to-depth packed lanes; see
+    infer/packed_decoder.py) when the model's decoder has that shape;
+    results are bit-identical. Measured on the v5e it is ~8% SLOWER than
+    the plain path (XLA already fuses the reshape-broadcast upsample into
+    the conv, and the depth-to-space reshuffles dominate), so it is off
+    by default — kept as an option for other topologies.
     """
+    cfg = getattr(model, "config", None)
 
     @partial(jax.jit, static_argnames=("use_original", "interleave"))
     def synthesize(params, batch_stats, kept: Array, alphas: Array,
@@ -65,8 +74,17 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        z = _chunked_apply(model, variables, kept, model.encode,
-                           decode_batch)                # [K, lw, lw, c]
+        from .packed_decoder import make_packed_decoder, packable
+        if packed and cfg is not None and packable(model, cfg, variables):
+            packed_dec = make_packed_decoder(model, cfg)
+            decode_fn = lambda zz: packed_dec(variables, zz)
+        else:
+            decode_fn = lambda zz: model.apply(variables, zz,
+                                               method=model.decode)
+        encode_fn = lambda xx: model.apply(variables, xx,
+                                           method=model.encode)
+
+        z = _chunked_call(encode_fn, kept, decode_batch)  # [K, lw, lw, c]
 
         # mixed latents laid out [K-1, A, ...] directly — no transpose of
         # the decoded stack, and ONE decoder pass covers reconstructions
@@ -77,14 +95,13 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None):
         k1, am = z_mix.shape[0], z_mix.shape[1]
         z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
         if use_original:
-            dec = _chunked_apply(model, variables, z_flat, model.decode,
-                                 decode_batch)
+            dec = _chunked_call(decode_fn, z_flat, decode_batch)
             recon = kept
             interp = dec.reshape((k1, am) + dec.shape[1:])
         else:
-            dec = _chunked_apply(model, variables,
-                                 jnp.concatenate([z, z_flat], axis=0),
-                                 model.decode, decode_batch)
+            dec = _chunked_call(decode_fn,
+                                jnp.concatenate([z, z_flat], axis=0),
+                                decode_batch)
             recon = dec[:z.shape[0]]
             interp = dec[z.shape[0]:].reshape((k1, am) + dec.shape[1:])
         out = {"recon": recon, "interp": interp}

@@ -346,3 +346,48 @@ def test_save_4d_volume_resample_back(tmp_path):
     arr, spacing, _ = read_image(path)
     assert arr.shape == (2, 6, 16, 16)
     np.testing.assert_allclose(spacing, [2.5, 2.8, 2.8], atol=1e-6)
+
+
+def test_packed_decoder_matches_model_decode(trainer):
+    """The space-to-depth packed decoder (upsample folded into the next
+    conv) is exactly model.decode in eval mode."""
+    import jax
+    from superresolution_aniso_mri_tpu.infer.packed_decoder import (
+        make_packed_decoder, packable,
+    )
+
+    model = trainer._ae_model()
+    cfg = model.config
+    params, batch_stats = trainer._ae_params()
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    assert packable(model, cfg, variables)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(3, 32, 32, 1), jnp.float32)
+    z = model.apply(variables, x, method=model.encode)
+    ref = np.asarray(model.apply(variables, z, method=model.decode))
+    got = np.asarray(make_packed_decoder(model, cfg)(variables, z))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_synthesizer_packed_vs_unpacked(trainer, toy_volume):
+    """create_super_volume output is identical with the packed decoder
+    disabled (the default path uses it when applicable)."""
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        make_volume_synthesizer,
+    )
+
+    model = trainer._ae_model()
+    params, batch_stats = trainer._ae_params()
+    kept = jnp.asarray(np.asarray(toy_volume.image[:6],
+                                  np.float32))[..., None]
+    alphas = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    a = make_volume_synthesizer(model, packed=True)(
+        params, batch_stats, kept, alphas, use_original=False)
+    b = make_volume_synthesizer(model, packed=False)(
+        params, batch_stats, kept, alphas, use_original=False)
+    np.testing.assert_allclose(np.asarray(a["recon"]),
+                               np.asarray(b["recon"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["interp"]),
+                               np.asarray(b["interp"]), atol=1e-6)

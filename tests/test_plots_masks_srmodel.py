@@ -155,3 +155,29 @@ def test_figure_zoo(tmp_path):
 
     for p in paths:
         assert os.path.isfile(p) and os.path.getsize(p) > 1000
+
+
+def test_seg_colormap_and_overlay(tmp_path):
+    from superresolution_aniso_mri_tpu.evaluate.plots import (
+        SegColorMap, label_overlay_figure,
+    )
+
+    cm = SegColorMap()
+    lbl = np.array([[0, 1], [2, 3]])
+    rgba = cm.convert_multi_labels(lbl)
+    assert rgba.shape == (2, 2, 4)
+    assert rgba[0, 0, -1] == 0.0      # background transparent
+    assert rgba[0, 1, -1] > 0.5
+    p = str(tmp_path / "overlay.png")
+    img = np.random.RandomState(0).rand(24, 24)
+    label_overlay_figure(img, np.random.RandomState(1).randint(
+        0, 4, (24, 24)), acdc=True, save_path=p)
+    assert os.path.getsize(p) > 1000
+
+
+def test_animate_volume(tmp_path):
+    from superresolution_aniso_mri_tpu.evaluate.plots import animate_volume
+
+    vol = np.random.RandomState(0).rand(4, 16, 16).astype(np.float32)
+    p = animate_volume(vol, str(tmp_path / "vol.gif"), interval_ms=50)
+    assert os.path.isfile(p) and os.path.getsize(p) > 500
