@@ -24,13 +24,14 @@ __all__ = [
 from .acdc_aux import (  # noqa: E402
     get_acdc_fold_patient_ids, acdc_sr_seg_fold, load_acdc_sr_seg_slices,
     ACDCSRSegImage, load_uncertainty_data, create_centered_dataset,
-    center_4d_volume,
+    center_4d_volume, load_acdc_label_volumes, normalize_cardiac_label,
 )
 
 __all__ += [
     "get_acdc_fold_patient_ids", "acdc_sr_seg_fold",
     "load_acdc_sr_seg_slices", "ACDCSRSegImage", "load_uncertainty_data",
     "create_centered_dataset", "center_4d_volume",
+    "load_acdc_label_volumes", "normalize_cardiac_label",
 ]
 
 from .masi import (  # noqa: E402

@@ -357,3 +357,59 @@ def create_centered_dataset(src_dir: str, out_dir: str,
         write_image(out_path, centered, spacing=np.asarray(spacing)[-3:])
         written.append(out_path)
     return written
+
+
+# ---------------------------------------------------------------------------
+# label-only volumes for label-interpolation experiments
+# (reference: datasets/ACDC/data_simple.py ACDCLabels)
+# ---------------------------------------------------------------------------
+
+def normalize_cardiac_label(labels: np.ndarray,
+                            cardiac_label: Optional[int] = None
+                            ) -> np.ndarray:
+    """One structure → intensity 2.0, everything else 0
+    (reference: data_simple.py:215-218 _normalize_labels); with
+    ``cardiac_label=None`` all foreground labels keep their value."""
+    labels = np.asarray(labels)
+    if cardiac_label is None:
+        return labels.astype(np.float32)
+    out = np.zeros(labels.shape, np.float32)
+    out[labels == cardiac_label] = 2.0
+    return out
+
+
+def load_acdc_label_volumes(root_dir: str, fold: int = 0,
+                            dataset: str = "training",
+                            cardiac_label: Optional[int] = None,
+                            resample: bool = True,
+                            limited_load: bool = False) -> List[Dict]:
+    """Per-(patient, frame) LABEL volumes for label-SR experiments
+    (reference: data_simple.py:77-292 ACDCLabels — slices of one cardiac
+    structure, trained like images). Reads every
+    ``patientXXX/patientXXX_frameYY_gt.nii.gz`` of the fold split,
+    optionally resamples in-plane to 1.4 mm (order 0) and normalizes the
+    chosen structure to intensity 2.0. Feed the returned volumes to the
+    standard TripletSampler for training."""
+    nums = get_acdc_fold_patient_ids(fold, dataset, limited_load,
+                                     max_limit_load=3)
+    out: List[Dict] = []
+    for num in nums:
+        pid = f"patient{num:03d}"
+        for path in sorted(glob.glob(os.path.join(
+                root_dir, pid, f"{pid}_frame*_gt.nii.gz"))):
+            lbl, spacing, _ = read_image(path)
+            lbl = np.asarray(lbl, np.int32)
+            spacing = np.asarray(spacing, np.float64)[-3:]
+            if resample:
+                lbl = apply_2d_zoom_3d(lbl, spacing, ACDC_NEW_SPACING,
+                                       order=0, do_blur=False,
+                                       as_type=np.int32)
+                spacing = np.array([spacing[0], ACDC_NEW_SPACING[1],
+                                    ACDC_NEW_SPACING[2]])
+            frame = os.path.basename(path).split("_frame")[1].split("_")[0]
+            out.append({
+                "image": normalize_cardiac_label(lbl, cardiac_label),
+                "labels": lbl, "spacing": spacing, "patient_id": pid,
+                "frame_id": int(frame),
+            })
+    return out

@@ -190,3 +190,29 @@ def test_random_perspective_in_pipeline():
     # deterministic per key
     out2 = augment_batch(jax.random.PRNGKey(1), x, cfg)
     np.testing.assert_array_equal(b, np.asarray(out2))
+
+
+def test_load_acdc_label_volumes(tmp_path):
+    from superresolution_aniso_mri_tpu.data import (
+        load_acdc_label_volumes, normalize_cardiac_label,
+    )
+    from superresolution_aniso_mri_tpu.utils import write_image
+
+    rng = np.random.RandomState(0)
+    for num in (16, 17):
+        pid = f"patient{num:03d}"
+        (tmp_path / pid).mkdir()
+        for fr in ("01", "12"):
+            lbl = rng.randint(0, 4, (6, 20, 20)).astype(np.int32)
+            write_image(str(tmp_path / pid / f"{pid}_frame{fr}_gt.nii.gz"),
+                        lbl, spacing=[5.0, 1.4, 1.4])
+    vols = load_acdc_label_volumes(str(tmp_path), fold=0,
+                                   dataset="validation", cardiac_label=3,
+                                   resample=False)
+    assert len(vols) == 4
+    v = vols[0]
+    assert set(np.unique(v["image"])) <= {0.0, 2.0}
+    assert v["patient_id"] == "patient016" and v["frame_id"] == 1
+    # cardiac_label=None keeps all labels
+    all_lbl = normalize_cardiac_label(v["labels"], None)
+    assert all_lbl.max() == v["labels"].max()
