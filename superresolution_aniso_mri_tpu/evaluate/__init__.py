@@ -9,6 +9,7 @@ from .quantitative_comparison import (
     generate_synth_slices_mask,
 )
 from .ppl import compute_ppl
+from .sweep import evaluate_volumes_batched, make_sweep_evaluator
 from .reconstruction import evaluate_model_reconstruction
 from . import seg_metrics
 from .clinical import (
@@ -33,6 +34,7 @@ from .model_registry import (
 __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
     "save_metrics", "save_3d_volume", "save_4d_volume",
+    "evaluate_volumes_batched", "make_sweep_evaluator",
     "FILTER_BENCH", "find_best_val_model",
     "list_epoch_checkpoints", "evaluate_image", "generate_val_volume_grids",
     "compare_quantitative", "load_results", "format_latex_string",

@@ -33,10 +33,16 @@ def list_epoch_checkpoints(exper_dir: str) -> List[int]:
 def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
                         downsample_steps: int,
                         epoch_range: Optional[Iterable[int]] = None,
+                        batched: bool = False,
                         verbose: bool = False) -> Dict:
     """Sweep checkpoints; returns per-epoch aggregates and the argmax per
     tracked metric. Saves model_perf_*.npz into the experiment dir
-    (reference: find_best_model.py:99-108)."""
+    (reference: find_best_model.py:99-108).
+
+    ``batched=True`` runs synthesis + per-slice metrics for all volumes
+    of a shape-group in ONE device program per epoch (evaluate/sweep.py)
+    — the fast path for long sweeps; scores only the model-generated
+    region (verbatim tail slices excluded)."""
     from ..train import get_trainer
 
     volumes = list(volumes)
@@ -52,10 +58,19 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
     trainer = get_trainer(exper_dir, model_nbr=None, eval_mode=True)
     for epoch in epoch_range:
         trainer.load(os.path.join(exper_dir, "models", f"{epoch}.models"))
-        res = create_hr_images(trainer, volumes, downsample_steps,
-                               save_volumes=False)
-        for k in METRICS_TRACKED:
-            history[k].append(res["aggregate"][k][0])
+        if batched:
+            from .sweep import evaluate_volumes_batched
+
+            per_vol = evaluate_volumes_batched(trainer, volumes,
+                                               downsample_steps)
+            for k in METRICS_TRACKED:
+                history[k].append(float(np.mean(
+                    [m[k] for m in per_vol.values()])))
+        else:
+            res = create_hr_images(trainer, volumes, downsample_steps,
+                                   save_volumes=False)
+            for k in METRICS_TRACKED:
+                history[k].append(res["aggregate"][k][0])
         if verbose:
             print(f"epoch {epoch}: " + " ".join(
                 f"{k}={history[k][-1]:.4f}" for k in METRICS_TRACKED))

@@ -64,7 +64,7 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
     the conv, and the depth-to-space reshuffles dominate), so it is off
     by default — kept as an option for other topologies.
     """
-    cfg = getattr(model, "config", None)
+    core = make_synthesis_core(model, decode_batch, packed)
 
     @partial(jax.jit, static_argnames=("use_original", "interleave"))
     def synthesize(params, batch_stats, kept: Array, alphas: Array,
@@ -73,7 +73,22 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
+        return core(variables, kept, alphas, use_original, interleave)
 
+    return synthesize
+
+
+def make_synthesis_core(model, decode_batch: Optional[int] = None,
+                        packed: bool = False):
+    """The un-jitted synthesis body shared by the single-volume
+    synthesizer and the batched sweep evaluator (evaluate/sweep.py):
+    core(variables, kept [K,H,W,C], alphas [A], use_original, interleave)
+    → {'recon', 'interp'[, 'volume']}."""
+    cfg = getattr(model, "config", None)
+
+    def core(variables, kept: Array, alphas: Array,
+             use_original: bool = False,
+             interleave: bool = False) -> Dict[str, Array]:
         from .packed_decoder import make_packed_decoder, packable
         if packed and cfg is not None and packable(model, cfg, variables):
             packed_dec = make_packed_decoder(model, cfg)
@@ -112,7 +127,7 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
                                      0.0, 1.0)
         return out
 
-    return synthesize
+    return core
 
 
 def interleave_volume(recon: Array, interp: Array) -> Array:

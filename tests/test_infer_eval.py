@@ -391,3 +391,34 @@ def test_synthesizer_packed_vs_unpacked(trainer, toy_volume):
                                np.asarray(b["recon"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a["interp"]),
                                np.asarray(b["interp"]), atol=1e-6)
+
+
+def test_batched_sweep_matches_per_volume(trainer):
+    """The fused batched evaluator (one program per shape-group) must
+    agree with the per-volume metric path on tail-free volumes."""
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_volumes_batched,
+    )
+
+    vols = make_toy_dataset(3, 32, 13, seed=30)  # (13-1)%2==0: no tails
+    batched = evaluate_volumes_batched(trainer, vols, downsample_steps=2)
+    assert len(batched) == 3
+    ref = create_hr_images(trainer, vols, downsample_steps=2)
+    for vol in vols:
+        b = batched[vol.patient_id]
+        r = ref["per_volume"][vol.patient_id]
+        for k in ("ssim", "psnr", "vif", "ssim_synth", "psnr_synth",
+                  "vif_synth", "mse"):
+            np.testing.assert_allclose(b[k], r[k], rtol=2e-4, atol=1e-5)
+
+
+def test_find_best_model_batched(tmp_path):
+    t = _toy_trainer(tmp_path)
+    t.prepare_run()
+    for epoch in (1, 2):
+        t.save_models(os.path.join(t.dir_models, f"{epoch}.models"), epoch)
+    vols = make_toy_dataset(2, 32, 9, seed=31)
+    res = find_best_val_model(str(tmp_path), vols, downsample_steps=2,
+                              batched=True)
+    assert len(res["history"]["ssim_synth"]) == 2
+    assert np.isfinite(res["history"]["ssim_synth"]).all()
