@@ -133,10 +133,23 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                 _rng_box[0], k = jax.random.split(_rng_box[0])
                 return _device_batch(raw, aug_cfg, k)
 
-            # background thread keeps 2 device-ready batches ahead
+            # background thread keeps 2 device-ready batches ahead;
+            # steps_per_dispatch > 1 scans N optimizer steps inside one
+            # device program (amortizes the tunnel's per-program floor)
+            spd = int(merged.get("steps_per_dispatch", 1) or 1)
+            buf = []
             for batch in prefetch_epoch(sampler, batch_size, to_device):
-                trainer.train(batch)
                 last_batch = batch
+                if spd <= 1:
+                    trainer.train(batch)
+                    continue
+                buf.append(batch)
+                if len(buf) == spd:
+                    trainer.train_many(jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *buf))
+                    buf = []
+            for batch in buf:  # remainder of the epoch
+                trainer.train(batch)
             rng, _ = jax.random.split(rng)
             # end-of-epoch validation over several batches so best-model
             # selection averages a real estimate rather than one noisy

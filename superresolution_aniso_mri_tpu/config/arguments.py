@@ -61,6 +61,9 @@ def parse_args(argv=None):
     parser.add_argument("--log_tensorboard", action="store_true")
     # TPU-rebuild extensions: multi-batch validation + preview cadence
     parser.add_argument("--num_val_batches", type=int, default=4)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="optimizer steps scanned inside one device "
+                             "program (amortizes per-dispatch transport)")
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")

@@ -506,8 +506,7 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
                                  batch_stats, batch, mix_weight)
         raise ValueError(f"unknown family {family}")
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def train_step(state, batch, rng, mix_weight):
+    def _step(state, batch, rng, mix_weight):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics, _aux)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, mix_weight)
@@ -515,7 +514,62 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
         state = state.replace(batch_stats=new_bs)
         return state, metrics
 
-    return train_step
+    return partial(jax.jit, donate_argnums=(0,) if donate else ())(_step)
+
+
+def make_multi_train_step(model, cfg: LossConfig, lpips_params=None,
+                          donate: bool = True):
+    """N optimizer steps per device dispatch: ``lax.scan`` over a stacked
+    batch tree ([N, ...] leaves) inside ONE jitted program. Returns
+    step(state, batches, rng, mix_weight) → (state, metrics-with-[N]-
+    leading-axis); N is read from the batch leaves (one compile per N).
+
+    Measured on the axon-tunneled v5e this is ~30% SLOWER per step than
+    the pipelined single-step dispatch stream (13.3 vs 9.7 ms at the
+    OASIS config): async dispatch already overlaps transport with
+    compute, and the scan body cannot donate its carry buffers. Kept as
+    an option (--steps_per_dispatch) for host-bound environments; the
+    default stays 1.
+    """
+    family = cfg.family
+
+    def loss_fn(params, batch_stats, batch, rng, mix_weight):
+        if family in ("ae", "ae_combined"):
+            return _ae_losses(model, cfg, lpips_params, params, batch_stats,
+                              batch, mix_weight)
+        if family == "vae":
+            return _vae_losses(model, cfg, lpips_params, params, batch_stats,
+                               batch, mix_weight, rng)
+        if family == "acai":
+            return _acai_losses(model, cfg, lpips_params, params, batch_stats,
+                                batch, mix_weight, rng)
+        if family in ("multichannel", "multichannel_combined"):
+            return _multichannel_losses(model, cfg, lpips_params, params,
+                                        batch_stats, batch, mix_weight)
+        if family == "alpha":
+            return _alpha_losses(model, cfg, lpips_params, params,
+                                 batch_stats, batch, mix_weight)
+        raise ValueError(f"unknown family {family}")
+
+    def one(state, batch, rng, mix_weight):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics, _aux)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, mix_weight)
+        state = state.apply_gradients(grads=grads)
+        return state.replace(batch_stats=new_bs), metrics
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def multi_step(state, batches, rng, mix_weight):
+        n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        rngs = jax.random.split(rng, n)
+
+        def body(st, xs):
+            batch, r = xs
+            return one(st, batch, r, mix_weight)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return multi_step
 
 
 def make_eval_step(model, cfg: LossConfig, lpips_params=None):

@@ -194,6 +194,7 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.loss_config,
                                         self.lpips_params)
         self._jit_encode = None
+        self._multi_step = None
         self._jit_decode = None
         # optional second "SR" model: AE reconstructions + CAISR synthesis
         # combos (reference: kwatsch/get_trainer.py:88-181 model_nbr_sr,
@@ -276,6 +277,27 @@ class Trainer:
             jnp.float32(self._mix_weight()))
         for k, v in metrics.items():
             self.losses[k].append(v)
+        return metrics
+
+    def train_many(self, batches: Dict[str, Any]):
+        """N optimisation steps in ONE device dispatch: ``batches`` is a
+        stacked batch tree ([N, ...] leaves). Amortizes the per-program
+        transport floor of tunneled chips (train/steps.py
+        make_multi_train_step); exact same trajectory as N train()
+        calls."""
+        if self._multi_step is None:
+            from .steps import make_multi_train_step
+            self._multi_step = make_multi_train_step(
+                self.model, self.loss_config, self.lpips_params)
+        n = int(jax.tree_util.tree_leaves(batches)[0].shape[0])
+        self._iters += n
+        self.state, metrics = self._multi_step(
+            self.state, batches, self._next_rng(),
+            jnp.float32(self._mix_weight()))
+        for k, v in metrics.items():
+            # keep per-step device scalars (lazy host sync at flush)
+            for i in range(n):
+                self.losses[k].append(v[i])
         return metrics
 
     def validate(self, batch: Dict[str, Any]):

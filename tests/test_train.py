@@ -211,3 +211,51 @@ def test_use_ssim_loss_flag(toy_sampler):
     with_ssim.train(batch)
     after = np.array(jax.tree_util.tree_leaves(with_ssim.state.params)[0])
     assert np.abs(after - before).max() > 0
+
+
+def test_multi_step_matches_sequential(toy_sampler):
+    """lax.scan multi-step dispatch == N sequential single steps (exact:
+    same rng split, same batches)."""
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, create_train_state, make_multi_train_step,
+        make_train_step,
+    )
+
+    cfg = AEConfig(width=16, latent_width=8, depth=4, latent=4,
+                   use_batchnorm=True, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((2, 16, 16, 1)), lr=1e-3)
+    loss_cfg = LossConfig(model="ae_combined", recon_loss="mse",
+                          image_mix_loss_func="mse")
+    rng = np.random.RandomState(0)
+    n, b = 5, 4
+    batches = [{
+        "image": rng.rand(2 * b, 16, 16, 1).astype(np.float32),
+        "slice_between": rng.rand(b, 16, 16, 1).astype(np.float32),
+        "alpha_from": np.full((b,), 0.5, np.float32),
+        "alpha_to": np.full((b,), 0.5, np.float32),
+    } for _ in range(n)]
+
+    key = jax.random.PRNGKey(7)
+    single = make_train_step(model, loss_cfg, donate=False)
+    s_seq = state
+    keys = jax.random.split(key, n)
+    for batch, k in zip(batches, keys):
+        s_seq, m_seq = single(s_seq, {kk: jnp.asarray(v)
+                                      for kk, v in batch.items()},
+                              k, jnp.float32(0.01))
+
+    multi = make_multi_train_step(model, loss_cfg, donate=False)
+    stacked = {kk: jnp.asarray(np.stack([b_[kk] for b_ in batches]))
+               for kk in batches[0]}
+    s_multi, m_multi = multi(state, stacked, key, jnp.float32(0.01))
+
+    assert m_multi["loss_ae"].shape == (n,)
+    np.testing.assert_allclose(float(m_multi["loss_ae"][-1]),
+                               float(m_seq["loss_ae"]), rtol=1e-6)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s_seq.params),
+                     jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-7)
