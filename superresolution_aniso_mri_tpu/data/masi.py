@@ -63,13 +63,17 @@ def crop_to_brain(img: np.ndarray, ref_labels: np.ndarray,
     img = np.asarray(img, np.float32)
     mask = foreground_mask(ref_labels)
     ax0, ax1, ax2 = img.shape
+    # extents are inclusive indices → +1 for exclusive slice stops
     lo1, hi1 = mask_axis_extent(mask, 1)
+    hi1 += 1
     lo0, hi0 = mask_axis_extent(mask, 0)
+    hi0 += 1
     if ax0 - hi0 != 0:
         hi0 += int((ax0 - hi0) * 0.5)
     if lo0 != 0:
         lo0 -= int(lo0 * 0.5)
     lo2, hi2 = mask_axis_extent(mask, 2)
+    hi2 += 1
     if ax2 - hi2 != 0:
         hi2 += int((ax2 - hi2) * 0.5)
     if lo2 != 0:
@@ -122,7 +126,10 @@ def create_masi_cropped_dataset(src_path: str, out_path: str,
         out_dir = os.path.join(out_path, sub, "images")
         os.makedirs(out_dir, exist_ok=True)
         out_file = os.path.join(out_dir, base)
-        write_image(out_file, cropped, spacing=np.asarray(spacing))
+        # crop_to_brain transposes (1, 0, 2): permute the spacing so the
+        # header follows the array axes
+        sp = np.asarray(spacing, np.float64)
+        write_image(out_file, cropped, spacing=sp[[1, 0, 2]])
         written.append(out_file)
     return written
 
@@ -148,10 +155,12 @@ def create_masi_lr_dataset(src_path: str, out_path: str,
             img = np.asarray(img, np.float32)
             spacing = np.asarray(spacing, np.float64)
             z_factor = spacing[0] / float(new_spacing_z)
-            sigma = spacing[0] / 2.355
+            # FWHM = the SIMULATED slice thickness, expressed in source
+            # voxels (sigma_mm = new_z / 2.355, / source z-spacing)
+            sigma = float(new_spacing_z) / (2.355 * spacing[0])
             blurred = scipy.ndimage.gaussian_filter1d(img, sigma, axis=0)
-            lr = scipy.ndimage.zoom(
-                blurred, (z_factor, spacing[1], spacing[2]), order=1)
+            # z-only resample; in-plane grid unchanged
+            lr = scipy.ndimage.zoom(blurred, (z_factor, 1.0, 1.0), order=1)
             out_file = os.path.join(out_dir, os.path.basename(fname))
             write_image(out_file, lr,
                         spacing=np.array([new_spacing_z, spacing[1],

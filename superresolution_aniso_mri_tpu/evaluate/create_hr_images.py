@@ -34,23 +34,27 @@ def save_3d_volume(image: np.ndarray, patient_id: str, output_dir: str,
     volume is resampled in-plane back to ``original_spacing`` (y, x) —
     z keeps the SR spacing — before saving."""
     sr_spacing = np.asarray(sr_spacing, np.float64).copy()
+    spacing_img = sr_spacing.copy()
     if resample:
         if original_spacing is None:
             raise ValueError("resample=True requires original_spacing")
         image = apply_2d_zoom_3d(image, sr_spacing, original_spacing,
                                  do_blur=True, as_type=np.float32)
-        sr_spacing[1:] = np.asarray(original_spacing, np.float64)[1:]
+        spacing_img[1:] = np.asarray(original_spacing, np.float64)[1:]
     pat_dir = os.path.join(output_dir, patient_id)
     os.makedirs(pat_dir, exist_ok=True)
     fname = f"{patient_id}_{file_suffix if file_suffix else model}.nii.gz"
     path = os.path.join(pat_dir, fname)
-    write_image(path, np.asarray(image, np.float32), spacing=sr_spacing)
+    write_image(path, np.asarray(image, np.float32), spacing=spacing_img)
     if labels is not None:
         lbl_spacing = sr_spacing.copy()
         if resample:
+            # resample from the UNmutated SR spacing (the 4D path already
+            # does this; the 3D path previously zoomed by 1.0)
             labels = apply_2d_zoom_3d(labels, sr_spacing, original_spacing,
                                       do_blur=False, order=0,
                                       as_type=np.int32)
+            lbl_spacing[1:] = np.asarray(original_spacing, np.float64)[1:]
         lbl_dir = os.path.join(output_dir_labels or output_dir + "_labels",
                                patient_id)
         os.makedirs(lbl_dir, exist_ok=True)

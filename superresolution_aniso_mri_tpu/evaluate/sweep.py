@@ -80,27 +80,42 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
     alphas = jnp.asarray(np.asarray(alpha_range, np.float32))
     a_n = len(alpha_range)
     ds = int(downsample_steps)
+    if a_n + 1 != ds:
+        # interleaved-output stride is a_n+1; HR slice positions only
+        # align when that equals the downsample stride
+        raise ValueError(
+            f"len(alpha_range)={a_n} must be downsample_steps-1={ds - 1} "
+            "so synthesized slices align with the HR grid")
 
     groups: Dict[tuple, List] = {}
+    frame_counts: Dict[str, int] = {}
     for vol in volumes:
-        hr = np.asarray(
+        hr_full = np.asarray(
             vol.image_hr if vol.image_hr is not None else vol.image,
             np.float32)
-        img = np.asarray(vol.image, np.float32)
-        s = img.shape[0]
-        remain = (s - 1) % ds
-        kept = (img[:-remain] if remain else img)[::ds]
-        k_true = kept.shape[0]
-        k_pad = bucket_size(k_true)
-        n_out = (k_pad - 1) * (a_n + 1) + 1
-        kept_p = np.zeros((k_pad,) + kept.shape[1:], np.float32)
-        kept_p[:k_true] = kept
-        hr_p = np.zeros((n_out,) + hr.shape[1:], np.float32)
-        n_valid = min((k_true - 1) * (a_n + 1) + 1, hr.shape[0])
-        hr_p[:n_valid] = hr[:n_valid]
-        key = (k_pad, img.shape[1], img.shape[2])
-        groups.setdefault(key, []).append(
-            (vol.patient_id, kept_p, hr_p, n_valid))
+        img_full = np.asarray(vol.image, np.float32)
+        # 4D cardiac volumes score frame-by-frame, averaged per patient
+        # (same convention as create_hr_images)
+        if img_full.ndim == 4:
+            frames = [(f"{vol.patient_id} {t}", img_full[t], hr_full[t])
+                      for t in range(img_full.shape[0])]
+            frame_counts[vol.patient_id] = img_full.shape[0]
+        else:
+            frames = [(vol.patient_id, img_full, hr_full)]
+        for pid, img, hr in frames:
+            s = img.shape[0]
+            remain = (s - 1) % ds
+            kept = (img[:-remain] if remain else img)[::ds]
+            k_true = kept.shape[0]
+            k_pad = bucket_size(k_true)
+            n_out = (k_pad - 1) * (a_n + 1) + 1
+            kept_p = np.zeros((k_pad,) + kept.shape[1:], np.float32)
+            kept_p[:k_true] = kept
+            hr_p = np.zeros((n_out,) + hr.shape[1:], np.float32)
+            n_valid = min((k_true - 1) * (a_n + 1) + 1, hr.shape[0])
+            hr_p[:n_valid] = hr[:n_valid]
+            key = (k_pad, img.shape[1], img.shape[2])
+            groups.setdefault(key, []).append((pid, kept_p, hr_p, n_valid))
 
     evaluator = _get_evaluator(trainer)
     params, batch_stats = trainer._ae_params()
@@ -124,4 +139,10 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
                 m[name + "_synth"] = float(np.mean(vals[synth]))
             m["mse"] = float(np.mean(per_slice["sq"][j][valid]))
             results[pid] = m
+
+    # fold per-frame entries back to per-patient means
+    for pat, n_frames in frame_counts.items():
+        frames = [results.pop(f"{pat} {t}") for t in range(n_frames)]
+        results[pat] = {k: float(np.mean([f[k] for f in frames]))
+                        for k in frames[0]}
     return results

@@ -225,7 +225,9 @@ def create_super_volume(trainer, images, alpha_range=None,
 
     if decode_batch == "auto":
         depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
-        n_total = max(k_pad, (k_pad - 1) * a_n)
+        # default path decodes reconstructions + interpolants in ONE
+        # concatenated call — budget for the sum, not the max
+        n_total = k_pad + (k_pad - 1) * a_n
         decode_batch = _auto_decode_batch(n_total, kept.shape[1],
                                           kept.shape[2], depth)
 

@@ -477,15 +477,9 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
 # step builders
 # ---------------------------------------------------------------------------
 
-def make_train_step(model, cfg: LossConfig, lpips_params=None,
-                    donate: bool = True):
-    """Build the jitted train step for a model family.
-
-    ``model`` is a Flax module (or {'ae','disc'} dict for ACAI).
-    Returns step(state, batch, rng, mix_weight) → (state, metrics).
-    ``mix_weight`` is a traced scalar so weight annealing
-    (reference: base_trainer.py:451-459) never recompiles.
-    """
+def _make_loss_fn(model, cfg: LossConfig, lpips_params):
+    """Family-dispatch loss shared by the single-step and scanned
+    multi-step builders."""
     family = cfg.family
 
     def loss_fn(params, batch_stats, batch, rng, mix_weight):
@@ -506,7 +500,13 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
                                  batch_stats, batch, mix_weight)
         raise ValueError(f"unknown family {family}")
 
-    def _step(state, batch, rng, mix_weight):
+    return loss_fn
+
+
+def _make_one_step(loss_fn):
+    """grad → Adam update → batch_stats replace, shared by both builders."""
+
+    def one_step(state, batch, rng, mix_weight):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics, _aux)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, mix_weight)
@@ -514,7 +514,20 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
         state = state.replace(batch_stats=new_bs)
         return state, metrics
 
-    return partial(jax.jit, donate_argnums=(0,) if donate else ())(_step)
+    return one_step
+
+
+def make_train_step(model, cfg: LossConfig, lpips_params=None,
+                    donate: bool = True):
+    """Build the jitted train step for a model family.
+
+    ``model`` is a Flax module (or {'ae','disc'} dict for ACAI).
+    Returns step(state, batch, rng, mix_weight) → (state, metrics).
+    ``mix_weight`` is a traced scalar so weight annealing
+    (reference: base_trainer.py:451-459) never recompiles.
+    """
+    one_step = _make_one_step(_make_loss_fn(model, cfg, lpips_params))
+    return partial(jax.jit, donate_argnums=(0,) if donate else ())(one_step)
 
 
 def make_multi_train_step(model, cfg: LossConfig, lpips_params=None,
@@ -531,32 +544,7 @@ def make_multi_train_step(model, cfg: LossConfig, lpips_params=None,
     an option (--steps_per_dispatch) for host-bound environments; the
     default stays 1.
     """
-    family = cfg.family
-
-    def loss_fn(params, batch_stats, batch, rng, mix_weight):
-        if family in ("ae", "ae_combined"):
-            return _ae_losses(model, cfg, lpips_params, params, batch_stats,
-                              batch, mix_weight)
-        if family == "vae":
-            return _vae_losses(model, cfg, lpips_params, params, batch_stats,
-                               batch, mix_weight, rng)
-        if family == "acai":
-            return _acai_losses(model, cfg, lpips_params, params, batch_stats,
-                                batch, mix_weight, rng)
-        if family in ("multichannel", "multichannel_combined"):
-            return _multichannel_losses(model, cfg, lpips_params, params,
-                                        batch_stats, batch, mix_weight)
-        if family == "alpha":
-            return _alpha_losses(model, cfg, lpips_params, params,
-                                 batch_stats, batch, mix_weight)
-        raise ValueError(f"unknown family {family}")
-
-    def one(state, batch, rng, mix_weight):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (new_bs, metrics, _aux)), grads = grad_fn(
-            state.params, state.batch_stats, batch, rng, mix_weight)
-        state = state.apply_gradients(grads=grads)
-        return state.replace(batch_stats=new_bs), metrics
+    one_step = _make_one_step(_make_loss_fn(model, cfg, lpips_params))
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi_step(state, batches, rng, mix_weight):
@@ -565,7 +553,7 @@ def make_multi_train_step(model, cfg: LossConfig, lpips_params=None,
 
         def body(st, xs):
             batch, r = xs
-            return one(st, batch, r, mix_weight)
+            return one_step(st, batch, r, mix_weight)
 
         return jax.lax.scan(body, state, (batches, rngs))
 

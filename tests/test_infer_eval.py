@@ -422,3 +422,52 @@ def test_find_best_model_batched(tmp_path):
                               batched=True)
     assert len(res["history"]["ssim_synth"]) == 2
     assert np.isfinite(res["history"]["ssim_synth"]).all()
+
+
+def test_save_3d_volume_resample_with_labels(tmp_path):
+    """Labels must resample from the UNmutated SR spacing (review fix):
+    both image and labels halve in-plane together."""
+    from superresolution_aniso_mri_tpu.evaluate import save_3d_volume
+    from superresolution_aniso_mri_tpu.utils import read_image
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(6, 32, 32).astype(np.float32)
+    lbl = rng.randint(0, 4, (6, 32, 32)).astype(np.int32)
+    path = save_3d_volume(img, "p3", str(tmp_path), [2.5, 1.4, 1.4],
+                          file_suffix="sr",
+                          original_spacing=[5.0, 2.8, 2.8], resample=True,
+                          labels=lbl,
+                          output_dir_labels=str(tmp_path) + "_lbl")
+    arr, sp, _ = read_image(path)
+    assert arr.shape == (6, 16, 16)
+    lpath = os.path.join(str(tmp_path) + "_lbl", "p3", "p3_sr.nii.gz")
+    larr, lsp, _ = read_image(lpath)
+    assert larr.shape == (6, 16, 16)          # was a no-op before the fix
+    np.testing.assert_allclose(lsp, [2.5, 2.8, 2.8], atol=1e-6)
+    assert set(np.unique(larr)) <= {0, 1, 2, 3}
+
+
+def test_batched_sweep_rejects_misaligned_alphas(trainer):
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_volumes_batched,
+    )
+
+    vols = make_toy_dataset(1, 32, 9, seed=40)
+    with pytest.raises(ValueError, match="alpha_range"):
+        evaluate_volumes_batched(trainer, vols, downsample_steps=4,
+                                 alpha_range=[0.5])
+
+
+def test_batched_sweep_4d_volumes(trainer):
+    """4D cardiac volumes score frame-by-frame, averaged per patient."""
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_volumes_batched,
+    )
+
+    frames = np.stack([make_toy_dataset(1, 32, 9, seed=41 + t)[0].image
+                       for t in range(2)], axis=0)
+    vol = Volume(image=frames, spacing=np.array([5.0, 1.4, 1.4]),
+                 patient_id="pat4d")
+    res = evaluate_volumes_batched(trainer, [vol], downsample_steps=2)
+    assert set(res) == {"pat4d"}
+    assert np.isfinite(list(res["pat4d"].values())).all()

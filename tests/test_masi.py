@@ -62,3 +62,31 @@ def test_cropped_and_lr_dataset_roundtrip(tmp_path):
     arr, spacing, _ = read_image(lr[0])
     np.testing.assert_allclose(spacing[0], 3.0)
     assert arr.shape[0] < 32  # z thinned
+
+
+def test_crop_to_brain_keeps_last_labeled_plane():
+    """Inclusive extents → exclusive stops need +1 (review fix)."""
+    img = np.zeros((10, 40, 40), np.float32)
+    ref = np.zeros_like(img, np.int32)
+    ref[2:8, 10:30, 12:28] = 1
+    img[:] = 0.0
+    img[7, 29, :] = 1.0  # content exactly on the last labeled planes
+    out = crop_to_brain(img, ref, patch_size=40)
+    assert out.max() == 1.0  # the last plane survived the crop
+
+
+def test_masi_lr_dataset_preserves_inplane_grid(tmp_path):
+    """LR simulation resamples z only (review fix: in-plane zoom factors
+    were the spacing values)."""
+    from superresolution_aniso_mri_tpu.utils import read_image, write_image
+
+    src = tmp_path / "c" / "training" / "images"
+    src.mkdir(parents=True)
+    img = np.random.RandomState(0).rand(20, 30, 28).astype(np.float32)
+    write_image(str(src / "1.nii"), img, spacing=[1.0, 0.8, 0.8])
+    lr = create_masi_lr_dataset(str(tmp_path / "c"), str(tmp_path / "lr"),
+                                new_spacing_z=5.0)
+    arr, sp, _ = read_image(lr[0])
+    assert arr.shape[1:] == (30, 28)          # in-plane untouched
+    assert arr.shape[0] == 4                  # 20 * (1/5)
+    np.testing.assert_allclose(sp, [5.0, 0.8, 0.8], atol=1e-6)
