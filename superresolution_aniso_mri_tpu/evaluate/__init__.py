@@ -10,6 +10,7 @@ from .quantitative_comparison import (
 )
 from .ppl import compute_ppl
 from .sweep import evaluate_volumes_batched, make_sweep_evaluator
+from .sr_seg_eval import evaluate_sr_segmentation, score_segmentation
 from .reconstruction import evaluate_model_reconstruction
 from . import seg_metrics
 from .clinical import (
@@ -35,6 +36,7 @@ __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
     "save_metrics", "save_3d_volume", "save_4d_volume",
     "evaluate_volumes_batched", "make_sweep_evaluator",
+    "evaluate_sr_segmentation", "score_segmentation",
     "FILTER_BENCH", "find_best_val_model",
     "list_epoch_checkpoints", "evaluate_image", "generate_val_volume_grids",
     "compare_quantitative", "load_results", "format_latex_string",

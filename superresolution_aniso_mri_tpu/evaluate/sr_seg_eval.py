@@ -1,0 +1,91 @@
+"""Segmentation-quality evaluation over super-resolved volumes.
+
+Completes the reference's SR-segmentation workflow: the sr_seg_test
+loaders provide reference labels for the SR evaluation fold
+(data/acdc_aux.py), external segmentations of the SR volumes land in a
+prediction directory (get_data.py layout), and the vendored-medpy
+metric definitions score them (reference: datasets/ACDC/sr_seg_test/
+dataset.py + datasets/ACDC/get_data.py + kwatsch/medpy_metrics.py, used
+together by the journal's segmentation experiments).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional, Sequence
+
+import numpy as np
+
+from ..data.acdc_aux import acdc_sr_seg_fold, load_uncertainty_data
+from .seg_metrics import assd, dc, hd95
+
+ACDC_STRUCTURES = {1: "RV", 2: "MYO", 3: "LV"}
+
+
+def score_segmentation(pred: np.ndarray, reference: np.ndarray,
+                       voxelspacing=None,
+                       structures: Optional[Dict[int, str]] = None
+                       ) -> Dict[str, Dict[str, float]]:
+    """Per-structure Dice / HD95 / ASSD between integer label volumes."""
+    structures = structures or ACDC_STRUCTURES
+    out: Dict[str, Dict[str, float]] = {}
+    for lbl, name in structures.items():
+        p = pred == lbl
+        r = reference == lbl
+        scores = {"dice": dc(p, r)}
+        if p.any() and r.any():
+            scores["hd95"] = hd95(p, r, voxelspacing=voxelspacing)
+            scores["assd"] = assd(p, r, voxelspacing=voxelspacing)
+        else:
+            scores["hd95"] = float("nan")
+            scores["assd"] = float("nan")
+        out[name] = scores
+    return out
+
+
+def evaluate_sr_segmentation(pred_dir: str, root_dir: str, fold: int = 0,
+                             cardiac_phases: Sequence[str] = ("ED", "ES"),
+                             mc_dropout: bool = False,
+                             limited_load: bool = False,
+                             resample: bool = False) -> Dict:
+    """Score predicted segmentations of SR volumes against the SR-seg
+    fold's reference labels.
+
+    ``pred_dir`` follows the get_data.py layout:
+    ``<pred_dir>/pred_labels[_mc]/<patient>_<ED|ES>.nii.gz``.
+    Returns {'per_case': {(patient, phase): {structure: scores}},
+    'aggregate': {structure: {metric: (mean, std)}}}.
+    """
+    refs = {}
+    spacings = {}
+    for d in acdc_sr_seg_fold(fold, root_dir, limited_load=limited_load,
+                              resample=resample):
+        if d["reference"] is None:
+            continue
+        refs[(d["patient_id"], d["cardiac_phase"])] = d["reference"]
+        spacings[(d["patient_id"], d["cardiac_phase"])] = d["spacing"]
+
+    per_case: Dict = {}
+    for phase in cardiac_phases:
+        preds = load_uncertainty_data(pred_dir, phase, "pred_labels",
+                                      mc_dropout=mc_dropout)["pred_labels"]
+        for pid, pred in preds.items():
+            key = (pid, phase)
+            if key not in refs:
+                continue
+            per_case[key] = score_segmentation(
+                np.asarray(pred, np.int32), refs[key],
+                voxelspacing=spacings[key])
+
+    agg: Dict[str, Dict[str, tuple]] = {}
+    if per_case:
+        any_case = next(iter(per_case.values()))
+        for name in any_case:
+            agg[name] = {}
+            for metric in any_case[name]:
+                vals = np.array([c[name][metric]
+                                 for c in per_case.values()], np.float64)
+                vals = vals[np.isfinite(vals)]
+                agg[name][metric] = (float(vals.mean()) if len(vals) else
+                                     float("nan"),
+                                     float(vals.std()) if len(vals) else
+                                     float("nan"))
+    return {"per_case": per_case, "aggregate": agg}

@@ -216,3 +216,40 @@ def test_load_acdc_label_volumes(tmp_path):
     # cardiac_label=None keeps all labels
     all_lbl = normalize_cardiac_label(v["labels"], None)
     assert all_lbl.max() == v["labels"].max()
+
+
+def test_evaluate_sr_segmentation(sr_seg_root, tmp_path):
+    """SR-segmentation scoring workflow: predictions in the get_data.py
+    layout scored against the SR-seg fold's reference labels."""
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_sr_segmentation, score_segmentation,
+    )
+    from superresolution_aniso_mri_tpu.utils import read_image, write_image
+
+    pred_dir = tmp_path / "preds"
+    (pred_dir / "pred_labels").mkdir(parents=True)
+    # perfect predictions for patient016, shifted for patient017
+    for num in (16, 17):
+        pid = f"patient{num:03d}"
+        ref, _, _ = read_image(os.path.join(
+            sr_seg_root, "ref_labels", f"{pid}.nii.gz"))
+        ed = np.asarray(ref, np.int32)[0]
+        if num == 17:
+            ed = np.roll(ed, 2, axis=1)
+        write_image(str(pred_dir / "pred_labels" / f"{pid}_ED.nii.gz"),
+                    ed, spacing=[5.0, 1.4, 1.4])
+
+    res = evaluate_sr_segmentation(str(pred_dir), sr_seg_root, fold=0,
+                                   cardiac_phases=("ED",),
+                                   limited_load=True)
+    assert ("patient016", "ED") in res["per_case"]
+    perfect = res["per_case"][("patient016", "ED")]
+    assert perfect["LV"]["dice"] == 1.0 and perfect["RV"]["dice"] == 1.0
+    shifted = res["per_case"][("patient017", "ED")]
+    assert shifted["LV"]["dice"] < 1.0
+    assert "LV" in res["aggregate"] and "dice" in res["aggregate"]["LV"]
+
+    # direct scorer: empty structures yield nan distances, dice 0
+    s = score_segmentation(np.zeros((4, 8, 8), np.int32),
+                           np.ones((4, 8, 8), np.int32) * 3)
+    assert s["LV"]["dice"] == 0.0 and np.isnan(s["LV"]["hd95"])
