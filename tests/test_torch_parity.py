@@ -449,3 +449,115 @@ def test_train_trajectory_parity_brain_alphas():
             oracle.opt.step()
             np.testing.assert_allclose(float(metrics["loss_ae"]),
                                        float(loss), rtol=2e-3, atol=1e-6)
+
+
+def _encode_with(oracle, side, x):
+    """Encoder chain over an arbitrary converted side (AE encoder or the
+    ACAI discriminator's reused Encoder)."""
+    import torch.nn.functional as F
+    lrelu = lambda h: F.leaky_relu(h, 0.01)
+    cfg = oracle.cfg
+    h = oracle._conv(side, "stem", x, 0)
+    for s in range(cfg.scales):
+        h = lrelu(oracle._conv(side, f"Conv_{2 * s}", h, 1))
+        h = lrelu(oracle._conv(side, f"Conv_{2 * s + 1}", h, 1))
+        if cfg.use_batchnorm:
+            h = oracle._bn(side, s, h, True)
+        h = F.avg_pool2d(h, 2)
+    h = lrelu(oracle._conv(side, f"Conv_{2 * cfg.scales}", h, 1))
+    return oracle._conv(side, "head", h, 1)
+
+
+def test_acai_trajectory_parity_with_torch():
+    """ACAI twin-backward parity: the reference zeroes both optimizers,
+    backprops loss_ae (retain_graph) THEN loss_disc — accumulating both
+    losses' grads into both networks — then steps both Adams
+    (reference: trainer_acai.py:76-83). Our joint-tree grad of
+    loss_ae + loss_disc must reproduce that trajectory exactly, with the
+    alpha ~ U[0, 0.5) draws replicated from the jax keys."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from superresolution_aniso_mri_tpu.models import (
+        AEConfig, Discriminator, VanillaACAI,
+    )
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, make_train_step,
+    )
+    from superresolution_aniso_mri_tpu.train.state import (
+        SRTrainState, make_optimizer,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6,
+                   use_batchnorm=False, use_sigmoid=True)
+    ae, disc = VanillaACAI(cfg), Discriminator(cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    v_ae = ae.init(k1, jnp.zeros((2, 32, 32, 1)), train=False)
+    v_disc = disc.init(k2, jnp.zeros((2, 32, 32, 1)), train=False)
+    params = {"ae": v_ae["params"], "disc": v_disc["params"]}
+    lr, w1, b, n_steps, lamb, gamma = 1e-3, 0.05, 4, 15, 0.5, 0.2
+    state = SRTrainState.create(
+        apply_fn=ae.apply, params=params, tx=make_optimizer(lr),
+        batch_stats={"ae": {}, "disc": {}})
+    loss_cfg = LossConfig(model="acai_combined", recon_loss="mse",
+                          image_mix_loss_func="mse",
+                          lamb_reg_acai=lamb, gamma_reg_acai=gamma)
+    step = make_train_step({"ae": ae, "disc": disc}, loss_cfg,
+                           donate=False)
+
+    with jax.default_matmul_precision("highest"):
+        # torch twins initialized from the same trees
+        oracle = _TorchAEOracle(params["ae"], cfg, lr)
+        n_ae_tensors = len(oracle.tensors)
+        disc_side = oracle._convert(params["disc"]["Encoder_0"], cfg.scales)
+        opt_disc = torch.optim.Adam(oracle.tensors[n_ae_tensors:], lr=lr,
+                                    betas=(0.9, 0.999), eps=1e-8)
+
+        rng = np.random.RandomState(5)
+        key = jax.random.PRNGKey(3)
+        s = state
+        for i in range(n_steps):
+            batch = {
+                "image": rng.rand(2 * b, 32, 32, 1).astype(np.float32),
+                "slice_between": rng.rand(b, 32, 32, 1).astype(np.float32),
+                "alpha_from": np.full((b,), 0.5, np.float32),
+                "alpha_to": np.full((b,), 0.5, np.float32)}
+            key, k = jax.random.split(key)
+            s, metrics = step(s, {kk: jnp.asarray(v)
+                                  for kk, v in batch.items()},
+                              k, jnp.float32(w1))
+            # replicate the step's alpha ~ U[0, 0.5) draw exactly
+            alpha_np = np.asarray(jax.random.uniform(k, (b,))) / 2.0
+
+            x = torch.tensor(batch["image"].transpose(0, 3, 1, 2))
+            sb = torch.tensor(batch["slice_between"].transpose(0, 3, 1, 2))
+            al = torch.tensor(alpha_np)[:, None, None, None]
+            z = oracle.encode(x)
+            out = oracle.decode(z)
+            loss_ae_dist = F.mse_loss(out, x)
+            d_reg = _encode_with(
+                oracle, disc_side,
+                out + gamma * (x - out)).flatten(1).mean(1)
+            loss_disc_l2 = (d_reg ** 2).mean()
+            z_mix_d = al * z[:b] + (1.0 - al) * z[b:]
+            d_mix = _encode_with(oracle, disc_side,
+                                 oracle.decode(z_mix_d)).flatten(1).mean(1)
+            loss_ae_l2 = (d_mix ** 2).mean()
+            loss_disc_dist = ((d_mix - torch.tensor(alpha_np)) ** 2).mean()
+            s_mix = oracle.decode(0.5 * z[:b] + 0.5 * z[b:])
+            loss_ae = (loss_ae_dist + lamb * loss_ae_l2
+                       + w1 * F.mse_loss(s_mix, sb))
+            loss_disc = loss_disc_dist + loss_disc_l2
+            oracle.opt.zero_grad()
+            opt_disc.zero_grad()
+            loss_ae.backward(retain_graph=True)
+            loss_disc.backward()
+            oracle.opt.step()
+            opt_disc.step()
+
+            np.testing.assert_allclose(float(metrics["loss_ae"]),
+                                       float(loss_ae), rtol=5e-3,
+                                       atol=1e-6)
+            np.testing.assert_allclose(float(metrics["loss_disc"]),
+                                       float(loss_disc), rtol=5e-3,
+                                       atol=1e-6)
