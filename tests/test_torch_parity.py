@@ -561,3 +561,84 @@ def test_acai_trajectory_parity_with_torch():
             np.testing.assert_allclose(float(metrics["loss_disc"]),
                                        float(loss_disc), rtol=5e-3,
                                        atol=1e-6)
+
+
+def test_vae_trajectory_parity_with_torch():
+    """VAE parity (reference: trainer_vae.py:24-80): BCE-sum/B + beta*KL
+    (+ combined mix MSE), reparametrization noise replicated from the
+    jax keys, Dense heads over the NHWC flatten."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from superresolution_aniso_mri_tpu.models import AEConfig
+    from superresolution_aniso_mri_tpu.models.vae import VAE
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, create_train_state, make_train_step,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=4,
+                   use_batchnorm=False, use_sigmoid=True)
+    model = VAE(cfg)
+    lr, w1, b, n_steps, beta, lamb = 1e-3, 0.05, 4, 12, 0.1, 1.0
+    with jax.default_matmul_precision("highest"):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((2, 32, 32, 1)), lr=lr)
+        loss_cfg = LossConfig(model="vae_combined", recon_loss="mse",
+                              image_mix_loss_func="mse",
+                              vae_beta=beta, lamb=lamb)
+        step = make_train_step(model, loss_cfg, donate=False)
+
+        p = state.params
+        oracle = _TorchAEOracle({"enc": p["enc"], "dec": p["dec"]}, cfg, lr)
+        # Dense heads: flax kernel [in, out] → torch linear [out, in]
+        heads = {}
+        for name in ("encoder_mu", "encoder_logvar"):
+            w = torch.tensor(np.asarray(p[name]["kernel"]).T.copy(),
+                             requires_grad=True)
+            bb = torch.tensor(np.asarray(p[name]["bias"]),
+                              requires_grad=True)
+            heads[name] = (w, bb)
+            oracle.tensors += [w, bb]
+        opt = torch.optim.Adam(oracle.tensors, lr=lr, betas=(0.9, 0.999),
+                               eps=1e-8)
+
+        rng = np.random.RandomState(9)
+        key = jax.random.PRNGKey(11)
+        lw, lat = cfg.latent_width, cfg.latent
+        s = state
+        for i in range(n_steps):
+            batch = {
+                "image": rng.rand(2 * b, 32, 32, 1).astype(np.float32),
+                "slice_between": rng.rand(b, 32, 32, 1).astype(np.float32),
+                "alpha_from": np.full((b,), 0.5, np.float32),
+                "alpha_to": np.full((b,), 0.5, np.float32)}
+            key, k = jax.random.split(key)
+            s, metrics = step(s, {kk: jnp.asarray(v)
+                                  for kk, v in batch.items()},
+                              k, jnp.float32(w1))
+            eps = np.asarray(jax.random.normal(
+                k, (2 * b, lat * lw * lw), np.float32))
+
+            x = torch.tensor(batch["image"].transpose(0, 3, 1, 2))
+            sb = torch.tensor(batch["slice_between"].transpose(0, 3, 1, 2))
+            opt.zero_grad()
+            z_conv = oracle.encode(x)
+            # flax flattens the NHWC layout
+            flat = z_conv.permute(0, 2, 3, 1).flatten(1)
+            mu = flat @ heads["encoder_mu"][0].T + heads["encoder_mu"][1]
+            logvar = (flat @ heads["encoder_logvar"][0].T
+                      + heads["encoder_logvar"][1])
+            z_flat = mu + torch.exp(0.5 * logvar) * torch.tensor(eps)
+            z = z_flat.reshape(-1, lw, lw, lat).permute(0, 3, 1, 2)
+            out = oracle.decode(z)
+            recon = F.binary_cross_entropy(
+                out.clamp(1e-7, 1 - 1e-7), x, reduction="sum") / (2 * b)
+            kl = torch.mean(-0.5 * logvar
+                            + 0.5 * (torch.exp(logvar) + mu ** 2) - 0.5)
+            s_mix = oracle.decode(0.5 * z[:b] + 0.5 * z[b:])
+            loss = (lamb * recon + beta * kl
+                    + w1 * F.mse_loss(s_mix, sb))
+            loss.backward()
+            opt.step()
+            np.testing.assert_allclose(float(metrics["loss_ae"]),
+                                       float(loss), rtol=5e-3, atol=1e-5)
