@@ -1,0 +1,148 @@
+"""Installable console entry points (pyproject [project.scripts]).
+
+The repo-root scripts (train_cardiac_aesr.py, train_brain_aesr.py,
+generate_hr_volumes.py, find_best_model.py — the reference's CLI names)
+delegate here so an installed wheel exposes the same commands as
+``sr-train-cardiac`` / ``sr-train-brain`` / ``sr-generate-hr-volumes`` /
+``sr-find-best-model``.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+BRAIN_DATASETS = ("brainMASI", "dHCP", "OASIS", "ADNI", "MNIST3D",
+                  "MNISTRoto")
+CARDIAC_DATASETS = ("ACDC", "ACDCC", "ACDCLBL", "ARVC")
+
+
+def train_cardiac():
+    """Reference: train_cardiac_aesr.py:153-214."""
+    from ..config.arguments import parse_args
+    from .train_loop import run_training
+
+    args, args_dict = parse_args()
+    if args.dataset not in CARDIAC_DATASETS:
+        raise SystemExit(f"train_cardiac: cardiac datasets only, "
+                         f"got {args.dataset}")
+    np.random.seed(args.seed)
+    return run_training(args_dict)
+
+
+def train_brain():
+    """Reference: train_brain_aesr.py:137-192."""
+    from ..config.arguments import parse_args
+    from .train_loop import run_training
+
+    args, args_dict = parse_args()
+    if args.dataset not in BRAIN_DATASETS:
+        raise SystemExit(f"train_brain: brain/toy datasets only, "
+                         f"got {args.dataset}")
+    np.random.seed(args.seed)
+    return run_training(args_dict)
+
+
+def _load_image_paths(data_input_dir: str):
+    files = []
+    for pat in ("*.nii", "*.nii.gz", "*.mha", "*.mhd"):
+        files.extend(glob.glob(os.path.join(data_input_dir, pat)))
+    files = sorted(set(files))
+    if not files:
+        raise SystemExit(f"no volumes found in {data_input_dir}")
+    return files
+
+
+def generate_hr_volumes(argv=None):
+    """Reference: generate_hr_volumes.py:159-209 — synthesize
+    num_interpolations slices between every adjacent pair (originals
+    kept verbatim), z-spacing divided by (n+1)."""
+    from ..data import rescale_intensities
+    from ..infer import create_super_volume
+    from ..train import get_trainer
+    from ..utils import read_image, write_image
+
+    parser = argparse.ArgumentParser(
+        description="Synthesize in-between slices for anisotropic volumes")
+    parser.add_argument("--exper_dir", type=str, required=True,
+                        help="experiment directory (settings.yaml + models/)")
+    parser.add_argument("--model_nbr", type=str, default="caisr",
+                        help="epoch number or 'ae'/'caisr'")
+    parser.add_argument("--data_input_dir", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--num_interpolations", type=int, default=1)
+    args = parser.parse_args(argv)
+
+    model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
+                 else args.model_nbr)
+    trainer = get_trainer(os.path.expanduser(args.exper_dir),
+                          model_nbr=model_nbr, eval_mode=True)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    n = args.num_interpolations
+    alpha_range = np.linspace(0, 1, n + 2)[1:-1]
+    for path in _load_image_paths(os.path.expanduser(args.data_input_dir)):
+        arr, spacing, affine = read_image(path)
+        arr = arr.astype(np.float32)
+        frames = arr[None] if arr.ndim == 3 else arr
+        out_frames = []
+        for frame in frames:
+            # percentile-normalize if outside [0,1]
+            # (reference: generate_hr_volumes.py:104-111,130-133)
+            if frame.min() < 0 or frame.max() > 1:
+                frame = rescale_intensities(frame, percs=(1, 99))
+            res = create_super_volume(trainer, frame,
+                                      alpha_range=alpha_range,
+                                      use_original=True,
+                                      downsample_steps=None,
+                                      generate_inbetween_slices=False)
+            out_frames.append(res["upsampled_image"])
+        out = (out_frames[0] if arr.ndim == 3
+               else np.stack(out_frames, axis=0))
+        new_spacing = np.asarray(spacing, np.float64).copy()
+        new_spacing[0] = new_spacing[0] / (n + 1)
+        base = os.path.basename(path)
+        for ext in (".nii.gz", ".nii", ".mha", ".mhd"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        out_path = os.path.join(args.output_dir,
+                                f"{base}_ni{n:02d}.nii.gz")
+        write_image(out_path, out.astype(np.float32), spacing=new_spacing)
+        print(f"saved {out_path}  "
+              f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
+              f"z-spacing {new_spacing[0]:.3f}mm)")
+
+
+def find_best_model(argv=None):
+    """Reference: evaluate/find_best_model.py:184-213."""
+    from ..config.settings import load_settings
+    from ..data.datasets import get_datasets
+    from ..evaluate import find_best_val_model
+
+    parser = argparse.ArgumentParser(description="Find best val model")
+    parser.add_argument("--exper_dir", type=str, required=True)
+    parser.add_argument("--downsample_steps", type=int, default=None)
+    parser.add_argument("--limited_load", action="store_true")
+    parser.add_argument("--use_synthetic_data", action="store_true")
+    parser.add_argument("--batched", action="store_true",
+                        help="one device program per shape-group "
+                             "(3.7x faster sweeps)")
+    args = parser.parse_args(argv)
+
+    exper_dir = os.path.expanduser(args.exper_dir)
+    settings = load_settings(os.path.join(exper_dir, "settings.yaml"))
+    if args.limited_load:
+        settings["limited_load"] = True
+    if args.use_synthetic_data:
+        settings["use_synthetic_data"] = True
+    ds = args.downsample_steps or int(settings.get("downsample_steps") or 2)
+    _train, val = get_datasets(settings)
+    res = find_best_val_model(exper_dir, val, ds, batched=args.batched,
+                              verbose=True)
+    print("best per metric:")
+    for metric, info in res["best"].items():
+        print(f"  {metric}: epoch {info['epoch']}  value {info['value']:.4f}")
+    return res

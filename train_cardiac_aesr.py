@@ -10,20 +10,7 @@ Example (reference README.md:23):
   python train_cardiac_aesr.py -d ACDC -m ae_combined -b 12 --latent 128 \
       --downsample_steps 2 -e 900 --ex_loss_weight1 0.05
 """
-import numpy as np
-
-from superresolution_aniso_mri_tpu.config.arguments import parse_args
-from superresolution_aniso_mri_tpu.cli import run_training
-
-
-def main():
-    args, args_dict = parse_args()
-    if args.dataset not in ("ACDC", "ACDCC", "ACDCLBL"):
-        raise SystemExit(f"train_cardiac_aesr: cardiac datasets only, "
-                         f"got {args.dataset}")
-    np.random.seed(args.seed)
-    run_training(args_dict)
-
+from superresolution_aniso_mri_tpu.cli.entry import train_cardiac as main
 
 if __name__ == "__main__":
     main()
