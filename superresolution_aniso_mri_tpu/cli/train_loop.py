@@ -121,13 +121,36 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
         if verbose:
             print(f"resumed from {merged['model_filename']} "
                   f"(epoch {trainer.epoch})")
+    elif merged.get("auto_resume"):
+        # elastic restart: continue from the newest numbered checkpoint
+        # (the reference requires a manual --model_filename,
+        # train_cardiac_aesr.py:108-116)
+        from ..evaluate.find_best_model import list_epoch_checkpoints
 
+        epochs_saved = list_epoch_checkpoints(merged["output_dir"])
+        if epochs_saved:
+            ckpt = os.path.join(trainer.dir_models,
+                                f"{epochs_saved[-1]}.models")
+            trainer.load(ckpt)
+            if verbose:
+                print(f"auto-resumed from {ckpt} (epoch {trainer.epoch})")
+
+    profile_dir = merged.get("profile_dir")
+    start_epoch = trainer.epoch
     try:
+        import contextlib
+
         from ..data.prefetch import prefetch_epoch
+        from ..utils.profiling import trace
 
         for epoch in range(trainer.epoch, epochs):
             t0 = time.time()
             last_batch = None
+            # --profile_dir records a jax.profiler trace of the first
+            # epoch (viewable in TensorBoard/Perfetto)
+            prof = (trace(profile_dir) if profile_dir
+                    and epoch == start_epoch else contextlib.nullcontext())
+            prof.__enter__()
 
             def to_device(raw, _rng_box=[rng]):
                 _rng_box[0], k = jax.random.split(_rng_box[0])
@@ -137,19 +160,22 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # steps_per_dispatch > 1 scans N optimizer steps inside one
             # device program (amortizes the tunnel's per-program floor)
             spd = int(merged.get("steps_per_dispatch", 1) or 1)
-            buf = []
-            for batch in prefetch_epoch(sampler, batch_size, to_device):
-                last_batch = batch
-                if spd <= 1:
+            try:
+                buf = []
+                for batch in prefetch_epoch(sampler, batch_size, to_device):
+                    last_batch = batch
+                    if spd <= 1:
+                        trainer.train(batch)
+                        continue
+                    buf.append(batch)
+                    if len(buf) == spd:
+                        trainer.train_many(jax.tree_util.tree_map(
+                            lambda *xs: jnp.stack(xs), *buf))
+                        buf = []
+                for batch in buf:  # remainder of the epoch
                     trainer.train(batch)
-                    continue
-                buf.append(batch)
-                if len(buf) == spd:
-                    trainer.train_many(jax.tree_util.tree_map(
-                        lambda *xs: jnp.stack(xs), *buf))
-                    buf = []
-            for batch in buf:  # remainder of the epoch
-                trainer.train(batch)
+            finally:
+                prof.__exit__(None, None, None)
             rng, _ = jax.random.split(rng)
             # end-of-epoch validation over several batches so best-model
             # selection averages a real estimate rather than one noisy

@@ -64,6 +64,12 @@ def parse_args(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="optimizer steps scanned inside one device "
                              "program (amortizes per-dispatch transport)")
+    parser.add_argument("--auto_resume", action="store_true",
+                        help="continue from the newest numbered checkpoint "
+                             "in the experiment dir (elastic restarts)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="record a jax.profiler trace of the first "
+                             "epoch into this directory")
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")
