@@ -36,11 +36,14 @@ def build_augment_config(args: Dict) -> AugmentConfig:
     if dataset in ("MNIST3D", "MNISTRoto"):
         return AugmentConfig(patch_size=width, aug_patch_size=aug_patch,
                              random_crop=False, rot90=False, intensity=False)
+    # label channels (ACDCLBL) and loss-mask channels must stay exact:
+    # no intensity remap, no bilinear rotation (rot90/crops are exact)
+    exact_channels = dataset == "ACDCLBL" or bool(args.get("get_masks"))
     return AugmentConfig(
         patch_size=width,
         aug_patch_size=int(aug_patch) if aug_patch else None,
-        random_crop=True, rot90=True, intensity=True,
-        rotate_any=dataset in ("ACDC", "ACDCC", "ACDCLBL"),
+        random_crop=True, rot90=True, intensity=not exact_channels,
+        rotate_any=(dataset in ("ACDC", "ACDCC") and not exact_channels),
         max_degree=45,
         # dHCP/ADNI/brainMASI crop near the brain center
         # (reference: dHCP/dataset.py:45, ADNI/dataset.py:21 —
@@ -50,15 +53,28 @@ def build_augment_config(args: Dict) -> AugmentConfig:
     )
 
 
-def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key) -> Dict:
+def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
+                  with_mask: bool = False) -> Dict:
     triplet = augment_batch(key, jnp.asarray(raw["triplet"]), aug_cfg)
+    loss_mask = None
+    if with_mask:
+        # the loss mask rode through the augmentation as the last channel
+        loss_mask = triplet[..., -1:]
+        triplet = triplet[..., :-1]
     image, between = prepare_batch_pairs(triplet)
-    return {
+    batch = {
         "image": image,
         "slice_between": between,
         "alpha_from": jnp.asarray(raw["alpha_from"]),
         "alpha_to": jnp.asarray(raw["alpha_to"]),
     }
+    if "is_inbetween" in raw:
+        # weights the synthesis loss: degenerate step-1 triplets
+        # (between := endpoint) are monitor-only
+        batch["is_inbetween"] = jnp.asarray(raw["is_inbetween"])
+    if loss_mask is not None:
+        batch["loss_mask"] = loss_mask
+    return batch
 
 
 def _generate_volume_previews(trainer, val_vols, merged: Dict,
@@ -100,12 +116,15 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     train_vols, val_vols = get_datasets(merged)
     ds = int(merged.get("downsample_steps") or 2)
     pad = int(merged.get("aug_patch_size") or merged["width"])
+    use_masks = bool(merged.get("get_masks"))
     sampler = TripletSampler(train_vols, ds,
                              merged.get("slice_selection", "adjacent_plus"),
-                             pad_size=pad, seed=int(merged.get("seed", 0)))
+                             pad_size=pad, seed=int(merged.get("seed", 0)),
+                             use_masks=use_masks)
     val_sampler = TripletSampler(val_vols, ds, "adjacent_plus",
                                  pad_size=pad,
-                                 seed=int(merged.get("seed", 0)) + 1)
+                                 seed=int(merged.get("seed", 0)) + 1,
+                                 use_masks=use_masks)
     aug_cfg = build_augment_config(merged)
     val_cfg = AugmentConfig(patch_size=int(merged["width"]),
                             aug_patch_size=aug_cfg.aug_patch_size,
@@ -152,9 +171,12 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                     and epoch == start_epoch else contextlib.nullcontext())
             prof.__enter__()
 
-            def to_device(raw, _rng_box=[rng]):
+            # fresh augmentation stream per epoch: folding the epoch in
+            # prevents consecutive epochs replaying (almost) the same
+            # split() chain of keys
+            def to_device(raw, _rng_box=[jax.random.fold_in(rng, epoch)]):
                 _rng_box[0], k = jax.random.split(_rng_box[0])
-                return _device_batch(raw, aug_cfg, k)
+                return _device_batch(raw, aug_cfg, k, with_mask=use_masks)
 
             # background thread keeps 2 device-ready batches ahead;
             # steps_per_dispatch > 1 scans N optimizer steps inside one
@@ -186,7 +208,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             for _ in range(n_val):
                 rng, k = jax.random.split(rng)
                 val_raw = val_sampler.sample_batch(test_batch_size)
-                val_batch = _device_batch(val_raw, val_cfg, k)
+                val_batch = _device_batch(val_raw, val_cfg, k,
+                                          with_mask=use_masks)
                 trainer.validate(val_batch)
             trainer.show_loss_on_tensorboard("train")
             trainer.show_loss_on_tensorboard("test")

@@ -191,16 +191,22 @@ def load_acdc_volumes(split: str = "training",
         bad_limit = acdc_frame_limit(pid)
         if bad_limit is not None:
             arr = arr[:bad_limit]
+        original_spacing = np.asarray(spacing, np.float64)[-3:]
+        spacing = original_spacing.copy()
         if resample and cfg.voxel_spacing_resample is not None:
             arr = apply_2d_zoom_4d(arr, spacing[-2:],
                                    cfg.voxel_spacing_resample)
+            # the Volume now lives on the resampled in-plane grid
+            spacing[1:] = np.asarray(cfg.voxel_spacing_resample,
+                                     np.float64)[-2:]
         for t in range(arr.shape[0]):
             frame = arr[t]
             if rescale:
                 frame = rescale_intensities(frame, percs=(1, 99))
             volumes.append(Volume(
-                image=frame.astype(np.float32), spacing=np.asarray(spacing),
-                patient_id=f"{pid}_f{t:02d}"))
+                image=frame.astype(np.float32), spacing=spacing.copy(),
+                patient_id=f"{pid}_f{t:02d}",
+                original_spacing=original_spacing.copy()))
     return volumes
 
 
@@ -226,6 +232,12 @@ def get_datasets(args: Dict) -> Tuple[List[Volume], List[Volume]]:
                                  seed=int(args.get("seed", 0)) % 100000)
         val = make_toy_dataset(2, size=width, num_slices=8 * ds + 1,
                                seed=int(args.get("seed", 0)) % 100000 + 999)
+        if dataset == "ACDCLBL":
+            # the multichannel model needs a label channel: quantize the
+            # phantom intensities into 4 pseudo-structures
+            for vol in train + val:
+                vol.labels = np.digitize(
+                    vol.image, [0.25, 0.5, 0.75]).astype(np.int32)
         return train, val
 
     if dataset in ("OASIS", "dHCP", "ADNI", "brainMASI"):
@@ -235,7 +247,13 @@ def get_datasets(args: Dict) -> Tuple[List[Volume], List[Volume]]:
                                  limited_load=limited)
         return train, val
 
-    if dataset in ("ACDC", "ACDCC", "ACDCLBL"):
+    if dataset == "ACDCLBL":
+        # the multichannel (image+label) model needs labeled ED/ES frames
+        train = load_acdc_labeled_volumes("training", limited_load=limited)
+        val = load_acdc_labeled_volumes("validation", limited_load=limited)
+        return train, val
+
+    if dataset in ("ACDC", "ACDCC"):
         train = load_acdc_volumes("training", limited_load=limited)
         val = load_acdc_volumes("validation", limited_load=limited)
         return train, val

@@ -33,7 +33,7 @@ class TripletSampler:
     def __init__(self, volumes: Sequence[Volume], downsample_steps: int,
                  slice_selection: str = "adjacent_plus",
                  pad_size: int | None = None,
-                 seed: int = 1234):
+                 seed: int = 1234, use_masks: bool = False):
         if slice_selection not in ("adjacent", "adjacent_plus", "mix"):
             raise ValueError(f"bad slice_selection {slice_selection!r}")
         self.volumes = list(volumes)
@@ -53,6 +53,27 @@ class TripletSampler:
         # the sampler's hot spot (3 HxW copies per sample)
         self._padded = [pad_to_size(v.image, self.pad_size)
                         for v in self.volumes]
+        # multichannel (ACDCLBL) path: pair a label channel with every
+        # image channel (reference: datasets/ACDC/data_with_labels.py —
+        # 6-channel (img+lbl)x3 triplets)
+        self.has_labels = all(v.labels is not None for v in self.volumes)
+        self._padded_labels = (
+            [pad_to_size(np.asarray(v.labels, np.float32), self.pad_size)
+             for v in self.volumes] if self.has_labels else None)
+        # --get_masks: per-slice dilated loss masks from the labels
+        # (reference: datasets/ACDC/data4d_simple.py:454-502)
+        self.use_masks = bool(use_masks)
+        if self.use_masks:
+            if not self.has_labels:
+                raise ValueError(
+                    "--get_masks requires labeled volumes (the reference "
+                    "derives loss masks from RV/MYO/LV segmentations); "
+                    "these volumes carry no labels")
+            from .masks import masks_for_volume
+            self._padded_masks = [
+                pad_to_size(masks_for_volume(
+                    np.asarray(v.labels, np.int32)), self.pad_size)
+                for v in self.volumes]
 
     def __len__(self) -> int:
         return len(self._idcs)
@@ -84,9 +105,22 @@ class TripletSampler:
         else:
             a_from, a_to = 0.5, 0.5
         img = self._padded[int(vi)]
-        triplet = np.stack([img[s_from], img[s_to], img[between]], axis=-1)
+        if self.has_labels:
+            lbl = self._padded_labels[int(vi)]
+            # slot-major channel layout (from | to | between), C=2 each —
+            # prepare_batch_pairs slices per slot
+            chans = [img[s_from], lbl[s_from], img[s_to], lbl[s_to],
+                     img[between], lbl[between]]
+        else:
+            chans = [img[s_from], img[s_to], img[between]]
+        if self.use_masks:
+            # mask of the between slice, appended as the LAST channel so
+            # it rides through the device-side augmentation with the
+            # triplet; the train loop splits it off
+            chans.append(self._padded_masks[int(vi)][between])
+        triplet = np.stack(chans, axis=-1)
         return {
-            "triplet": triplet.astype(np.float32),       # [H, W, 3]
+            "triplet": triplet.astype(np.float32),   # [H, W, 3C(+1)]
             "alpha_from": np.float32(a_from),
             "alpha_to": np.float32(a_to),
             "is_inbetween": np.float32(hi - lo > 1),

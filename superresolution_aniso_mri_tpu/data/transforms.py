@@ -322,13 +322,16 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
 
 
 def prepare_batch_pairs(triplet: Array):
-    """[B, H, W, 3] → (image [2B, H, W, 1], slice_between [B, H, W, 1]).
+    """[B, H, W, 3C] → (image [2B, H, W, C], slice_between [B, H, W, C]).
 
     The (2B ∥ B) batch contract: first half of `image` are from-slices,
     second half to-slices (reference: datasets/common_brains.py:285-321,
-    datasets/ACDC/data4d_simple.py:327-387 'repeat' mode)."""
-    a = triplet[..., 0:1]
-    b = triplet[..., 1:2]
-    between = triplet[..., 2:3]
+    datasets/ACDC/data4d_simple.py:327-387 'repeat' mode). C=1 for plain
+    images; C=2 for the ACDCLBL (image+label) slot-major layout
+    (reference: data_with_labels.py 6-channel triplets)."""
+    c = triplet.shape[-1] // 3
+    a = triplet[..., 0:c]
+    b = triplet[..., c:2 * c]
+    between = triplet[..., 2 * c:3 * c]
     image = jnp.concatenate([a, b], axis=0)
     return image, between

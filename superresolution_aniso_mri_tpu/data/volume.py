@@ -112,15 +112,20 @@ def apply_2d_zoom_4d(arr4d: np.ndarray, spacing, new_spacing,
 
 def get_random_adjacent_slice(slice_id: int, num_slices: int, rs, step: int = 1) -> int:
     """Pick a +/- step neighbour with edge handling
-    (reference: datasets/common.py:34-44)."""
+    (reference: datasets/common.py:34-44). The final clamp guards the
+    degenerate case the reference mishandles (slice_id < step AND
+    slice_id + step > last would return a negative index that numpy
+    would silently wrap to the volume tail)."""
     last = num_slices - 1
     if slice_id + step > last:
-        return slice_id - step
-    if slice_id == 0:
-        return step
-    if slice_id - step < 0:
-        return slice_id + step
-    return int(rs.choice([slice_id - step, slice_id + step]))
+        res = slice_id - step
+    elif slice_id == 0:
+        res = step
+    elif slice_id - step < 0:
+        res = slice_id + step
+    else:
+        res = int(rs.choice([slice_id - step, slice_id + step]))
+    return int(np.clip(res, 0, last))
 
 
 def determine_interpol_coefficients(sliceid_from: int, sliceid_to: int,

@@ -126,17 +126,35 @@ def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
 
 
 def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
-                    mask):
+                    mask, sample_weight=None):
     """Synthesis (extra image) loss (reference: cardiac/trainer_ae.py:103-130,
-    brain/trainer_ae.py:196-242)."""
+    brain/trainer_ae.py:196-242).
+
+    ``sample_weight`` [B] masks out degenerate triplets — step-1 gaps
+    where slice_between := an endpoint ('mix'/'adjacent' sampling emits
+    is_inbetween=0 for those; they must not pull midpoint decodes toward
+    endpoints). All-ones weights reproduce the unweighted loss exactly."""
     if cfg.image_mix_loss_func == "perceptual" and lpips_params is not None:
         if cfg.use_masks and mask is not None:
-            return jnp.mean(lpips_distance(lpips_params, reference * mask,
-                                           synthesized * mask, normalize=True))
-        return jnp.mean(lpips_distance(lpips_params, reference, synthesized,
-                                       normalize=True))
-    loss = mse(reference, synthesized,
-               mask if (cfg.use_masks and mask is not None) else None)
+            d = lpips_distance(lpips_params, reference * mask,
+                               synthesized * mask, normalize=True)
+        else:
+            d = lpips_distance(lpips_params, reference, synthesized,
+                               normalize=True)
+        if sample_weight is not None:
+            return (jnp.sum(d * sample_weight)
+                    / jnp.maximum(jnp.sum(sample_weight), 1.0))
+        return jnp.mean(d)
+    m = mask if (cfg.use_masks and mask is not None) else None
+    if sample_weight is None:
+        loss = mse(reference, synthesized, m)
+    else:
+        d = (reference - synthesized) ** 2
+        if m is not None:
+            d = d * m
+        per_sample = jnp.mean(d, axis=tuple(range(1, d.ndim)))
+        loss = (jnp.sum(per_sample * sample_weight)
+                / jnp.maximum(jnp.sum(sample_weight), 1.0))
     if cfg.use_laploss:
         loss = loss + lap_loss(synthesized, reference)
     return loss
@@ -181,7 +199,8 @@ def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
     }
 
     if cfg.family == "ae_combined":
-        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
+                                   sample_weight=batch.get("is_inbetween"))
         loss_extra = mix_weight * loss_mix
         if cfg.use_extra_latent_loss:
             z_syn, _ = _apply(model, params, new_bs,
@@ -234,7 +253,8 @@ def _vae_losses(model, cfg, lpips_params, params, batch_stats, batch,
         "loss_latent_1": jnp.float32(0.0),
     }
     if cfg.combined:
-        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
+                                   sample_weight=batch.get("is_inbetween"))
         loss_ae = loss_ae + mix_weight * loss_mix
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
     metrics["loss_ae"] = loss_ae
@@ -299,7 +319,8 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
         "loss_latent_1": jnp.float32(0.0),
     }
     if cfg.combined:
-        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+        loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
+                                   sample_weight=batch.get("is_inbetween"))
         loss_ae_full = loss_ae_full + mix_weight * loss_mix
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
 
@@ -345,7 +366,8 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
     }
     if cfg.family == "multichannel_combined":
         loss_mix = _mix_image_loss(cfg, lpips_params, between[..., 0:1],
-                                   s_mix["image"], None)
+                                   s_mix["image"], None,
+                                   sample_weight=batch.get("is_inbetween"))
         total = total + mix_weight * loss_mix
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
     metrics["loss_ae"] = total
@@ -412,9 +434,13 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
         out = jax.lax.stop_gradient(out)
 
     z1, z3 = z[:b], z[b:]
-    z_cat = jnp.concatenate([z1, z3], axis=-1)
     if variant in ("alpha", "alpha_only"):
-        z_cat = jax.lax.stop_gradient(z_cat)
+        # AlphaTrainer/AlphaOnlyTrainer detach the latents entirely: the
+        # AE learns via recon only (reference: alpha/trainer_alpha.py) —
+        # the probe's latent loss must not backprop into the encoder
+        z1 = jax.lax.stop_gradient(z1)
+        z3 = jax.lax.stop_gradient(z3)
+    z_cat = jnp.concatenate([z1, z3], axis=-1)
     alpha, new_bs_probe = _apply(
         probe, params["probe"], batch_stats["probe"],
         lambda mdl, zz, ff: mdl(zz, ff, train=True), z_cat, feats,
@@ -444,7 +470,8 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
         z_ref = jax.lax.stop_gradient(z_ref)
         z_syn = jax.lax.stop_gradient(z_syn)
 
-    loss_img = _mix_image_loss(cfg, lpips_params, between, s_mix, mask)
+    loss_img = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
+                               sample_weight=batch.get("is_inbetween"))
     l_lat1 = mse(z_ref, z_mix)
     l_lat2 = mse(z_ref, z_syn)
     loss_extra = 0.5 * loss_img + 0.5 * (l_lat1 + l_lat2)

@@ -143,7 +143,9 @@ class Trainer:
             tx = make_optimizer(float(self.args["lr"]),
                                 float(self.args.get("weight_decay", 0.0)),
                                 float(self.args.get("momentum", 0.9)),
-                                cosine_steps)
+                                cosine_steps,
+                                float(self.args.get("max_grad_norm", 0)
+                                      or 0))
             self.state = SRTrainState.create(
                 apply_fn=ae.apply, params=params, tx=tx,
                 batch_stats=batch_stats)
@@ -177,7 +179,9 @@ class Trainer:
                 batch_stats["decoder_mix"] = v_dm.get("batch_stats", {})
             tx = make_optimizer(float(self.args["lr"]), 0.0,
                                 float(self.args.get("momentum", 0.9)),
-                                cosine_steps)
+                                cosine_steps,
+                                float(self.args.get("max_grad_norm", 0)
+                                      or 0))
             self.state = SRTrainState.create(
                 apply_fn=ae.apply, params=params, tx=tx,
                 batch_stats=batch_stats)
@@ -195,6 +199,7 @@ class Trainer:
                                         self.lpips_params)
         self._jit_encode = None
         self._multi_step = None
+        self._best_val: Dict[str, float] = {}
         self._jit_decode = None
         # optional second "SR" model: AE reconstructions + CAISR synthesis
         # combos (reference: kwatsch/get_trainer.py:88-181 model_nbr_sr,
@@ -417,16 +422,17 @@ class Trainer:
 
     def save_best_val_model(self) -> None:
         """Rolling best checkpoints: ae.models on min mean loss_ae_dist;
-        caisr.models on min mean loss_ae_dist_extra
-        (reference: base_trainer.py:101-108, cardiac/trainer_ae.py:70-77)."""
-        hist = self.mean_losses_test.get("loss_ae_dist", [])
-        if len(hist) > 1 and int(np.argmin(hist)) + 1 == len(hist):
-            self.save_models(os.path.join(self.dir_models, "ae.models"),
-                             self.epoch + 1)
-        hist_x = self.mean_losses_test.get("loss_ae_dist_extra", [])
-        if len(hist_x) > 1 and int(np.argmin(hist_x)) + 1 == len(hist_x):
-            self.save_models(os.path.join(self.dir_models, "caisr.models"),
-                             self.epoch + 1)
+        caisr.models on min mean loss_ae_dist_extra — compared against
+        the best-so-far AT SAVE TIME (reference: base_trainer.py:101-108
+        best_val_loss), so a best that occurred before the
+        epoch_threshold crossing can never block the alias forever."""
+        for key, alias in (("loss_ae_dist", "ae.models"),
+                           ("loss_ae_dist_extra", "caisr.models")):
+            hist = self.mean_losses_test.get(key, [])
+            if hist and hist[-1] <= self._best_val.get(key, np.inf):
+                self._best_val[key] = hist[-1]
+                self.save_models(os.path.join(self.dir_models, alias),
+                                 self.epoch + 1)
 
     def show_loss_on_tensorboard(self, eval_type: str = "train") -> None:
         """Flush per-iter losses to mean curves (+optional TB scalars)
@@ -476,7 +482,10 @@ class Trainer:
         if self.epoch > int(self.args.get("epoch_threshold", 100)):
             self.save_best_val_model()
             fname = os.path.join(self.dir_models, f"{self.epoch}.models")
-            self.save_models(fname, self.epoch)
+            # stored epoch = NEXT epoch to run, so any resume (manual or
+            # --auto_resume) continues after the completed epoch instead
+            # of repeating it; the filename keeps the completed epoch
+            self.save_models(fname, self.epoch + 1)
         self.save_losses()
         self.epoch += 1
 

@@ -141,9 +141,11 @@ def test_experiment_dir_contract(toy_sampler, tmp_path):
     assert os.path.isfile(os.path.join(t.dir_models, "ae.models")) or \
         os.path.isfile(os.path.join(t.dir_models, "caisr.models"))
 
-    # rehydrate purely from the experiment dir (get_trainer parity)
+    # rehydrate purely from the experiment dir (get_trainer parity);
+    # N.models stores epoch N+1 = the NEXT epoch to run, so resume never
+    # repeats the completed epoch
     t3 = get_trainer(str(tmp_path), model_nbr=1)
-    assert t3.epoch == 1
+    assert t3.epoch == 2
     out = t3.predict(batch["image"])
     assert out.shape == batch["image"].shape
 
