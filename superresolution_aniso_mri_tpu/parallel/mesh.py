@@ -103,3 +103,76 @@ def make_sharded_synthesizer(model, mesh: Mesh):
         in_shardings=(rep, rep, shard, rep),
     )
     return synth
+
+
+MODEL_AXIS = "model"
+
+
+def create_mesh_2d(devices: Optional[Sequence] = None,
+                   dp: Optional[int] = None, mp: int = 1) -> Mesh:
+    """2-D (data x model) mesh. The model is small (~5-20M params) so
+    tensor parallelism is optional (SURVEY §2.9) — this exists for
+    configs whose activations outgrow one chip (large widths / deep
+    stacks): conv output channels shard over the 'model' axis, batch
+    over 'data'."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)
+    if dp is None:
+        dp = len(devices) // mp
+    if dp * mp != len(devices):
+        raise ValueError(f"dp*mp = {dp}*{mp} != {len(devices)} devices")
+    return Mesh(np.array(devices).reshape(dp, mp), (DATA_AXIS, MODEL_AXIS))
+
+
+def _param_spec(path, leaf, mp: int):
+    """Partition rule: 4-D conv kernels shard their output-channel dim
+    over 'model' when divisible; everything else replicates. GSPMD
+    inserts the reshards/collectives."""
+    if hasattr(leaf, "ndim") and leaf.ndim == 4 and leaf.shape[-1] % mp == 0 \
+            and leaf.shape[-1] >= mp:
+        return P(None, None, None, MODEL_AXIS)
+    return P()
+
+
+def state_sharding_2d(mesh: Mesh, state):
+    """NamedSharding tree for a train state on a 2-D mesh."""
+    mp = mesh.shape[MODEL_AXIS]
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _param_spec(path, leaf, mp))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, state)
+
+
+def make_sharded_train_step_2d(model, loss_config, lpips_params, mesh: Mesh):
+    """Train step over a (data x model) mesh: batch sharded over 'data',
+    conv output channels sharded over 'model' — XLA/GSPMD partitions the
+    convolutions and inserts the channel all-gathers/reduce-scatters.
+    Numerically identical to the single-device step."""
+    from ..train.steps import make_train_step
+
+    base_step = make_train_step(model, loss_config, lpips_params,
+                                donate=False)
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    cache: dict = {}
+
+    def step(state, batch, rng, w):
+        keys = tuple(sorted(batch))
+        if keys not in cache:
+            st_sh = state_sharding_2d(mesh, state)
+            rep = NamedSharding(mesh, P())
+            tree = {k: shard for k in keys}
+            cache[keys] = jax.jit(
+                lambda st, b, r, ww: base_step(st, b, r, ww),
+                in_shardings=(st_sh, tree, rep, rep),
+                out_shardings=(st_sh, rep),
+            )
+        return cache[keys](state, batch, rng, w)
+
+    return step
+
+
+def shard_state_2d(mesh: Mesh, state):
+    """Place a train state according to the 2-D partition rules."""
+    return jax.device_put(state, state_sharding_2d(mesh, state))

@@ -203,3 +203,31 @@ def test_dp_step_alpha_family_matches_single_device():
                      jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_2d_mesh_tensor_parallel_step_matches_single_device(setup):
+    """(data x model) mesh: conv channels sharded over 'model', batch
+    over 'data' — GSPMD partitioning must match the single-device step."""
+    from superresolution_aniso_mri_tpu.parallel.mesh import (
+        create_mesh_2d, make_sharded_train_step_2d, shard_state_2d,
+    )
+
+    cfg, model, state, loss_cfg, batch = setup
+    single_step = make_train_step(model, loss_cfg, None, donate=False)
+    s1, m1 = single_step(state, {k: jnp.asarray(v)
+                                 for k, v in batch.items()},
+                         jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    mesh = create_mesh_2d(jax.devices()[:8], dp=2, mp=4)
+    step = make_sharded_train_step_2d(model, loss_cfg, None, mesh)
+    with mesh:
+        st = shard_state_2d(mesh, state)
+        db = shard_batch(mesh, batch)
+        s8, m8 = step(st, db, jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
+                               rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=1e-6)
