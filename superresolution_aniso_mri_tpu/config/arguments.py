@@ -75,6 +75,11 @@ def parse_args(argv=None):
                              "(0 disables)")
     parser.add_argument("--epoch_threshold", type=int, default=100)
     # TPU-native extras
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="data-parallel training over the first N "
+                             "attached devices (params replicated, batch "
+                             "sharded over the mesh; batch_size must be a "
+                             "multiple of N)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--use_synthetic_data", action="store_true",

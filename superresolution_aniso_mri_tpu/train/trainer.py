@@ -193,8 +193,30 @@ class Trainer:
                 float(self.args.get("momentum", 0.9)), cosine_steps,
                 float(self.args.get("max_grad_norm", 0) or 0))
 
-        self.train_step = make_train_step(self.model, self.loss_config,
-                                          self.lpips_params)
+        # data-parallel training over a device mesh (--num_devices):
+        # params replicated, batch sharded, grad all-reduce inserted by
+        # XLA over ICI (TPU-native replacement for the reference's
+        # single-GPU loop; see parallel/mesh.py). The single-device path
+        # is byte-identical to before (mesh is None).
+        self.mesh = None
+        n_dev = int(self.args.get("num_devices") or 1)
+        if n_dev > 1 and not eval_mode:
+            devices = jax.devices()
+            if len(devices) < n_dev:
+                raise ValueError(
+                    f"--num_devices {n_dev} but only {len(devices)} "
+                    f"device(s) attached; for CPU testing set "
+                    f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                    f"{n_dev} JAX_PLATFORMS=cpu")
+            from ..parallel import create_mesh, make_sharded_train_step, \
+                replicate_state
+            self.mesh = create_mesh(devices[:n_dev])
+            self.train_step = make_sharded_train_step(
+                self.model, self.loss_config, self.lpips_params, self.mesh)
+            self.state = replicate_state(self.mesh, self.state)
+        else:
+            self.train_step = make_train_step(self.model, self.loss_config,
+                                              self.lpips_params)
         self.eval_step = make_eval_step(self.model, self.loss_config,
                                         self.lpips_params)
         self._jit_encode = None
@@ -277,6 +299,16 @@ class Trainer:
         loop async so the TPU never waits on Python bookkeeping.
         """
         self._iters += 1
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+            b = int(batch["slice_between"].shape[0]
+                    if "slice_between" in batch
+                    else jax.tree_util.tree_leaves(batch)[0].shape[0])
+            n_dev = self.mesh.devices.size
+            if b % n_dev:
+                raise ValueError(
+                    f"batch pairs ({b}) must divide num_devices ({n_dev})")
+            batch = shard_batch(self.mesh, batch)
         self.state, metrics = self.train_step(
             self.state, batch, self._next_rng(),
             jnp.float32(self._mix_weight()))
@@ -290,6 +322,10 @@ class Trainer:
         transport floor of tunneled chips (train/steps.py
         make_multi_train_step); exact same trajectory as N train()
         calls."""
+        if self.mesh is not None:
+            raise ValueError("steps_per_dispatch > 1 is not supported with "
+                             "num_devices > 1 (the sharded step already "
+                             "amortizes dispatch across the mesh)")
         if self._multi_step is None:
             from .steps import make_multi_train_step
             self._multi_step = make_multi_train_step(
@@ -311,6 +347,18 @@ class Trainer:
         end_epoch_processing AFTER the epoch's test flush, so ae.models /
         caisr.models selection averages every validated batch instead of
         hanging off a single noisy one (VERDICT r1 weak #6)."""
+        if self.mesh is not None:
+            # params live replicated on the mesh — commit the batch there
+            # too (sharded over 'data' when divisible, else replicated) so
+            # the jitted eval doesn't see two incompatible device sets
+            from ..parallel import batch_sharding, replicated, shard_batch
+            n_dev = self.mesh.devices.size
+            leaves = jax.tree_util.tree_leaves(batch)
+            if all(l.shape[0] % n_dev == 0 for l in leaves):
+                batch = shard_batch(self.mesh, batch)
+            else:
+                rep = replicated(self.mesh)
+                batch = {k: jax.device_put(v, rep) for k, v in batch.items()}
         metrics, aux = self.eval_step(self.state.params,
                                       self.state.batch_stats, batch)
         for k, v in metrics.items():
@@ -327,9 +375,19 @@ class Trainer:
         return self.model["ae"] if isinstance(self.model, dict) else self.model
 
     def _ae_params(self):
+        params, batch_stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None:
+            # inference helpers (encode/decode/volume previews) run as
+            # plain single-device jits; hand them a default-device view of
+            # the mesh-replicated params (cached per train state — params
+            # are small, this copies once per epoch at preview time)
+            if getattr(self, "_host_params_for", None) is not self.state:
+                self._host_params = jax.device_get((params, batch_stats))
+                self._host_params_for = self.state
+            params, batch_stats = self._host_params
         if isinstance(self.model, dict):
-            return self.state.params["ae"], self.state.batch_stats["ae"]
-        return self.state.params, self.state.batch_stats
+            return params["ae"], batch_stats["ae"]
+        return params, batch_stats
 
     def load_caisr(self, fname: str) -> None:
         """Load a second model's params for SR synthesis
@@ -419,6 +477,9 @@ class Trainer:
     def load(self, fname: str) -> None:
         self.state, epoch = load_checkpoint(fname, self.state)
         self.epoch = epoch
+        if self.mesh is not None:  # resume keeps the mesh placement
+            from ..parallel import replicate_state
+            self.state = replicate_state(self.mesh, self.state)
 
     def save_best_val_model(self) -> None:
         """Rolling best checkpoints: ae.models on min mean loss_ae_dist;

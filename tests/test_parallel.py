@@ -1,6 +1,8 @@
 """Parallel-layer tests: data-parallel training on the virtual 8-device
 mesh must match the single-device step numerically, and the sharded
 volume synthesizer must match the local one."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -231,3 +233,76 @@ def test_2d_mesh_tensor_parallel_step_matches_single_device(setup):
                      jax.tree_util.tree_leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_trainer_num_devices_matches_single_device(tmp_path):
+    """--num_devices wiring: a Trainer built with num_devices=8 must walk
+    the same trajectory as the single-device Trainer (same seed, same
+    batches), and validate/checkpoint/resume must work on the mesh."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    def make_args(n_dev, out):
+        return {
+            "dataset": "MNIST3D", "model": "ae_combined",
+            "ae_class": "VanillaACAI", "width": 16, "latent_width": 8,
+            "depth": 4, "latent": 4, "colors": 1, "lr": 1e-3,
+            "weight_decay": 0.0, "batch_size": 8, "epochs": 2,
+            "epoch_threshold": -1, "ex_loss_weight1": 0.01,
+            "use_batchnorm": False, "use_sigmoid": True,
+            "image_mix_loss_func": "mse", "downsample_steps": 2,
+            "seed": 5, "output_dir": out, "num_devices": n_dev,
+        }
+
+    rng = np.random.RandomState(0)
+    b = 8
+    batches = []
+    for _ in range(3):
+        batches.append({
+            "image": rng.rand(2 * b, 16, 16, 1).astype(np.float32),
+            "slice_between": rng.rand(b, 16, 16, 1).astype(np.float32),
+            "alpha_from": np.full((b,), 0.5, np.float32),
+            "alpha_to": np.full((b,), 0.5, np.float32),
+        })
+
+    t1 = Trainer(make_args(1, None))
+    t8 = Trainer(make_args(8, str(tmp_path)))
+    assert t8.mesh is not None and t8.mesh.devices.size == 8
+    for batch in batches:
+        m1 = t1.train(dict(batch))
+        m8 = t8.train(dict(batch))
+        np.testing.assert_allclose(float(m8["loss_ae"]),
+                                   float(m1["loss_ae"]), rtol=1e-4)
+    for a, b_ in zip(jax.tree_util.tree_leaves(t1.state.params),
+                     jax.tree_util.tree_leaves(t8.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=1e-7)
+
+    # validation on the mesh (divisible + non-divisible batch sizes)
+    t8.validate(dict(batches[0]))
+    odd = {k: v[:6] if k == "slice_between" else
+           (v[:12] if k == "image" else v[:6])
+           for k, v in batches[0].items()}
+    t8.validate(odd)
+    assert all(np.isfinite(v) for v in
+               [t8.losses_test["loss_ae"][-1], t8.losses_test["loss_ae"][-2]])
+
+    # inference helpers pull a single-device view of the mesh params
+    rec = t8.predict(jnp.asarray(batches[0]["slice_between"]))
+    assert rec.shape == batches[0]["slice_between"].shape
+
+    # checkpoint + resume keeps the mesh placement
+    t8.prepare_run()
+    fname = os.path.join(t8.dir_models, "0.models")
+    t8.save_models(fname, 1)
+    t8.load(fname)
+    sharding = jax.tree_util.tree_leaves(t8.state.params)[0].sharding
+    assert sharding.mesh.devices.size == 8
+    t8.train(dict(batches[0]))  # still steps after resume
+
+    # guards: batch not divisible by the mesh; steps_per_dispatch conflict
+    with pytest.raises(ValueError):
+        t8.train({k: v[:10] if k == "image" else v[:5]
+                  for k, v in batches[0].items()})
+    with pytest.raises(ValueError):
+        t8.train_many(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches))
