@@ -101,23 +101,52 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
     sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
     if limited_load:
         sel = sel[:cfg.limited_load_max]
+    # decode the whole split in parallel on the native runtime when it is
+    # available (native/srloader.cc thread-pool NIfTI ingest); identical
+    # arrays to the sequential Python reader
+    reads = {path: None for _, path in sel}
+    if include_hr_images:
+        for _, path in sel:
+            hr_path = path.replace(suffix, cfg.img_file_ext)
+            if os.path.isfile(hr_path):
+                reads[hr_path] = None
+    decoded = _read_images_parallel(list(reads))
     volumes = []
     for pid, path in sel:
-        arr, spacing, _ = read_image(path)
+        arr, spacing, _ = decoded[path]
         arr = arr.astype(np.float32)
         if rescale_int:
             arr = rescale_intensities(arr, percs=(0, 100))
         hr = None
         if include_hr_images:
             hr_path = path.replace(suffix, cfg.img_file_ext)
-            if os.path.isfile(hr_path):
-                hr_arr, _, _ = read_image(hr_path)
-                hr = hr_arr.astype(np.float32)
+            if hr_path in decoded:
+                hr = decoded[hr_path][0].astype(np.float32)
                 if rescale_int:
                     hr = rescale_intensities(hr, percs=(0, 100))
         volumes.append(Volume(image=arr, spacing=spacing, patient_id=pid,
                               image_hr=hr))
     return volumes
+
+
+def _read_images_parallel(paths):
+    """{path: (arr, spacing, affine)} — native thread-pool decode for
+    NIfTI files when the runtime is available, Python reader otherwise
+    (and always for MetaImage)."""
+    from .native_loader import available, read_nifti_many
+
+    out = {}
+    nif = [p for p in paths if p.endswith((".nii", ".nii.gz"))]
+    if len(nif) > 1 and available():
+        try:
+            for p, res in zip(nif, read_nifti_many(nif)):
+                out[p] = res
+        except (IOError, OSError):
+            out = {}  # fall back to the Python reader for everything
+    for p in paths:
+        if p not in out:
+            out[p] = read_image(p)
+    return out
 
 
 def create_lr_dataset(dataset: str, downsample_steps: int,

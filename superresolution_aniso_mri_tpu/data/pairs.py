@@ -85,7 +85,10 @@ class TripletSampler:
             return self.downsample_steps
         return int(self.rs.choice([1, self.downsample_steps]))
 
-    def sample_item(self, idx: int) -> Dict[str, np.ndarray]:
+    def _item_spec(self, idx: int) -> Dict[str, float]:
+        """All the RNG decisions for one item (indices + alphas). Kept
+        separate from pixel assembly so the seeded draw order is
+        identical between the per-item and batched paths."""
         vi, s1 = self._idcs[idx]
         vol = self.volumes[int(vi)]
         n = vol.num_slices
@@ -104,9 +107,18 @@ class TripletSampler:
             a_from, a_to = determine_interpol_coefficients(s_from, s_to, between)
         else:
             a_from, a_to = 0.5, 0.5
-        img = self._padded[int(vi)]
+        return {"vi": int(vi), "s_from": s_from, "s_to": s_to,
+                "between": between, "a_from": a_from, "a_to": a_to,
+                "is_inbetween": float(hi - lo > 1)}
+
+    def _item_chans(self, spec) -> list:
+        """The C channel planes (contiguous [H, W] float32 views) of one
+        triplet, in the slot-major layout prepare_batch_pairs expects."""
+        vi = spec["vi"]
+        s_from, s_to, between = spec["s_from"], spec["s_to"], spec["between"]
+        img = self._padded[vi]
         if self.has_labels:
-            lbl = self._padded_labels[int(vi)]
+            lbl = self._padded_labels[vi]
             # slot-major channel layout (from | to | between), C=2 each —
             # prepare_batch_pairs slices per slot
             chans = [img[s_from], lbl[s_from], img[s_to], lbl[s_to],
@@ -117,28 +129,51 @@ class TripletSampler:
             # mask of the between slice, appended as the LAST channel so
             # it rides through the device-side augmentation with the
             # triplet; the train loop splits it off
-            chans.append(self._padded_masks[int(vi)][between])
-        triplet = np.stack(chans, axis=-1)
+            chans.append(self._padded_masks[vi][between])
+        return chans
+
+    def sample_item(self, idx: int) -> Dict[str, np.ndarray]:
+        spec = self._item_spec(idx)
+        triplet = np.stack(self._item_chans(spec), axis=-1)
         return {
             "triplet": triplet.astype(np.float32),   # [H, W, 3C(+1)]
-            "alpha_from": np.float32(a_from),
-            "alpha_to": np.float32(a_to),
-            "is_inbetween": np.float32(hi - lo > 1),
-            "patient_index": np.int32(vi),
+            "alpha_from": np.float32(spec["a_from"]),
+            "alpha_to": np.float32(spec["a_to"]),
+            "is_inbetween": np.float32(spec["is_inbetween"]),
+            "patient_index": np.int32(spec["vi"]),
+        }
+
+    def _assemble_batch(self, idxs) -> Dict[str, np.ndarray]:
+        """Batched assembly: one threaded channel-interleaving gather in
+        the native runtime (native/srloader.cc srl_gather) when
+        available, else the numpy per-item stack. Outputs are
+        bit-identical either way."""
+        specs = [self._item_spec(int(i)) for i in idxs]
+        chans = [self._item_chans(s) for s in specs]
+        from . import native_loader
+        if native_loader.available():
+            triplets = native_loader.gather_triplets(chans)
+        else:
+            triplets = np.stack(
+                [np.stack(c, axis=-1) for c in chans]).astype(np.float32)
+        return {
+            "triplet": triplets,
+            "alpha_from": np.array([s["a_from"] for s in specs], np.float32),
+            "alpha_to": np.array([s["a_to"] for s in specs], np.float32),
+            "is_inbetween": np.array([s["is_inbetween"] for s in specs],
+                                     np.float32),
+            "patient_index": np.array([s["vi"] for s in specs], np.int32),
         }
 
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
         """One random batch (with-replacement permutation sampling like
         MyRandomSampler + drop_last)."""
         sel = self.rs.randint(0, len(self._idcs), size=batch_size)
-        items = [self.sample_item(int(i)) for i in sel]
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+        return self._assemble_batch(sel)
 
     def epoch_batches(self, batch_size: int):
         """Deterministic epoch: a seeded permutation of all indices,
         chunked into full batches (drop_last)."""
         perm = self.rs.permutation(len(self._idcs))
         for start in range(0, len(perm) - batch_size + 1, batch_size):
-            items = [self.sample_item(int(i))
-                     for i in perm[start:start + batch_size]]
-            yield {k: np.stack([it[k] for it in items]) for k in items[0]}
+            yield self._assemble_batch(perm[start:start + batch_size])
