@@ -236,8 +236,14 @@ SrlImage* srl_read_nifti(const char* path) {
     return im;
   }
   int64_t count = 1;
+  const int64_t max_count = ((int64_t)1 << 40);  // 1 Ti elements: far
+  // beyond any real volume; also guards count*isz against overflow
   for (int i = 0; i < ndim; ++i) {
     int64_t d = dim[i + 1] > 0 ? dim[i + 1] : 1;
+    if (d > 0 && count > max_count / d) {
+      set_err(im, path, "implausible NIfTI dims (overflow)");
+      return im;
+    }
     count *= d;
     im->dims[ndim - 1 - i] = d;  // reversed → [z, y, x]
   }
@@ -292,6 +298,7 @@ int srl_read_nifti_many(const char** paths, int n, SrlImage** out,
                         int nthreads) {
   if (n <= 0) return 0;
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads <= 0) nthreads = 1;  // hardware_concurrency may return 0
   if (nthreads > n) nthreads = n;
   std::atomic<int> next(0), failures(0);
   auto worker = [&]() {
@@ -316,6 +323,7 @@ void srl_gather(const float** ptrs, int b, int c, int64_t hw, float* out,
                 int nthreads) {
   if (b <= 0 || c <= 0 || hw <= 0) return;
   if (nthreads <= 0) nthreads = (int)std::thread::hardware_concurrency();
+  if (nthreads <= 0) nthreads = 1;  // hardware_concurrency may return 0
   if (nthreads > b) nthreads = b;
   std::atomic<int> next(0);
   auto worker = [&]() {

@@ -51,6 +51,10 @@ class _SrlImage(ctypes.Structure):
 
 
 def _build() -> bool:
+    """Build (or refresh) the shared library through native/Makefile —
+    the single source of truth for compiler flags. The Makefile compiles
+    to a pid-unique temp and renames into place, so concurrent builders
+    and interrupted compiles never leave a corrupt .so behind."""
     src = os.path.join(_NATIVE_DIR, "srloader.cc")
     if not os.path.isfile(src):
         return False
@@ -58,11 +62,9 @@ def _build() -> bool:
             and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
         return True
     try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", src,
-             "-o", _SO_PATH, "-lz", "-pthread"],
-            check=True, capture_output=True, timeout=300)
-        return True
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=300)
+        return os.path.isfile(_SO_PATH)
     except Exception:
         return False
 

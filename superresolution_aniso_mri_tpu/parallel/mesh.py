@@ -51,12 +51,16 @@ def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, rep)
 
 
-def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
-    """Data-parallel train step: params replicated, batch sharded.
+def _make_sharded_step(model, loss_config, lpips_params, mesh: Mesh,
+                       state_sharding_fn):
+    """Shared pjit scaffolding for the 1-D and 2-D mesh train steps.
 
-    Built on the same family losses as the single-chip path
-    (train.steps) — the only difference is the sharding annotations; XLA
-    emits the gradient all-reduce over ICI.
+    ``state_sharding_fn(state)`` returns the sharding (or sharding tree)
+    for the train state; metrics come out replicated. The batch sharding
+    tree is derived from the ACTUAL batch keys (loss_mask for ACDC
+    --get_masks, alpha_features for alpha families, is_inbetween flags,
+    ...): every batch entry carries a leading batch axis, so every leaf
+    shards over the data axis. One jitted program per distinct key set.
     """
     from ..train.steps import make_train_step
 
@@ -64,27 +68,33 @@ def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
                                 donate=False)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
-
-    # jit with explicit in/out shardings — the canonical pjit pattern.
-    # The batch sharding tree is derived from the ACTUAL batch keys
-    # (loss_mask for ACDC --get_masks, alpha_features for alpha families,
-    # is_inbetween flags, ...): every batch entry carries a leading batch
-    # axis, so every leaf shards over the data axis. One jitted program
-    # per distinct key set.
     cache: dict = {}
 
     def step(state, batch, rng, w):
         keys = tuple(sorted(batch))
         if keys not in cache:
+            st_sh = state_sharding_fn(state)
             tree = {k: shard for k in keys}
             cache[keys] = jax.jit(
                 lambda st, b, r, ww: base_step(st, b, r, ww),
-                in_shardings=(rep, tree, rep, rep),
-                out_shardings=(rep, rep),
+                in_shardings=(st_sh, tree, rep, rep),
+                out_shardings=(st_sh, rep),
             )
         return cache[keys](state, batch, rng, w)
 
     return step
+
+
+def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
+    """Data-parallel train step: params replicated, batch sharded.
+
+    Built on the same family losses as the single-chip path
+    (train.steps) — the only difference is the sharding annotations; XLA
+    emits the gradient all-reduce over ICI.
+    """
+    rep = replicated(mesh)
+    return _make_sharded_step(model, loss_config, lpips_params, mesh,
+                              lambda state: rep)
 
 
 def make_sharded_synthesizer(model, mesh: Mesh):
@@ -150,27 +160,8 @@ def make_sharded_train_step_2d(model, loss_config, lpips_params, mesh: Mesh):
     conv output channels sharded over 'model' — XLA/GSPMD partitions the
     convolutions and inserts the channel all-gathers/reduce-scatters.
     Numerically identical to the single-device step."""
-    from ..train.steps import make_train_step
-
-    base_step = make_train_step(model, loss_config, lpips_params,
-                                donate=False)
-    shard = NamedSharding(mesh, P(DATA_AXIS))
-    cache: dict = {}
-
-    def step(state, batch, rng, w):
-        keys = tuple(sorted(batch))
-        if keys not in cache:
-            st_sh = state_sharding_2d(mesh, state)
-            rep = NamedSharding(mesh, P())
-            tree = {k: shard for k in keys}
-            cache[keys] = jax.jit(
-                lambda st, b, r, ww: base_step(st, b, r, ww),
-                in_shardings=(st_sh, tree, rep, rep),
-                out_shardings=(st_sh, rep),
-            )
-        return cache[keys](state, batch, rng, w)
-
-    return step
+    return _make_sharded_step(model, loss_config, lpips_params, mesh,
+                              lambda state: state_sharding_2d(mesh, state))
 
 
 def shard_state_2d(mesh: Mesh, state):

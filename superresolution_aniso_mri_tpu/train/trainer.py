@@ -200,6 +200,12 @@ class Trainer:
         # is byte-identical to before (mesh is None).
         self.mesh = None
         n_dev = int(self.args.get("num_devices") or 1)
+        if (n_dev > 1
+                and int(self.args.get("steps_per_dispatch", 1) or 1) > 1):
+            # fail at construction, not minutes later at the first
+            # train_many call after data load/auto-resume
+            raise ValueError("steps_per_dispatch > 1 is not supported "
+                             "with num_devices > 1")
         if n_dev > 1 and not eval_mode:
             devices = jax.devices()
             if len(devices) < n_dev:
@@ -307,7 +313,8 @@ class Trainer:
             n_dev = self.mesh.devices.size
             if b % n_dev:
                 raise ValueError(
-                    f"batch pairs ({b}) must divide num_devices ({n_dev})")
+                    f"batch pairs ({b}) must be divisible by "
+                    f"num_devices ({n_dev})")
             batch = shard_batch(self.mesh, batch)
         self.state, metrics = self.train_step(
             self.state, batch, self._next_rng(),
