@@ -73,6 +73,9 @@ def generate_hr_volumes(argv=None):
     parser.add_argument("--data_input_dir", type=str, required=True)
     parser.add_argument("--output_dir", type=str, required=True)
     parser.add_argument("--num_interpolations", type=int, default=1)
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="shard the slice axis over the first N "
+                             "devices (multi-chip volume inference)")
     args = parser.parse_args(argv)
 
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
@@ -97,7 +100,8 @@ def generate_hr_volumes(argv=None):
                                       alpha_range=alpha_range,
                                       use_original=True,
                                       downsample_steps=None,
-                                      generate_inbetween_slices=False)
+                                      generate_inbetween_slices=False,
+                                      num_devices=args.num_devices)
             out_frames.append(res["upsampled_image"])
         out = (out_frames[0] if arr.ndim == 3
                else np.stack(out_frames, axis=0))

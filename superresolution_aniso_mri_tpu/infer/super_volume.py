@@ -188,7 +188,8 @@ def create_super_volume(trainer, images, alpha_range=None,
                         downsample_steps: Optional[int] = None,
                         generate_inbetween_slices: bool = False,
                         labels=None, pad_to_bucket: bool = True,
-                        decode_batch="auto") -> Dict[str, np.ndarray]:
+                        decode_batch="auto",
+                        num_devices: int = 1) -> Dict[str, np.ndarray]:
     """Host wrapper with the reference's exact tail-slice semantics
     (reference: evaluate/common.py:134-235).
 
@@ -197,6 +198,9 @@ def create_super_volume(trainer, images, alpha_range=None,
     (identical outputs; bounds recompiles over ragged datasets).
     ``decode_batch``: 'auto' | None | int — chunked encode/decode so long
     volumes can't exceed HBM.
+    ``num_devices`` > 1 shards the kept-slice axis over a device mesh
+    (parallel.make_sharded_synthesizer) — multi-chip volume inference;
+    outputs are identical to the single-device path.
     Returns {'upsampled_image' [S', H, W], 'pred_alphas', 'upsampled_labels'}.
     """
     images = np.asarray(images, np.float32)
@@ -220,6 +224,9 @@ def create_super_volume(trainer, images, alpha_range=None,
     a_n = int(len(alpha_range))
 
     k_pad = bucket_size(k_true) if pad_to_bucket else k_true
+    if num_devices and num_devices > 1:
+        # slice-axis sharding needs the kept count divisible by the mesh
+        k_pad = ((k_pad + num_devices - 1) // num_devices) * num_devices
     if k_pad > k_true:
         kept = jnp.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3)
 
@@ -231,7 +238,10 @@ def create_super_volume(trainer, images, alpha_range=None,
         decode_batch = _auto_decode_batch(n_total, kept.shape[1],
                                           kept.shape[2], depth)
 
-    synth = _get_synthesizer(trainer, decode_batch)
+    if num_devices and num_devices > 1:
+        synth = _get_sharded_synthesizer(trainer, num_devices)
+    else:
+        synth = _get_synthesizer(trainer, decode_batch)
     params_sr = getattr(trainer, "params_sr", None)
     if params_sr is not None:
         # AE+CAISR combo: synthesis from the SR model, reconstructions
@@ -247,10 +257,19 @@ def create_super_volume(trainer, images, alpha_range=None,
         new_volume = interleave_volume(recon, interp)
     else:
         params, batch_stats = trainer._ae_params()
-        out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
-                    use_original=use_original, interleave=True)
+        if num_devices and num_devices > 1:
+            # sharded path: recon+interp come back mesh-sharded; the
+            # interleave reshape runs outside the sharded program
+            out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
+                        use_original=use_original)
+            vol = jnp.clip(interleave_volume(out["recon"], out["interp"]),
+                           0.0, 1.0)
+        else:
+            out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
+                        use_original=use_original, interleave=True)
+            vol = out["volume"]
         # valid prefix of the padded interleaved volume
-        new_volume = out["volume"][:(k_true - 1) * (a_n + 1) + 1]
+        new_volume = vol[:(k_true - 1) * (a_n + 1) + 1]
     new_volume = np.asarray(new_volume)[..., 0]
 
     if generate_inbetween_slices and remain != 0:
@@ -275,6 +294,24 @@ def _get_synthesizer(trainer, decode_batch: Optional[int] = None):
     if key not in _SYNTH_CACHE:
         _SYNTH_CACHE[key] = make_volume_synthesizer(
             mdl, decode_batch=decode_batch)
+    return _SYNTH_CACHE[key]
+
+
+def _get_sharded_synthesizer(trainer, num_devices: int):
+    """Slice-axis-sharded synthesizer over the first N devices
+    (parallel.make_sharded_synthesizer), cached per (model, N)."""
+    mdl = trainer._ae_model()
+    key = (id(mdl), "mesh", int(num_devices))
+    if key not in _SYNTH_CACHE:
+        from ..parallel import create_mesh, make_sharded_synthesizer
+
+        devices = jax.devices()
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"num_devices={num_devices} but only {len(devices)} "
+                f"device(s) attached")
+        _SYNTH_CACHE[key] = make_sharded_synthesizer(
+            mdl, create_mesh(devices[:num_devices]))
     return _SYNTH_CACHE[key]
 
 

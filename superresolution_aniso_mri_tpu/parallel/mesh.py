@@ -100,19 +100,33 @@ def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
 def make_sharded_synthesizer(model, mesh: Mesh):
     """Volume synthesizer with the slice axis sharded over the mesh —
     whole-volume inference scales across chips
-    (SURVEY.md §2.9: shard the slice axis for volume inference)."""
+    (SURVEY.md §2.9: shard the slice axis for volume inference).
+
+    Returns synth(params, batch_stats, kept, alphas, use_original=False)
+    — same static flags as the local synthesizer; the kept-slice count
+    must be divisible by the mesh size (create_super_volume pads)."""
+    from functools import partial
+
     from ..infer.super_volume import make_volume_synthesizer
 
     base = make_volume_synthesizer(model)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
 
-    synth = jax.jit(
-        lambda params, bs, kept, alphas: base(params, bs, kept, alphas,
-                                              use_original=False),
-        in_shardings=(rep, rep, shard, rep),
+    synth = partial(jax.jit, static_argnames=("use_original",))(
+        lambda params, bs, kept, alphas, use_original=False: base(
+            params, bs, kept, alphas, use_original=use_original),
     )
-    return synth
+    # bind shardings via a wrapper: jit(in_shardings=...) with static args
+    # interleaved is awkward, so commit the arrays explicitly instead
+    def call(params, bs, kept, alphas, use_original=False):
+        params = jax.device_put(params, rep)
+        bs = jax.device_put(bs, rep) if bs else bs
+        kept = jax.device_put(kept, shard)
+        alphas = jax.device_put(alphas, rep)
+        return synth(params, bs, kept, alphas, use_original=use_original)
+
+    return call
 
 
 MODEL_AXIS = "model"

@@ -306,3 +306,32 @@ def test_trainer_num_devices_matches_single_device(tmp_path):
     with pytest.raises(ValueError):
         t8.train_many(jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *batches))
+
+
+def test_create_super_volume_num_devices_matches_local(tmp_path):
+    """create_super_volume(num_devices=8) (the generate_hr_volumes
+    --num_devices path) must equal the single-device output exactly,
+    including tail-slice semantics and non-divisible kept counts."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+    from superresolution_aniso_mri_tpu.infer import create_super_volume
+
+    t = Trainer({
+        "dataset": "MNIST3D", "model": "ae", "ae_class": "VanillaACAI",
+        "width": 16, "latent_width": 8, "depth": 4, "latent": 4,
+        "colors": 1, "lr": 1e-3, "weight_decay": 0.0, "batch_size": 2,
+        "epochs": 1, "epoch_threshold": -1, "use_batchnorm": False,
+        "use_sigmoid": True, "downsample_steps": 2, "seed": 0,
+        "output_dir": None,
+    })
+    rng = np.random.RandomState(0)
+    vol = rng.rand(11, 16, 16).astype(np.float32)  # 11 kept → pads
+
+    for kw in (dict(use_original=True),
+               dict(generate_inbetween_slices=True, downsample_steps=2)):
+        local = create_super_volume(t, vol, alpha_range=[0.5], **kw)
+        sharded = create_super_volume(t, vol, alpha_range=[0.5],
+                                      num_devices=8, **kw)
+        np.testing.assert_allclose(sharded["upsampled_image"],
+                                   local["upsampled_image"], atol=1e-5)
+        np.testing.assert_array_equal(sharded["pred_alphas"],
+                                      local["pred_alphas"])
