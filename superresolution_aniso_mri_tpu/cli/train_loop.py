@@ -54,7 +54,8 @@ def build_augment_config(args: Dict) -> AugmentConfig:
 
 
 def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
-                  with_mask: bool = False) -> Dict:
+                  with_mask: bool = False,
+                  with_alpha_features: bool = False) -> Dict:
     triplet = augment_batch(key, jnp.asarray(raw["triplet"]), aug_cfg)
     loss_mask = None
     if with_mask:
@@ -72,6 +73,10 @@ def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
         # weights the synthesis loss: degenerate step-1 triplets
         # (between := endpoint) are monitor-only
         batch["is_inbetween"] = jnp.asarray(raw["is_inbetween"])
+    if with_alpha_features and "alpha_features" in raw:
+        # slice-geometry scalars for the alpha probes (reference:
+        # base_alpha_trainer.py:178-189 create_add_features)
+        batch["alpha_features"] = jnp.asarray(raw["alpha_features"])
     if loss_mask is not None:
         batch["loss_mask"] = loss_mask
     return batch
@@ -130,6 +135,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                             aug_patch_size=aug_cfg.aug_patch_size,
                             random_crop=False, rot90=False, intensity=False)
 
+    with_alpha_feats = str(merged.get("model", "")).startswith("alpha")
     batch_size = int(merged["batch_size"])
     test_batch_size = int(merged.get("test_batch_size", batch_size))
     epochs = int(merged["epochs"])
@@ -176,7 +182,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # split() chain of keys
             def to_device(raw, _rng_box=[jax.random.fold_in(rng, epoch)]):
                 _rng_box[0], k = jax.random.split(_rng_box[0])
-                return _device_batch(raw, aug_cfg, k, with_mask=use_masks)
+                return _device_batch(raw, aug_cfg, k, with_mask=use_masks,
+                                     with_alpha_features=with_alpha_feats)
 
             # background thread keeps 2 device-ready batches ahead;
             # steps_per_dispatch > 1 scans N optimizer steps inside one
@@ -208,8 +215,9 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             for _ in range(n_val):
                 rng, k = jax.random.split(rng)
                 val_raw = val_sampler.sample_batch(test_batch_size)
-                val_batch = _device_batch(val_raw, val_cfg, k,
-                                          with_mask=use_masks)
+                val_batch = _device_batch(
+                    val_raw, val_cfg, k, with_mask=use_masks,
+                    with_alpha_features=with_alpha_feats)
                 trainer.validate(val_batch)
             trainer.show_loss_on_tensorboard("train")
             trainer.show_loss_on_tensorboard("test")

@@ -107,9 +107,17 @@ class TripletSampler:
             a_from, a_to = determine_interpol_coefficients(s_from, s_to, between)
         else:
             a_from, a_to = 0.5, 0.5
+        # scalar features for the alpha probes (reference:
+        # base_alpha_trainer.py:178-189 create_add_features —
+        # [(s_from+1)/n, (s_to+1)/n, (frame+1)/n_frames, z-spacing, n])
+        frame = float(getattr(vol, "frame_id", 0) or 0)
+        n_frames = float(getattr(vol, "num_frames", 1) or 1)
+        feats = (float(s_from + 1) / n, float(s_to + 1) / n,
+                 (frame + 1.0) / n_frames, float(vol.spacing[0]), float(n))
         return {"vi": int(vi), "s_from": s_from, "s_to": s_to,
                 "between": between, "a_from": a_from, "a_to": a_to,
-                "is_inbetween": float(hi - lo > 1)}
+                "is_inbetween": float(hi - lo > 1),
+                "alpha_features": feats}
 
     def _item_chans(self, spec) -> list:
         """The C channel planes (contiguous [H, W] float32 views) of one
@@ -141,6 +149,7 @@ class TripletSampler:
             "alpha_to": np.float32(spec["a_to"]),
             "is_inbetween": np.float32(spec["is_inbetween"]),
             "patient_index": np.int32(spec["vi"]),
+            "alpha_features": np.asarray(spec["alpha_features"], np.float32),
         }
 
     def _assemble_batch(self, idxs) -> Dict[str, np.ndarray]:
@@ -163,6 +172,8 @@ class TripletSampler:
             "is_inbetween": np.array([s["is_inbetween"] for s in specs],
                                      np.float32),
             "patient_index": np.array([s["vi"] for s in specs], np.int32),
+            "alpha_features": np.array([s["alpha_features"] for s in specs],
+                                       np.float32),
         }
 
     def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:

@@ -113,7 +113,6 @@ def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
     if cfg.recon_loss == "perceptual" and lpips_params is not None:
         dist = jnp.mean(lpips_distance(lpips_params, pred, target,
                                        normalize=True))
-        lap = jnp.float32(0.0)
     else:
         dist = mse(pred, target)
         if cfg.use_ssim_loss:
@@ -121,7 +120,11 @@ def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
             s = jnp.mean(ssim_volume(pred[..., 0], target[..., 0],
                                      data_range=1.0, win_size=11))
             dist = dist + 0.135 * (1.0 - s)
-        lap = lap_loss(pred, target) if cfg.use_laploss else jnp.float32(0.0)
+    # the laplacian term applies in BOTH branches — the reference
+    # computes it outside the perceptual/mse dispatch
+    # (base_trainer.py:183-186: `if self.laploss is not None` after the
+    # if/else, added to loss_ae unconditionally)
+    lap = lap_loss(pred, target) if cfg.use_laploss else jnp.float32(0.0)
     return dist + lap, dist, lap
 
 
@@ -247,15 +250,38 @@ def _vae_losses(model, cfg, lpips_params, params, batch_stats, batch,
     s_mix, _ = _apply(model, params, new_bs,
                       lambda mdl, zz: mdl.decode(zz, train=True),
                       z_mix, train=True)
+
+    # monitored interpolation-quality signal: mse(z_mix, encode(between))
+    # through the mu bottleneck (reference: trainer_vae.py:72 logs
+    # loss_latent_1 from synthesize_batch_images(compute_latent_loss=True))
+    def enc_mu(mdl, img):
+        z_conv = mdl.encode(img, train=True)
+        mu, _logvar = mdl.heads(z_conv)
+        return mdl.unflatten(mu)
+
+    z_ref, _ = _apply(model, params, new_bs, enc_mu, between, train=True)
     metrics = {
         "loss_ae_dist": jax.lax.stop_gradient(recon),
         "kl_loss": jax.lax.stop_gradient(cfg.vae_beta * kl),
-        "loss_latent_1": jnp.float32(0.0),
+        "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
     }
     if cfg.combined:
         loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
                                    sample_weight=batch.get("is_inbetween"))
-        loss_ae = loss_ae + mix_weight * loss_mix
+        loss_extra = mix_weight * loss_mix
+        if cfg.use_extra_latent_loss:
+            # trained latent terms (reference VAETrainer inherits
+            # AETrainerExtension1Brain.get_extra_loss,
+            # brain/trainer_ae.py:163-179; encodes through the mu
+            # bottleneck — the shape-consistent reading of the
+            # reference's self.model.encode here)
+            z_syn, _ = _apply(model, params, new_bs, enc_mu, s_mix,
+                              train=True)
+            l_lat1 = mse(z_ref, z_mix)
+            l_lat2 = mse(z_ref, z_syn)
+            loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
+            metrics["loss_latent_2"] = jax.lax.stop_gradient(l_lat2)
+        loss_ae = loss_ae + loss_extra
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
     metrics["loss_ae"] = loss_ae
     aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
@@ -312,16 +338,34 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
     s_mix, _ = _apply(ae, params["ae"], new_bs_ae,
                       lambda mdl, zz: mdl.decode(zz, train=True),
                       z_mix, train=True)
+    # monitored interpolation-quality signal (reference:
+    # trainer_acai.py:89 logs loss_latent_1 from
+    # synthesize_batch_images(compute_latent_loss=True))
+    z_ref, _ = _apply(ae, params["ae"], new_bs_ae,
+                      lambda mdl, img: mdl.encode(img, train=True),
+                      between, train=True)
     metrics = {
         "loss_ae_dist": loss_dist,
         "loss_laploss": loss_lap,
         "loss_disc": jax.lax.stop_gradient(loss_disc),
-        "loss_latent_1": jnp.float32(0.0),
+        "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
     }
     if cfg.combined:
         loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
                                    sample_weight=batch.get("is_inbetween"))
-        loss_ae_full = loss_ae_full + mix_weight * loss_mix
+        loss_extra = mix_weight * loss_mix
+        if cfg.use_extra_latent_loss:
+            # trained latent terms (reference ACAITrainer inherits
+            # AETrainerExtension1Brain.get_extra_loss,
+            # brain/trainer_ae.py:163-179)
+            z_syn, _ = _apply(ae, params["ae"], new_bs_ae,
+                              lambda mdl, img: mdl.encode(img, train=True),
+                              s_mix, train=True)
+            l_lat1 = mse(z_ref, z_mix)
+            l_lat2 = mse(z_ref, z_syn)
+            loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
+            metrics["loss_latent_2"] = jax.lax.stop_gradient(l_lat2)
+        loss_ae_full = loss_ae_full + loss_extra
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
 
     total = loss_ae_full + loss_disc
@@ -358,11 +402,17 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
     s_mix, _ = _apply(model, params, new_bs,
                       lambda mdl, zz: mdl.decode(zz, train=True),
                       z_mix, train=True)
+    # monitored latent signal: mse(z_mix, encode(between)) at the fixed
+    # 0.5 mix, no grad (reference: sr_multi_channel/trainer_ae.py:96-111
+    # get_latent_loss(no_grad=True) logged as loss_latent_1)
+    z_ref, _ = _apply(model, params, new_bs,
+                      lambda mdl, img: mdl.encode(img, train=True),
+                      between, train=True)
     metrics = {
         "loss_ae_dist": loss_dist,
         "loss_laploss": loss_lap,
         "loss_label": jax.lax.stop_gradient(loss_labels),
-        "loss_latent_1": jnp.float32(0.0),
+        "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
     }
     if cfg.family == "multichannel_combined":
         loss_mix = _mix_image_loss(cfg, lpips_params, between[..., 0:1],
@@ -370,7 +420,10 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
                                    sample_weight=batch.get("is_inbetween"))
         total = total + mix_weight * loss_mix
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
-    metrics["loss_ae"] = total
+    # reference logs loss_ae WITHOUT the dice term (logged separately as
+    # loss_label; sr_multi_channel/trainer_ae.py:109-110) — the gradient
+    # still flows through `total`
+    metrics["loss_ae"] = jax.lax.stop_gradient(loss_ae)
     aux = {"reconstruction": out["image"],
            "slice_inbetween_mix": s_mix["image"], "z_mix": z_mix}
     return total, (new_bs, metrics, aux)
@@ -403,14 +456,23 @@ def alpha_mix(alpha: Array, z1: Array, z3: Array, num_alphas: int,
 
 def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
                   mix_weight):
-    """Alpha-probe families (reference: kwatsch/alpha/*):
-      * 'alpha'           — AlphaTrainer: probe input + decode + latent
-        encodes all detached; probe learns via latent MSE, AE via recon.
-      * 'alpha_end_to_end'— no detaching, full joint gradients.
-      * 'alpha_only'      — frozen AE, probe-only loss (no recon term).
-      * 'alpha_combined'  — end-to-end + separate mix decoder.
+    """Alpha-probe families, with the reference's exact per-variant
+    gradient stops (reference: kwatsch/alpha/*):
+
+      * 'alpha' (AlphaTrainer): probe INPUT detached
+        (base_alpha_trainer.py:106 z_reshape.detach()) but z_mix built
+        from LIVE latents — the latent loss trains encoder + probe;
+        decode of z_mix and the z_ref/z_syn encodes run under no_grad.
+      * 'alpha_end_to_end': nothing detached, full joint gradients
+        (trainer_alpha.py:84-144 AlphaTrainerEndToEnd).
+      * 'alpha_only': AE frozen in EVAL mode (trainer_alpha_only.py:22
+        model.eval(), no_grad encode/decode); probe-only loss, image
+        term weighted 0.005 (trainer_alpha_only.py:84).
+      * 'alpha_combined': end-to-end + separate mix decoder
+        (alpha_combined.py:40-146).
+
     ``mix_weight`` is unused (the reference weights image/latent 0.5/0.5,
-    base_alpha_trainer.py:14-28).
+    base_alpha_trainer.py:14-28; alpha_only 0.005/0.5).
     """
     variant = cfg.model
     ae, probe = models["ae"], models["probe"]
@@ -423,24 +485,27 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
     if feats is None:
         feats = jnp.zeros((b, 5), jnp.float32)
 
+    # alpha_only keeps the loaded AE permanently in eval mode: running
+    # BN averages, and its batch stats never advance
+    ae_train = variant != "alpha_only"
+
     def fwd(mdl, inp):
-        z = mdl.encode(inp, train=True)
-        return z, mdl.decode(z, train=True)
+        z = mdl.encode(inp, train=ae_train)
+        return z, mdl.decode(z, train=ae_train)
 
     (z, out), new_bs_ae = _apply(ae, params["ae"], batch_stats["ae"], fwd, x,
-                                 train=True)
+                                 train=ae_train)
     if variant == "alpha_only":
         z = jax.lax.stop_gradient(z)
         out = jax.lax.stop_gradient(out)
 
     z1, z3 = z[:b], z[b:]
     if variant in ("alpha", "alpha_only"):
-        # AlphaTrainer/AlphaOnlyTrainer detach the latents entirely: the
-        # AE learns via recon only (reference: alpha/trainer_alpha.py) —
-        # the probe's latent loss must not backprop into the encoder
-        z1 = jax.lax.stop_gradient(z1)
-        z3 = jax.lax.stop_gradient(z3)
-    z_cat = jnp.concatenate([z1, z3], axis=-1)
+        # only the probe INPUT is detached; z_mix keeps live latents
+        z_cat = jnp.concatenate([jax.lax.stop_gradient(z1),
+                                 jax.lax.stop_gradient(z3)], axis=-1)
+    else:
+        z_cat = jnp.concatenate([z1, z3], axis=-1)
     alpha, new_bs_probe = _apply(
         probe, params["probe"], batch_stats["probe"],
         lambda mdl, zz, ff: mdl(zz, ff, train=True), z_cat, feats,
@@ -448,24 +513,25 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
     z_mix = alpha_mix(alpha, z1, z3, cfg.num_alphas, cfg.latent)
 
     if variant == "alpha_combined" and dec_mix is not None:
-        s_mix, _ = _apply(dec_mix, params["decoder_mix"],
-                          batch_stats.get("decoder_mix", {}),
-                          lambda mdl, zz: mdl(zz, train=True),
-                          z_mix, train=True)
+        s_mix, new_bs_dm = _apply(dec_mix, params["decoder_mix"],
+                                  batch_stats.get("decoder_mix", {}),
+                                  lambda mdl, zz: mdl(zz, train=True),
+                                  z_mix, train=True)
     else:
+        new_bs_dm = None
         s_mix, _ = _apply(ae, params["ae"], new_bs_ae,
-                          lambda mdl, zz: mdl.decode(zz, train=True),
-                          z_mix, train=True)
+                          lambda mdl, zz: mdl.decode(zz, train=ae_train),
+                          z_mix, train=ae_train)
         if variant in ("alpha", "alpha_only"):
             # reference decodes under no_grad (base_alpha_trainer.py:118-121)
             s_mix = jax.lax.stop_gradient(s_mix)
 
     z_ref, _ = _apply(ae, params["ae"], new_bs_ae,
-                      lambda mdl, img: mdl.encode(img, train=True),
-                      between, train=True)
+                      lambda mdl, img: mdl.encode(img, train=ae_train),
+                      between, train=ae_train)
     z_syn, _ = _apply(ae, params["ae"], new_bs_ae,
-                      lambda mdl, img: mdl.encode(img, train=True),
-                      s_mix, train=True)
+                      lambda mdl, img: mdl.encode(img, train=ae_train),
+                      s_mix, train=ae_train)
     if variant in ("alpha", "alpha_only"):
         z_ref = jax.lax.stop_gradient(z_ref)
         z_syn = jax.lax.stop_gradient(z_syn)
@@ -474,7 +540,10 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
                                sample_weight=batch.get("is_inbetween"))
     l_lat1 = mse(z_ref, z_mix)
     l_lat2 = mse(z_ref, z_syn)
-    loss_extra = 0.5 * loss_img + 0.5 * (l_lat1 + l_lat2)
+    # image-term weight: 0.5 (base_alpha_trainer.py:19) except
+    # alpha_only's 0.005 (trainer_alpha_only.py:84)
+    img_w = 0.005 if variant == "alpha_only" else 0.5
+    loss_extra = img_w * loss_img + 0.5 * (l_lat1 + l_lat2)
 
     metrics = {
         "loss_latent_1": jax.lax.stop_gradient(l_lat1),
@@ -495,6 +564,8 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
     new_bs = dict(batch_stats)
     new_bs["ae"] = new_bs_ae
     new_bs["probe"] = new_bs_probe
+    if new_bs_dm is not None:
+        new_bs["decoder_mix"] = new_bs_dm
     aux = {"reconstruction": out, "slice_inbetween_mix": s_mix,
            "z_mix": z_mix, "pred_alphas": alpha}
     return total, (new_bs, metrics, aux)
@@ -638,8 +709,37 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             loss_ae, loss_dist, lap = _recon_loss(cfg, lpips_params, recon,
                                                   target)
 
-        z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
-        if family in ("acai", "alpha"):
+        aux_extra = {}
+        if family == "alpha":
+            # validation must measure the TRAINED probe, not a fixed 0.5
+            # mix — the reference validates through
+            # synthesize_batch_images(is_eval=True) with probe-predicted
+            # coefficients (+ decoder_mix for alpha_combined), and
+            # caisr.models selection hangs off this metric
+            # (base_alpha_trainer.py:128-137)
+            b = x.shape[0] // 2
+            feats = batch.get("alpha_features")
+            if feats is None:
+                feats = jnp.zeros((b, 5), jnp.float32)
+            z_cat = jnp.concatenate([z[:b], z[b:]], axis=-1)
+            alpha, _ = _apply(model["probe"], params["probe"],
+                              batch_stats.get("probe", {}),
+                              lambda mdl, zz, ff: mdl(zz, ff, train=False),
+                              z_cat, feats, train=False)
+            z_mix = alpha_mix(alpha, z[:b], z[b:], cfg.num_alphas,
+                              cfg.latent)
+            aux_extra["pred_alphas"] = alpha
+        else:
+            z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+        if family == "alpha" and "decoder_mix" in model:
+            s_mix, _ = _apply(model["decoder_mix"], params["decoder_mix"],
+                              batch_stats.get("decoder_mix", {}),
+                              lambda mdl, zz: mdl(zz, train=False),
+                              z_mix, train=False)
+            z_ref, _ = _apply(model["ae"], params["ae"], batch_stats["ae"],
+                              lambda mdl, img: mdl.encode(img, train=False),
+                              between, train=False)
+        elif family in ("acai", "alpha"):
             s_mix, _ = _apply(model["ae"], params["ae"], batch_stats["ae"],
                               lambda mdl, zz: mdl.decode(zz, train=False),
                               z_mix, train=False)
@@ -658,7 +758,14 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             s_mix, _ = _apply(model, params, batch_stats,
                               lambda mdl, zz: mdl.decode(zz, train=False),
                               z_mix, train=False)
-            z_ref = z_mix
+
+            def enc_mu(mdl, img):
+                z_conv = mdl.encode(img, train=False)
+                mu, _logvar = mdl.heads(z_conv)
+                return mdl.unflatten(mu)
+
+            z_ref, _ = _apply(model, params, batch_stats, enc_mu, between,
+                              train=False)
         else:
             s_mix, _ = _apply(model, params, batch_stats,
                               lambda mdl, zz: mdl.decode(zz, train=False),
@@ -682,6 +789,7 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
                                        batch.get("loss_mask"))
             metrics["loss_ae_dist_extra"] = loss_mix
         return metrics, {"reconstruction": recon,
-                         "slice_inbetween_mix": s_mix, "z_mix": z_mix}
+                         "slice_inbetween_mix": s_mix, "z_mix": z_mix,
+                         **aux_extra}
 
     return eval_step
