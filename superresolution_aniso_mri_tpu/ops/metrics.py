@@ -46,11 +46,6 @@ def _sep_filter2d_valid(img: Array, k: Array) -> Array:
     return x[0, :, :, 0]
 
 
-def _reflect_pad2d(img: Array, r: int) -> Array:
-    # scipy.ndimage 'reflect' == numpy 'symmetric' (edge value repeated)
-    return jnp.pad(img, ((r, r), (r, r)), mode="symmetric")
-
-
 def _gauss_kernel1d(sigma: float, radius: int) -> np.ndarray:
     """scipy.ndimage._gaussian_kernel1d: truncated, normalised gaussian."""
     x = np.arange(-radius, radius + 1, dtype=np.float64)
@@ -71,6 +66,8 @@ def _band_reflect(n: int, sigma: float, truncate: float = 4.0) -> np.ndarray:
     """
     key = (n, round(float(sigma), 6), truncate)
     if key not in _BAND_CACHE:
+        if len(_BAND_CACHE) >= 128:  # bound host memory over long sweeps
+            _BAND_CACHE.pop(next(iter(_BAND_CACHE)))
         k = _gauss_kernel1d(sigma, int(truncate * sigma + 0.5))
         m = len(k)
         r = m // 2
@@ -161,26 +158,35 @@ def psnr_volume(ref: Array, dist: Array, data_range: float = 1.0) -> Array:
 # VIF (pixel-domain, multi-scale)
 # ---------------------------------------------------------------------------
 
-def _quantize_u8(x: Array) -> Array:
-    """uint8 quantization of a [0,1] image, kept in float
+def _quantize_u8(x: Array, data_range: float = 1.0) -> Array:
+    """uint8 quantization of a [0, data_range] image, kept in float
     (reference: evaluate/metrics.py:72-73, vifvec.py:13-15)."""
-    return jnp.round(jnp.clip(x * 255.0, 0.0, 255.0))
+    return jnp.round(jnp.clip(x * (255.0 / data_range), 0.0, 255.0))
 
 
 @partial(jax.jit, static_argnames=("quantize",))
 def vif2d(ref: Array, dist: Array, sigma_nsq: float = 2.0,
-          quantize: bool = True) -> Array:
+          quantize: bool = True, data_range: float = 1.0) -> Array:
     """4-scale pixel-domain VIF (reference: evaluate/vifvec.py:7-63).
 
-    ``quantize=True`` snaps [0,1] inputs to the 0..255 integer grid first,
-    like the reference caller. Returns a scalar; NaN only if den == 0.
+    ``quantize=True`` snaps [0, data_range] inputs to the 0..255 integer
+    grid first, like the reference caller. Returns a scalar; NaN when
+    den == 0 (uniform reference — the reference's float64 port NaNs
+    there too, and per-slice aggregation drops non-finite values,
+    evaluate/metrics.py:101-105).
     """
     eps = 1e-10
     if quantize:
-        ref = _quantize_u8(ref)
-        dist = _quantize_u8(dist)
+        ref = _quantize_u8(ref, data_range)
+        dist = _quantize_u8(dist, data_range)
     ref = ref.astype(jnp.float32)
     dist = dist.astype(jnp.float32)
+    # center on the global mean: analytically a no-op (every VIF term is
+    # intensity-shift-invariant) but it kills the E[x^2]-mu^2 float32
+    # cancellation — without it a uniform 0..255 slice carries ~1e-3
+    # variance noise, far above eps, and scores ~1.0 instead of NaN
+    ref = ref - jnp.mean(ref)
+    dist = dist - jnp.mean(dist)
 
     num = jnp.float32(0.0)
     den = jnp.float32(0.0)
@@ -227,9 +233,12 @@ def vif2d(ref: Array, dist: Array, sigma_nsq: float = 2.0,
     return jnp.where(den != 0.0, num / den, jnp.nan)
 
 
-def vif_volume(ref: Array, dist: Array, sigma_nsq: float = 2.0) -> Array:
+@jax.jit
+def vif_volume(ref: Array, dist: Array, sigma_nsq: float = 2.0,
+               data_range: float = 1.0) -> Array:
     """Per-slice VIF over a [S, H, W] volume → [S] vector."""
-    return jax.vmap(lambda a, b: vif2d(a, b, sigma_nsq))(ref, dist)
+    return jax.vmap(lambda a, b: vif2d(a, b, sigma_nsq,
+                                       data_range=data_range))(ref, dist)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +255,9 @@ def synth_slice_mask(num_slices: int, downsample_steps: int,
     every ds-th slice is original; tail slices that don't fit the grid are
     original too.
     """
+    if downsample_steps < 1:
+        raise ValueError(
+            f"downsample_steps must be >= 1, got {downsample_steps}")
     slice_ids = np.arange(num_slices)
     keep = None
     if (num_slices - 1) % downsample_steps != 0:
@@ -266,11 +278,15 @@ def synth_slice_mask(num_slices: int, downsample_steps: int,
 
 
 def masked_mean(values: Array, mask) -> Array:
-    """Mean of per-slice metric over selected slices; NaN entries dropped
-    (reference drops nan/inf VIF/PSNR values, metrics.py:101-105)."""
+    """Mean of per-slice metric over selected slices; non-finite entries
+    dropped (reference drops nan/inf VIF/PSNR values,
+    metrics.py:101-105). Returns NaN when NOTHING is selected — an empty
+    selection must not masquerade as a plausible 0.0 score (the
+    reference's np.mean([]) is NaN there too)."""
     values = jnp.asarray(values)
     mask = jnp.asarray(mask, bool)
     finite = jnp.isfinite(values)
     sel = mask & finite
-    cnt = jnp.maximum(jnp.sum(sel), 1)
-    return jnp.sum(jnp.where(sel, values, 0.0)) / cnt
+    n_sel = jnp.sum(sel)
+    mean = jnp.sum(jnp.where(sel, values, 0.0)) / jnp.maximum(n_sel, 1)
+    return jnp.where(n_sel > 0, mean, jnp.nan)
