@@ -44,9 +44,23 @@ def center_crop(x: Array, size: int) -> Array:
     """Center crop trailing spatial dims of [..., H, W, C] to size
     (reference: CenterCrop, shared_transforms.py:297-363)."""
     h, w = x.shape[-3], x.shape[-2]
+    if h < size or w < size:
+        raise ValueError(f"center_crop: size {size} exceeds spatial dims "
+                         f"({h}, {w}) — pad first (pad_to_size)")
     top = (h - size) // 2
     left = (w - size) // 2
     return x[..., top:top + size, left:left + size, :]
+
+
+def _pad_batch_to_at_least(x: Array, size: int) -> Array:
+    """Trace-time zero pad of [B, H, W, C] so H, W >= size, centered —
+    the in-graph equivalent of AdjustToPatchSize (never crops)."""
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = max(0, size - h), max(0, size - w)
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (ph // 2, ph - ph // 2),
+                       (pw // 2, pw - pw // 2), (0, 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -84,61 +98,15 @@ def _intensity_one(key: Array, img: Array) -> Array:
     return jax.nn.sigmoid(-gain * (cutoff - img))
 
 
-def _rotate_any_one(key: Array, img: Array, max_degree: int) -> Array:
-    """Arbitrary-angle rotation, bilinear, zero border
-    (reference: RandomAnyRotation, shared_transforms.py:193-221, which
-    uses cv2.warpAffine around the image center). Angle is an integer
-    degree in [0, max_degree) like the reference's randint."""
-    deg = jax.random.randint(key, (), 0, max_degree).astype(jnp.float32)
-    theta = jnp.deg2rad(deg)
+def _bilinear_sample(img: Array, ys: Array, xs: Array) -> Array:
+    """Sample [H, W, C] ``img`` at float coords (ys, xs) [H, W] with
+    bilinear interpolation and zero fill outside the frame — the shared
+    warp kernel of rotate-any / elastic / perspective."""
     h, w, _ = img.shape
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
-    cos, sin = jnp.cos(theta), jnp.sin(theta)
-    # inverse map: output (x,y) ← source coords (cv2 rotates CCW for +angle)
-    xs = cos * (xx - cx) - sin * (yy - cy) + cx
-    ys = sin * (xx - cx) + cos * (yy - cy) + cy
-    x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
-    dx = xs - x0
-    dy = ys - y0
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = img[yi_c, xi_c, :]
-        return jnp.where(valid[..., None], vals, 0.0)
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    dx = dx[..., None]
-    dy = dy[..., None]
-    top = v00 * (1 - dx) + v01 * dx
-    bot = v10 * (1 - dx) + v11 * dx
-    return top * (1 - dy) + bot * dy
-
-
-def _elastic_one(key: Array, img: Array, alpha: float = 10.0,
-                 grid: int = 4) -> Array:
-    """Elastic deformation: a coarse random displacement field upsampled
-    to image resolution, applied with bilinear warping
-    (reference: shared_transforms.py SpatialTransformToHalfBatch:15-45,
-    which delegates to batchgenerators' elastic transform — same idea
-    expressed as one fused gather)."""
-    h, w, _ = img.shape
-    kx, ky = jax.random.split(key)
-    coarse = jax.random.normal(kx, (grid, grid, 2)) * alpha
-    field = jax.image.resize(coarse, (h, w, 2), method="bilinear")
-    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + field[..., 0]
-    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + field[..., 1]
-    y0 = jnp.floor(yy)
-    x0 = jnp.floor(xx)
-    dy = (yy - y0)[..., None]
-    dx = (xx - x0)[..., None]
+    x0 = jnp.floor(xs)
+    dy = (ys - y0)[..., None]
+    dx = (xs - x0)[..., None]
 
     def gather(yi, xi):
         valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
@@ -149,6 +117,39 @@ def _elastic_one(key: Array, img: Array, alpha: float = 10.0,
     top = gather(y0, x0) * (1 - dx) + gather(y0, x0 + 1) * dx
     bot = gather(y0 + 1, x0) * (1 - dx) + gather(y0 + 1, x0 + 1) * dx
     return top * (1 - dy) + bot * dy
+
+
+def _rotate_any_one(key: Array, img: Array, max_degree: int) -> Array:
+    """Arbitrary-angle rotation, bilinear, zero border
+    (reference: RandomAnyRotation, shared_transforms.py:193-221, which
+    uses cv2.warpAffine around the image center). Angle is an integer
+    degree in [0, max_degree) like the reference's randint."""
+    deg = jax.random.randint(key, (), 0, max(int(max_degree), 1))
+    theta = jnp.deg2rad(deg.astype(jnp.float32))
+    h, w, _ = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # inverse map: output (x,y) ← source coords (cv2 rotates CCW for +angle)
+    xs = cos * (xx - cx) - sin * (yy - cy) + cx
+    ys = sin * (xx - cx) + cos * (yy - cy) + cy
+    return _bilinear_sample(img, ys, xs)
+
+
+def _elastic_one(key: Array, img: Array, alpha: float = 10.0,
+                 grid: int = 4) -> Array:
+    """Elastic deformation: a coarse random displacement field upsampled
+    to image resolution, applied with bilinear warping
+    (reference: shared_transforms.py SpatialTransformToHalfBatch:15-45,
+    which delegates to batchgenerators' elastic transform — same idea
+    expressed as one fused gather)."""
+    h, w, _ = img.shape
+    coarse = jax.random.normal(key, (grid, grid, 2)) * alpha
+    field = jax.image.resize(coarse, (h, w, 2), method="bilinear")
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] + field[..., 0]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] + field[..., 1]
+    return _bilinear_sample(img, yy, xx)
 
 
 def _crop_next_to_center_one(key: Array, img: Array, size: int,
@@ -184,20 +185,7 @@ def _perspective_warp(img: Array, m: Array) -> Array:
     denom = minv[2, 0] * xx + minv[2, 1] * yy + minv[2, 2] * ones
     xs = (minv[0, 0] * xx + minv[0, 1] * yy + minv[0, 2]) / denom
     ys = (minv[1, 0] * xx + minv[1, 1] * yy + minv[1, 2]) / denom
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    dx = (xs - x0)[..., None]
-    dy = (ys - y0)[..., None]
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        return jnp.where(valid[..., None], img[yc, xc, :], 0.0)
-
-    top = gather(y0, x0) * (1 - dx) + gather(y0, x0 + 1) * dx
-    bot = gather(y0 + 1, x0) * (1 - dx) + gather(y0 + 1, x0 + 1) * dx
-    return top * (1 - dy) + bot * dy
+    return _bilinear_sample(img, ys, xs)
 
 
 def _perspective_one(key: Array, img: Array) -> Array:
@@ -285,27 +273,44 @@ class AugmentConfig:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
-    """Apply the augmentation stack to [B, H, W, 3] triplets → [B, p, p, 3]."""
+    """Apply the augmentation stack to [B, H, W, 3] triplets → [B, p, p, 3].
+
+    Shapes are trace-time static: non-square or undersized inputs pad to
+    the working size first (AdjustToPatchSize semantics), and the crop
+    gates test BOTH spatial dims so any H != W input still lands on the
+    square [p, p] contract rot90 requires.
+    """
     b = triplet.shape[0]
     x = triplet
-    if cfg.aug_patch_size is not None and cfg.aug_patch_size < x.shape[1]:
-        x = center_crop(x, cfg.aug_patch_size)
+    if cfg.aug_patch_size is not None:
+        ap = cfg.aug_patch_size
+        x = _pad_batch_to_at_least(x, ap)
+        if x.shape[1] > ap or x.shape[2] > ap:
+            x = center_crop(x, ap)
+    x = _pad_batch_to_at_least(x, cfg.patch_size)
+    p = cfg.patch_size
 
     keys = jax.random.split(key, 9 * b).reshape(9, b, 2)
     if cfg.elastic:
         x = jax.vmap(lambda k, i: _elastic_one(k, i, cfg.elastic_alpha))(
             keys[7], x)
-    if cfg.crop_next_to_center and x.shape[1] > cfg.patch_size:
+    need_crop = x.shape[1] > p or x.shape[2] > p
+    if cfg.crop_next_to_center and need_crop:
         x = jax.vmap(lambda k, i: _crop_next_to_center_one(
-            k, i, cfg.patch_size, cfg.max_translation))(keys[0], x)
-    elif cfg.random_crop and x.shape[1] > cfg.patch_size:
-        x = jax.vmap(lambda k, i: _random_crop_one(k, i, cfg.patch_size))(
-            keys[0], x)
-    elif x.shape[1] > cfg.patch_size:
-        x = center_crop(x, cfg.patch_size)
+            k, i, p, cfg.max_translation))(keys[0], x)
+    elif cfg.random_crop and need_crop:
+        x = jax.vmap(lambda k, i: _random_crop_one(k, i, p))(keys[0], x)
+    elif need_crop:
+        x = center_crop(x, p)
+    # intensity BEFORE the bilinear warps: the reference chain applies
+    # RandomIntensity before rotation (train_cardiac_aesr.py:94-97), so
+    # zero-filled warp borders stay exactly 0 instead of remapping to
+    # sigmoid(-gain*cutoff) gray
+    if cfg.intensity:
+        x = jax.vmap(_intensity_one)(keys[2], x)
     if cfg.perspective:
         x = jax.vmap(_perspective_one)(keys[8], x)
-    if cfg.rotate_any:
+    if cfg.rotate_any and cfg.max_degree > 0:
         x = jax.vmap(lambda k, i: _rotate_any_one(k, i, cfg.max_degree))(
             keys[3], x)
     if cfg.rot90:
@@ -314,8 +319,6 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
         x = jax.vmap(_mirror_one)(keys[4], x)
     if cfg.blur:
         x = jax.vmap(_blur_one)(keys[5], x)
-    if cfg.intensity:
-        x = jax.vmap(_intensity_one)(keys[2], x)
     if cfg.noise:
         x = jax.vmap(_noise_one)(keys[6], x)
     return x
@@ -329,6 +332,11 @@ def prepare_batch_pairs(triplet: Array):
     datasets/ACDC/data4d_simple.py:327-387 'repeat' mode). C=1 for plain
     images; C=2 for the ACDCLBL (image+label) slot-major layout
     (reference: data_with_labels.py 6-channel triplets)."""
+    if triplet.shape[-1] % 3 != 0:
+        raise ValueError(
+            f"prepare_batch_pairs expects 3C channels (from|to|between), "
+            f"got {triplet.shape[-1]} — split any riding mask channel off "
+            f"first (see cli/train_loop._device_batch)")
     c = triplet.shape[-1] // 3
     a = triplet[..., 0:c]
     b = triplet[..., c:2 * c]
