@@ -31,9 +31,12 @@ def save_3d_volume(image: np.ndarray, patient_id: str, output_dir: str,
     contract (reference: evaluate/create_HR_images.py:81-107
     save_3d_volume): per-patient subdirectory,
     ``<pat>_<file_suffix or model>.nii.gz``; with ``resample=True`` the
-    volume is resampled in-plane back to ``original_spacing`` (y, x) —
-    z keeps the SR spacing — before saving."""
+    volume is resampled in-plane back to ``original_spacing`` — a
+    3-vector (z, y, x) whose z entry is ignored (z keeps the SR
+    spacing) — before saving."""
     sr_spacing = np.asarray(sr_spacing, np.float64).copy()
+    if original_spacing is not None and len(original_spacing) != 3:
+        raise ValueError("original_spacing must be a (z, y, x) 3-vector")
     spacing_img = sr_spacing.copy()
     if resample:
         if original_spacing is None:
@@ -72,9 +75,11 @@ def save_4d_volume(volume4d: np.ndarray, patient_id: str, output_dir: str,
     """Save a [t, z, y, x] SR volume (reference:
     evaluate/create_HR_images.py:199-236 save_4d_volume): filename
     ``<pat>_4d_<model>.nii.gz`` (or ``<pat>_<file_suffix>``); optional
-    per-frame in-plane resample back to the original (y, x) spacing with
-    nearest-order label resampling."""
+    per-frame in-plane resample back to the original (z, y, x) spacing's
+    in-plane entries with nearest-order label resampling."""
     sr_spacing = np.asarray(sr_spacing, np.float64).copy()
+    if original_spacing is not None and len(original_spacing) != 3:
+        raise ValueError("original_spacing must be a (z, y, x) 3-vector")
     spacing_img = sr_spacing.copy()
     if resample:
         if original_spacing is None:
@@ -128,8 +133,21 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
     alpha_range = np.linspace(0, 1, downsample_steps + 1)[1:-1]
     per_volume: List[Dict] = []
     per_volume_ids = []
-    lpips_params = trainer.lpips_params if (
-        trainer is not None and compute_percept_metrics) else None
+    # samples for the aggregate: one entry per FRAME for 4D volumes
+    # (the reference appends each frame's metrics to the global lists,
+    # create_HR_images.py:362-372, so patients with more frames weigh
+    # more); per_volume keeps the per-patient mean for reporting
+    agg_samples: List[Dict] = []
+    lpips_params = None
+    if compute_percept_metrics:
+        lpips_params = getattr(trainer, "lpips_params", None)
+        if lpips_params is None:
+            # conventional baselines / models trained without the
+            # perceptual loss still get the requested LPIPS metric
+            # (reference constructs PerceptualLoss itself,
+            # create_HR_images.py:32-40)
+            from ..ops import get_lpips_params
+            lpips_params = get_lpips_params()
     model_name = (trainer.args.get("model", "model") if trainer is not None
                   else interpol_method)
 
@@ -150,29 +168,37 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
         hr = np.asarray(hr, np.float32)
         img = np.asarray(vol.image, np.float32)
         is_4d = img.ndim == 4
+        # metrics stop at the last on-grid slice: the (S-1) % ds tail
+        # slices are verbatim ground-truth copies and must not inflate
+        # the scores (reference: create_HR_images.py:148-158,
+        # common.py:36-39 determine_last_slice + 1)
+        def _n_scored(s):
+            return ((s - 1) // downsample_steps) * downsample_steps + 1
+
         if is_4d:
             frames, conv = [], False
             frame_metrics = []
             for t in range(img.shape[0]):
                 up_t, conv = _synthesize(img[t])
                 frames.append(up_t)
-                n = min(hr.shape[1], len(up_t))
+                n = min(hr.shape[1], len(up_t), _n_scored(len(up_t)))
                 frame_metrics.append(compute_volume_metrics(
                     hr[t][:n], up_t[:n], downsample_steps=downsample_steps,
                     conv_interpol=conv, eval_axis=eval_axis,
                     lpips_params=lpips_params))
             upsampled = np.stack(frames, axis=0)
-            # volume metrics = mean over frames (reference accumulates
-            # per-frame results into the same per-patient lists)
+            agg_samples.extend(frame_metrics)
+            # per-patient report = mean over frames
             metrics = {k: float(np.mean([m[k] for m in frame_metrics]))
                        for k in frame_metrics[0]}
         else:
             upsampled, conv = _synthesize(img)
-            n = min(len(hr), len(upsampled))
+            n = min(len(hr), len(upsampled), _n_scored(len(upsampled)))
             metrics = compute_volume_metrics(
                 hr[:n], upsampled[:n], downsample_steps=downsample_steps,
                 conv_interpol=conv, eval_axis=eval_axis,
                 lpips_params=lpips_params)
+            agg_samples.append(metrics)
         per_volume.append(metrics)
         per_volume_ids.append(vol.patient_id)
         if verbose:
@@ -180,27 +206,50 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                   + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
         if save_volumes and output_dir:
             os.makedirs(output_dir, exist_ok=True)
+            # in-between-slices SR reconstructs onto the INPUT z-grid
+            # (same slice count), so the z-spacing does not change —
+            # reference: create_HR_images.py:300-305 "resolution will
+            # not change" (division by (n+1) belongs only to the
+            # num_interpolations mode of generate_hr_volumes)
             new_spacing = np.array(vol.spacing, np.float64).copy()
-            new_spacing[0] = new_spacing[0] / downsample_steps
             orig_sp = (original_spacing if original_spacing is not None
                        else getattr(vol, "original_spacing", None))
             suffix = f"{interpol_method}_{downsample_steps}x"
+            # labels live on the same z-grid as the in-between-slices
+            # output — save them alongside for downstream segmentation
+            # eval (reference: create_HR_images.py:98-106, 312-315)
+            lbl = (np.asarray(vol.labels)
+                   if getattr(vol, "labels", None) is not None else None)
+            if lbl is not None and lbl.shape != upsampled.shape:
+                lbl = None  # labels on a different grid (e.g. ED/ES only)
             if is_4d:
                 save_4d_volume(
                     upsampled, vol.patient_id, output_dir, new_spacing,
                     file_suffix=f"4d_{suffix}", model=model_name,
-                    original_spacing=orig_sp, resample=resample)
+                    original_spacing=orig_sp, resample=resample,
+                    labels4d=lbl)
             else:
                 save_3d_volume(
                     upsampled, vol.patient_id, output_dir, new_spacing,
                     file_suffix=suffix, model=model_name,
-                    original_spacing=orig_sp, resample=resample)
+                    original_spacing=orig_sp, resample=resample,
+                    labels=lbl)
 
-    agg = aggregate_metrics(per_volume)
+    if not per_volume:
+        raise ValueError("create_hr_images: no volumes to evaluate "
+                         "(empty dataset/split?)")
+    agg = aggregate_metrics(agg_samples)
     if verbose:
         for k, (m, s) in agg.items():
             print(f"  {k}: {m:.4f} ({s:.4f})")
-    result = {"per_volume": dict(zip(per_volume_ids, per_volume)),
+    # uniquify duplicate patient ids (e.g. ED/ES frames loaded as
+    # separate volumes) so per_volume/npz keep every entry
+    seen: Dict[str, int] = {}
+    uids = []
+    for pid in per_volume_ids:
+        seen[pid] = seen.get(pid, 0) + 1
+        uids.append(pid if seen[pid] == 1 else f"{pid}#{seen[pid]}")
+    result = {"per_volume": dict(zip(uids, per_volume)),
               "aggregate": agg}
     if lpips_params is not None:
         from ..ops.lpips import lpips_weights_info

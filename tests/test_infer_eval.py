@@ -298,7 +298,11 @@ def test_long_volume_completes_with_auto_chunking(trainer):
 
 def test_create_hr_images_4d_save(trainer, tmp_path):
     """A 4D cardiac volume is SR'd frame-by-frame and saved as ONE 4D
-    NIfTI with (t, z, y, x) dims and z-spacing / downsample_steps."""
+    NIfTI with (t, z, y, x) dims. In-between-slices SR reconstructs onto
+    the INPUT z-grid (same slice count), so the saved z-spacing must be
+    UNCHANGED (reference: create_HR_images.py:300-305 — the earlier
+    divide-by-downsample_steps claimed a z-extent 2x smaller than the
+    physical volume)."""
     from superresolution_aniso_mri_tpu.utils import read_image
 
     frames = np.stack([make_toy_dataset(1, 32, 9, seed=20 + t)[0].image
@@ -313,7 +317,7 @@ def test_create_hr_images_4d_save(trainer, tmp_path):
     assert os.path.isfile(path)
     arr, spacing, _ = read_image(path)
     assert arr.shape == (3, 9, 32, 32)
-    np.testing.assert_allclose(spacing, [2.5, 1.4, 1.4], atol=1e-6)
+    np.testing.assert_allclose(spacing, [5.0, 1.4, 1.4], atol=1e-6)
 
 
 def test_save_3d_volume_resample_back(tmp_path):
@@ -471,3 +475,42 @@ def test_batched_sweep_4d_volumes(trainer):
     res = evaluate_volumes_batched(trainer, [vol], downsample_steps=2)
     assert set(res) == {"pat4d"}
     assert np.isfinite(list(res["pat4d"].values())).all()
+
+
+def test_create_hr_images_tail_slices_excluded_from_metrics(trainer):
+    """Verbatim-copied tail slices ((S-1) % ds != 0) must not inflate
+    the all-slices metrics (reference truncates at
+    determine_last_slice+1, create_HR_images.py:148-158)."""
+    vol_even = make_toy_dataset(1, 32, 9, seed=31)[0]   # (9-1)%4 == 0
+    img10 = np.concatenate([vol_even.image,
+                            vol_even.image[-1:]], axis=0)  # 10 slices
+    vol_tail = Volume(image=img10, spacing=vol_even.spacing,
+                      patient_id="tail")
+    r_even = create_hr_images(trainer, [vol_even], downsample_steps=4)
+    r_tail = create_hr_images(trainer, [vol_tail], downsample_steps=4)
+    # the tail volume scores the same first 9 slices — identical metrics
+    np.testing.assert_allclose(
+        r_tail["per_volume"]["tail"]["ssim"],
+        r_even["per_volume"][vol_even.patient_id]["ssim"], atol=1e-6)
+
+
+def test_create_hr_images_saves_labels_and_keeps_duplicate_ids(
+        trainer, tmp_path):
+    vols = []
+    for i in range(2):  # same patient id twice (e.g. ED + ES)
+        v = make_toy_dataset(1, 32, 9, seed=40 + i)[0]
+        lbl = (v.image > 0.5).astype(np.int32)
+        vols.append(Volume(image=v.image, spacing=v.spacing,
+                           patient_id="dup", labels=lbl))
+    res = create_hr_images(trainer, vols, downsample_steps=2,
+                           output_dir=str(tmp_path), save_volumes=True)
+    assert set(res["per_volume"]) == {"dup", "dup#2"}
+    lbl_path = os.path.join(str(tmp_path) + "_labels", "dup",
+                            "dup_model_2x.nii.gz")
+    assert os.path.isfile(lbl_path)
+
+
+def test_create_hr_images_rejects_empty_dataset(trainer):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        create_hr_images(trainer, [], downsample_steps=2)
