@@ -159,9 +159,11 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                 generate_inbetween_slices=True,
                 use_original=use_original)
             return result["upsampled_image"], False
-        return create_simple_interpolation(
+        # clip like the reference (create_HR_images.py:328) — cubic /
+        # lanczos taps can ring outside [0, 1]
+        return np.clip(create_simple_interpolation(
             img3d, downsample_steps, method=interpol_method,
-            generate_inbetween_slices=True), True
+            generate_inbetween_slices=True), 0.0, 1.0), True
 
     for vol in volumes:
         hr = vol.image_hr if vol.image_hr is not None else vol.image

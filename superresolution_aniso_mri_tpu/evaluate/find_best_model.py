@@ -61,10 +61,15 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
         if batched:
             from .sweep import evaluate_volumes_batched
 
+            # per_frame=True so multi-frame patients weigh like the
+            # reference's global per-frame lists (and like the
+            # non-batched path); nanmean drops NaN entries (e.g. VIF on
+            # an all-uniform volume) instead of poisoning the epoch
             per_vol = evaluate_volumes_batched(trainer, volumes,
-                                               downsample_steps)
+                                               downsample_steps,
+                                               per_frame=True)
             for k in METRICS_TRACKED:
-                history[k].append(float(np.mean(
+                history[k].append(float(np.nanmean(
                     [m[k] for m in per_vol.values()])))
         else:
             res = create_hr_images(trainer, volumes, downsample_steps,
@@ -75,9 +80,13 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
             print(f"epoch {epoch}: " + " ".join(
                 f"{k}={history[k][-1]:.4f}" for k in METRICS_TRACKED))
 
-    best = {k: {"epoch": int(epoch_range[int(np.argmax(v))]),
-                "value": float(np.max(v))}
-            for k, v in history.items()}
+    # NaN-robust argmax: an epoch whose metric is NaN must never be
+    # selected as "best"
+    best = {}
+    for k, v in history.items():
+        arr = np.nan_to_num(np.asarray(v, np.float64), nan=-np.inf)
+        best[k] = {"epoch": int(epoch_range[int(np.argmax(arr))]),
+                   "value": float(np.max(arr))}
     out_file = os.path.join(exper_dir,
                             f"model_perf_ds{downsample_steps}.npz")
     np.savez(out_file, epochs=np.array(epoch_range),

@@ -71,10 +71,16 @@ def _get_evaluator(trainer):
 
 def evaluate_volumes_batched(trainer, volumes: Iterable,
                              downsample_steps: int,
-                             alpha_range=None) -> Dict[str, Dict]:
+                             alpha_range=None,
+                             per_frame: bool = False) -> Dict[str, Dict]:
     """Score a dataset of volumes against the trainer's current weights
     with one device program per shape-group. Returns
-    {patient_id: metrics} with the create_hr_images metric keys."""
+    {patient_id: metrics} with the create_hr_images metric keys.
+    Duplicate patient ids keep every entry (``pid#2`` keys, like
+    create_hr_images). ``per_frame=True`` keeps 4D volumes' per-frame
+    entries (``pid@t`` keys) instead of folding them to a per-patient
+    mean — the find_best_model sweep uses this so multi-frame patients
+    weigh like the reference's global per-frame lists."""
     if alpha_range is None:
         alpha_range = np.linspace(0, 1, downsample_steps + 1)[1:-1]
     alphas = jnp.asarray(np.asarray(alpha_range, np.float32))
@@ -89,19 +95,26 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
 
     groups: Dict[tuple, List] = {}
     frame_counts: Dict[str, int] = {}
+    seen_ids: Dict[str, int] = {}
     for vol in volumes:
         hr_full = np.asarray(
             vol.image_hr if vol.image_hr is not None else vol.image,
             np.float32)
         img_full = np.asarray(vol.image, np.float32)
+        # uniquify duplicate patient ids (ED/ES frames loaded as
+        # separate volumes) — same convention as create_hr_images
+        pid = str(vol.patient_id)
+        seen_ids[pid] = seen_ids.get(pid, 0) + 1
+        if seen_ids[pid] > 1:
+            pid = f"{pid}#{seen_ids[pid]}"
         # 4D cardiac volumes score frame-by-frame, averaged per patient
         # (same convention as create_hr_images)
         if img_full.ndim == 4:
-            frames = [(f"{vol.patient_id} {t}", img_full[t], hr_full[t])
+            frames = [(f"{pid}@{t}", img_full[t], hr_full[t])
                       for t in range(img_full.shape[0])]
-            frame_counts[vol.patient_id] = img_full.shape[0]
+            frame_counts[pid] = img_full.shape[0]
         else:
-            frames = [(vol.patient_id, img_full, hr_full)]
+            frames = [(pid, img_full, hr_full)]
         for pid, img, hr in frames:
             s = img.shape[0]
             remain = (s - 1) % ds
@@ -121,28 +134,46 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
     params, batch_stats = trainer._ae_params()
     results: Dict[str, Dict] = {}
     for key, items in groups.items():
-        kept_stack = jnp.asarray(
-            np.stack([it[1] for it in items])[..., None])
-        hr_stack = jnp.asarray(np.stack([it[2] for it in items]))
-        per_slice = evaluator(params, batch_stats, kept_stack, hr_stack,
-                              alphas)
-        per_slice = {k: np.asarray(v) for k, v in per_slice.items()}
-        for j, (pid, _, _, n_valid) in enumerate(items):
-            valid = np.zeros(per_slice["ssim"].shape[1], bool)
-            valid[:n_valid] = True
-            synth = synth_slice_mask(per_slice["ssim"].shape[1], ds,
-                                     conv_interpol=False) & valid
-            m = {}
-            for name in ("ssim", "psnr", "vif"):
-                vals = per_slice[name][j]
-                m[name] = float(np.mean(vals[valid]))
-                m[name + "_synth"] = float(np.mean(vals[synth]))
-            m["mse"] = float(np.mean(per_slice["sq"][j][valid]))
-            results[pid] = m
+        k_pad, h, w = key
+        n_out = (k_pad - 1) * (a_n + 1) + 1
+        # bound per-program HBM like create_super_volume's auto decode
+        # budget: cap the number of volumes stacked into one program so
+        # B * n_out full-res activations stay under the budget
+        per_vol = n_out * h * w * 4 * 4 * 32
+        max_b = max(1, int((1 << 31) // max(per_vol, 1)))
+        for start in range(0, len(items), max_b):
+            chunk = items[start:start + max_b]
+            kept_stack = jnp.asarray(
+                np.stack([it[1] for it in chunk])[..., None])
+            hr_stack = jnp.asarray(np.stack([it[2] for it in chunk]))
+            per_slice = evaluator(params, batch_stats, kept_stack,
+                                  hr_stack, alphas)
+            per_slice = {k: np.asarray(v) for k, v in per_slice.items()}
+            for j, (pid, _, _, n_valid) in enumerate(chunk):
+                valid = np.zeros(per_slice["ssim"].shape[1], bool)
+                valid[:n_valid] = True
+                synth = synth_slice_mask(per_slice["ssim"].shape[1], ds,
+                                         conv_interpol=False) & valid
+                m = {}
+                for name in ("ssim", "psnr", "vif"):
+                    vals = per_slice[name][j]
+                    # drop non-finite per-slice values (NaN VIF on
+                    # uniform slices, inf PSNR on exact copies) like the
+                    # non-batched path's masked_mean
+                    m[name] = _finite_mean(vals[valid])
+                    m[name + "_synth"] = _finite_mean(vals[synth])
+                m["mse"] = float(np.mean(per_slice["sq"][j][valid]))
+                results[pid] = m
 
-    # fold per-frame entries back to per-patient means
-    for pat, n_frames in frame_counts.items():
-        frames = [results.pop(f"{pat} {t}") for t in range(n_frames)]
-        results[pat] = {k: float(np.mean([f[k] for f in frames]))
-                        for k in frames[0]}
+    if not per_frame:
+        # fold per-frame entries back to per-patient means
+        for pat, n_frames in frame_counts.items():
+            frames = [results.pop(f"{pat}@{t}") for t in range(n_frames)]
+            results[pat] = {k: float(np.mean([f[k] for f in frames]))
+                            for k in frames[0]}
     return results
+
+
+def _finite_mean(vals: np.ndarray) -> float:
+    vals = vals[np.isfinite(vals)]
+    return float(np.mean(vals)) if vals.size else float("nan")

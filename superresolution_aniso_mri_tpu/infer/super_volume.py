@@ -86,6 +86,12 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
     → {'recon', 'interp'[, 'volume']}."""
     cfg = getattr(model, "config", None)
 
+    # VAE family routes encode through the trained mu bottleneck
+    # (heads -> mu -> unflatten), exactly like Trainer._encode_fn — raw
+    # conv latents are a space the decoder was never trained on
+    # (reference: trainer_vae.py:112-149 exec_vae_bottleneck)
+    is_vae = hasattr(model, "heads") and hasattr(model, "unflatten")
+
     def core(variables, kept: Array, alphas: Array,
              use_original: bool = False,
              interleave: bool = False) -> Dict[str, Array]:
@@ -96,8 +102,15 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         else:
             decode_fn = lambda zz: model.apply(variables, zz,
                                                method=model.decode)
-        encode_fn = lambda xx: model.apply(variables, xx,
-                                           method=model.encode)
+        if is_vae:
+            def encode_fn(xx):
+                z_conv = model.apply(variables, xx, method=model.encode)
+                mu, _logvar = model.apply(variables, z_conv,
+                                          method=model.heads)
+                return model.apply(variables, mu, method=model.unflatten)
+        else:
+            encode_fn = lambda xx: model.apply(variables, xx,
+                                               method=model.encode)
 
         z = _chunked_call(encode_fn, kept, decode_batch)  # [K, lw, lw, c]
 
@@ -209,6 +222,14 @@ def create_super_volume(trainer, images, alpha_range=None,
     alpha_range = np.asarray(list(alpha_range), np.float32)
     if generate_inbetween_slices and downsample_steps is None:
         downsample_steps = int(len(alpha_range) + 1)
+    if generate_inbetween_slices and downsample_steps != len(alpha_range) + 1:
+        # interleaved output stride is len(alpha_range)+1; the output
+        # only lands back on the input z-grid (and the verbatim tail
+        # re-append only aligns) when that equals the downsample stride
+        raise ValueError(
+            f"generate_inbetween_slices needs len(alpha_range) "
+            f"({len(alpha_range)}) == downsample_steps-1 "
+            f"({downsample_steps - 1})")
 
     orig_images = images
     orig_num_slices = images.shape[0]
@@ -239,7 +260,10 @@ def create_super_volume(trainer, images, alpha_range=None,
                                           kept.shape[2], depth)
 
     if num_devices and num_devices > 1:
-        synth = _get_sharded_synthesizer(trainer, num_devices)
+        # per-shard decode chunking keeps the HBM bound on the mesh too
+        per_dev = (decode_batch if decode_batch is None
+                   else max(32, int(decode_batch) // int(num_devices)))
+        synth = _get_sharded_synthesizer(trainer, num_devices, per_dev)
     else:
         synth = _get_synthesizer(trainer, decode_batch)
     params_sr = getattr(trainer, "params_sr", None)
@@ -281,7 +305,26 @@ def create_super_volume(trainer, images, alpha_range=None,
 
     k1 = k_true - 1
     pred_alphas = np.repeat(alpha_range[None, :], k1, axis=0).reshape(-1)
-    return {"upsampled_image": new_volume, "upsampled_labels": None,
+
+    # labels ride along on the output grid by nearest-neighbour z
+    # lookup (round-half-up like ITK): in the in-between-slices mode the
+    # grids coincide, so labels return unchanged; in the
+    # num_interpolations mode each synthesized position takes the
+    # nearest original label slice
+    upsampled_labels = None
+    if labels is not None:
+        labels = np.asarray(labels)
+        n_out = new_volume.shape[0]
+        if n_out == labels.shape[0]:
+            upsampled_labels = labels
+        else:
+            a_n1 = len(alpha_range) + 1
+            pos = np.arange(n_out, dtype=np.float64) / a_n1
+            src = np.clip(np.floor(pos + 0.5).astype(np.int64), 0,
+                          labels.shape[0] - 1)
+            upsampled_labels = labels[src]
+    return {"upsampled_image": new_volume,
+            "upsampled_labels": upsampled_labels,
             "pred_alphas": pred_alphas}
 
 
@@ -297,11 +340,13 @@ def _get_synthesizer(trainer, decode_batch: Optional[int] = None):
     return _SYNTH_CACHE[key]
 
 
-def _get_sharded_synthesizer(trainer, num_devices: int):
+def _get_sharded_synthesizer(trainer, num_devices: int,
+                             decode_batch: Optional[int] = None):
     """Slice-axis-sharded synthesizer over the first N devices
-    (parallel.make_sharded_synthesizer), cached per (model, N)."""
+    (parallel.make_sharded_synthesizer), cached per
+    (model, N, decode_batch)."""
     mdl = trainer._ae_model()
-    key = (id(mdl), "mesh", int(num_devices))
+    key = (id(mdl), "mesh", int(num_devices), decode_batch)
     if key not in _SYNTH_CACHE:
         from ..parallel import create_mesh, make_sharded_synthesizer
 
@@ -311,7 +356,8 @@ def _get_sharded_synthesizer(trainer, num_devices: int):
                 f"num_devices={num_devices} but only {len(devices)} "
                 f"device(s) attached")
         _SYNTH_CACHE[key] = make_sharded_synthesizer(
-            mdl, create_mesh(devices[:num_devices]))
+            mdl, create_mesh(devices[:num_devices]),
+            decode_batch=decode_batch)
     return _SYNTH_CACHE[key]
 
 
@@ -322,7 +368,10 @@ def _get_sharded_synthesizer(trainer, num_devices: int):
 def _interp_weights(method: str, frac: np.ndarray):
     """Per-output-sample kernel taps (offsets, weights) for 1-D z interp."""
     if method == "nearest":
-        offs = np.round(frac).astype(np.int64)
+        # ITK nearest rounds half UP (Math::RoundHalfIntegerUp);
+        # np.round's banker's rounding would pick the earlier slice at
+        # exact midpoints (every odd output slice for even factors)
+        offs = np.floor(frac + 0.5).astype(np.int64)
         return offs[:, None], np.ones((len(frac), 1), np.float32)
     if method == "linear":
         w1 = frac.astype(np.float32)
@@ -371,6 +420,15 @@ def simple_interpolation(volume: np.ndarray, expand_factor: int,
     base = np.floor(pos).astype(np.int64)
     frac = pos - base
     offs, w = _interp_weights(method, frac)
+    if method == "bspline":
+        # interpolating B-spline needs the coefficient prefilter
+        # (ITK's BSplineInterpolateImageFunction computes spline
+        # coefficients first); applying the smoothing kernel to raw
+        # samples would blur on-grid slices instead of reproducing them
+        import scipy.ndimage
+        volume = scipy.ndimage.spline_filter1d(
+            np.asarray(volume, np.float64), order=3, axis=0,
+            mode="mirror")
     idx = np.clip(base[:, None] + offs, 0, s - 1)     # [out_n, taps]
     taps = volume[idx]                                # [out_n, taps, H, W]
     out = np.einsum("ot,othw->ohw", w.astype(volume.dtype), taps)

@@ -97,19 +97,22 @@ def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
                               lambda state: rep)
 
 
-def make_sharded_synthesizer(model, mesh: Mesh):
+def make_sharded_synthesizer(model, mesh: Mesh,
+                             decode_batch: Optional[int] = None):
     """Volume synthesizer with the slice axis sharded over the mesh —
     whole-volume inference scales across chips
     (SURVEY.md §2.9: shard the slice axis for volume inference).
 
     Returns synth(params, batch_stats, kept, alphas, use_original=False)
     — same static flags as the local synthesizer; the kept-slice count
-    must be divisible by the mesh size (create_super_volume pads)."""
+    must be divisible by the mesh size (create_super_volume pads).
+    ``decode_batch`` bounds per-shard decode chunks like the local
+    synthesizer's HBM budget."""
     from functools import partial
 
     from ..infer.super_volume import make_volume_synthesizer
 
-    base = make_volume_synthesizer(model)
+    base = make_volume_synthesizer(model, decode_batch=decode_batch)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
 
