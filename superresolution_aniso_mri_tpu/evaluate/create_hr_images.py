@@ -139,15 +139,23 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
     # more); per_volume keeps the per-patient mean for reporting
     agg_samples: List[Dict] = []
     lpips_params = None
+    lpips_mode = None
     if compute_percept_metrics:
         lpips_params = getattr(trainer, "lpips_params", None)
-        if lpips_params is None:
+        if lpips_params is not None:
+            # the trainer recorded its own weights' mode at resolution
+            lpips_mode = trainer.args.get("lpips_mode")
+        else:
             # conventional baselines / models trained without the
             # perceptual loss still get the requested LPIPS metric
             # (reference constructs PerceptualLoss itself,
-            # create_HR_images.py:32-40)
+            # create_HR_images.py:32-40); capture the mode at OUR
+            # resolution — the global last-info may be relabeled by
+            # later unrelated calls
             from ..ops import get_lpips_params
+            from ..ops.lpips import lpips_weights_info
             lpips_params = get_lpips_params()
+            lpips_mode = lpips_weights_info()["mode"]
     model_name = (trainer.args.get("model", "model") if trainer is not None
                   else interpol_method)
 
@@ -253,9 +261,8 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
         uids.append(pid if seen[pid] == 1 else f"{pid}#{seen[pid]}")
     result = {"per_volume": dict(zip(uids, per_volume)),
               "aggregate": agg}
-    if lpips_params is not None:
-        from ..ops.lpips import lpips_weights_info
-        result["lpips_mode"] = lpips_weights_info()["mode"]
+    if lpips_params is not None and lpips_mode:
+        result["lpips_mode"] = lpips_mode
     if output_dir:
         save_metrics(output_dir, None, result, downsample_steps,
                      interpol_method, eval_axis)

@@ -120,6 +120,10 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
     or weights/lpips_vgg.npz) → shipped learned lin weights over random
     VGG features → fully random. Fallbacks warn explicitly; the selected
     mode is queryable via :func:`lpips_weights_info`."""
+    if path and not os.path.isfile(path):
+        # an explicitly requested weights file must never silently fall
+        # through to a different source
+        raise FileNotFoundError(f"LPIPS weights not found: {path}")
     candidates = []
     if path:
         candidates.append(path)
@@ -129,13 +133,23 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
     candidates.append(_FULL_NPZ)
     for cand in candidates:
         if cand and os.path.isfile(cand):
-            data = np.load(cand)
-            if "conv0_kernel" in data:
-                _last_info.update(mode="converted", path=cand)
-                return load_lpips_params(cand)
-            # lin-only npz passed explicitly: fall through to random VGG
-            params = init_lpips_params(seed=seed)
-            params["lins"] = load_lin_weights(cand)
+            with np.load(cand) as data:
+                if "conv0_kernel" in data:
+                    convs = [{"kernel": data[f"conv{i}_kernel"],
+                              "bias": data[f"conv{i}_bias"]}
+                             for i in range(len(_VGG_PLAN))]
+                    lins = [{"kernel": data[f"lin{i}_kernel"]}
+                            for i in range(len(LPIPS_CHANNELS))]
+                    _last_info.update(mode="converted", path=cand)
+                    return _device(({"convs": convs, "lins": lins}))
+                if "lin0_kernel" not in data:
+                    raise ValueError(
+                        f"{cand}: not an LPIPS weights npz (expected "
+                        f"conv0_kernel/... or lin0_kernel/... arrays)")
+                # lin-only npz: learned lins over random VGG features
+                params = init_lpips_params(seed=seed)
+                params["lins"] = [{"kernel": data[f"lin{i}_kernel"]}
+                                  for i in range(len(LPIPS_CHANNELS))]
             _last_info.update(mode="lin_converted_vgg_random", path=cand)
             warnings.warn(
                 "LPIPS: using learned lin weights over deterministic RANDOM "
@@ -143,7 +157,7 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
                 "usable perceptual signal but NOT true LPIPS; convert "
                 "torchvision VGG16 via tools/convert_lpips_weights.py for "
                 "exact reference parity.", stacklevel=2)
-            return params
+            return _device(params)
     if os.path.isfile(_LIN_NPZ):
         params = init_lpips_params(seed=seed)
         params["lins"] = load_lin_weights(_LIN_NPZ)
@@ -154,13 +168,20 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
             "perceptual signal but NOT true LPIPS; convert torchvision VGG16 "
             "via tools/convert_lpips_weights.py for exact reference parity.",
             stacklevel=2)
-        return params
+        return _device(params)
     _last_info.update(mode="random", path=None)
     warnings.warn(
         "LPIPS: no converted weights found anywhere — falling back to "
         "deterministic random VGG features with uniform lin weights. "
         "Results are NOT LPIPS.", stacklevel=2)
-    return init_lpips_params(seed=seed)
+    return _device(init_lpips_params(seed=seed))
+
+
+def _device(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Commit the (frozen, ~59 MB) weight set to the device once —
+    host-numpy leaves would re-transfer on every jitted
+    lpips_distance call (one full copy per evaluated volume)."""
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
 
 def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
@@ -174,6 +195,12 @@ def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
     slice_ends = set(_SLICE_ENDS)
     for i, (cout, pool_before) in enumerate(_VGG_PLAN):
         if pool_before:
+            if h.shape[1] < 2 or h.shape[2] < 2:
+                # thin input (e.g. a long-axis resliced view): deeper
+                # pools would collapse a dim to 0 and the distance would
+                # silently go NaN — stop here and score over the slices
+                # that exist (the reference stack would hard-crash)
+                break
             h = jax.lax.reduce_window(
                 h, -jnp.inf, jax.lax.max,
                 window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
@@ -192,8 +219,12 @@ def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
 
 def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
     """Per-pixel unit-normalise over channels (reference: lpips/common.py
-    normalize_tensor)."""
-    norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True))
+    normalize_tensor). eps lives INSIDE the sqrt: d/dx sqrt(sum(x^2)) is
+    NaN at an exactly-zero feature vector (post-ReLU zeros are common on
+    black MRI padding), which would poison every perceptual-loss
+    gradient; sqrt(sum + eps^2) is smooth there and numerically
+    identical elsewhere."""
+    norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True) + eps * eps)
     return x / (norm + eps)
 
 
@@ -213,12 +244,11 @@ def lpips_distance(params: Dict[str, Any], in0: Array, in1: Array,
 
     shift = jnp.asarray(_SHIFT)
     scale = jnp.asarray(_SCALE)
-    # grayscale broadcasts to 3 channels through the [3]-vector arithmetic
+    # grayscale broadcasts to 3 channels through the [3]-vector
+    # arithmetic itself — a [B,H,W,1] input is [B,H,W,3] after this
+    # line, exactly the reference ScalingLayer's [1,3,1,1] broadcast
     in0 = (in0 - shift) / scale
     in1 = (in1 - shift) / scale
-    if in0.shape[-1] == 1:
-        in0 = jnp.broadcast_to(in0, in0.shape[:-1] + (3,))
-        in1 = jnp.broadcast_to(in1, in1.shape[:-1] + (3,))
 
     feats0 = _vgg_features(params, in0)
     feats1 = _vgg_features(params, in1)
