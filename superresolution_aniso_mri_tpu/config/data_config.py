@@ -43,7 +43,10 @@ class DataConfig:
             return f"{stem}_{downsample_steps / 2:.1f}mm.nii.gz"
         if self.dataset == "ADNI":
             return f"_{downsample_steps}mm.nii"
-        if self.dataset in ("MNIST3D", "MNISTRoto"):
+        if self.dataset in ("MNIST3D", "MNISTRoto", "brainMASI"):
+            # brainMASI trains from plain HR volumes — the reference
+            # downsamples at sample time instead of pre-blurring
+            # (brainMASI/dataset.py:44-70 get_images do_downsample)
             return self.img_file_ext
         raise NotImplementedError(
             f"lr_file_suffix: dataset {self.dataset} not supported")

@@ -52,7 +52,13 @@ def _patient_id_from_file(dataset: str, path: str) -> str:
     if dataset == "ADNI":
         parts = os.path.normpath(path).split(os.sep)
         return parts[-4] + "_" + parts[-2] if len(parts) >= 4 else name
-    return os.path.splitext(name)[0].replace(".nii", "")
+    stem = os.path.splitext(name)[0].replace(".nii", "")
+    if dataset in ("ACDC", "ARVC") and stem.endswith("_4d"):
+        # 'patient001_4d.nii.gz' → 'patient001' so ids match the
+        # reference split files and the labeled loader's ids
+        # (reference: datasets/ACDC/data.py patient ids)
+        stem = stem[:-3]
+    return stem
 
 
 def _split_patients(patient_ids: Sequence[str], split_file: Optional[str],
@@ -99,6 +105,12 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
     splits = _split_patients(pids, cfg.split_file)
     wanted = set(splits.get(split, []))
     sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
+    if not sel and files:
+        import warnings
+        warnings.warn(
+            f"{dataset}: split {split!r} selected 0 of {len(files)} "
+            f"volumes (split keys: {sorted(splits)}; check the split "
+            f"file's patient ids)", stacklevel=2)
     if limited_load:
         sel = sel[:cfg.limited_load_max]
     # decode the whole split in parallel on the native runtime when it is
@@ -155,14 +167,26 @@ def create_lr_dataset(dataset: str, downsample_steps: int,
     """Generate + save blurred synthetic-LR volumes next to the HR ones
     (reference: OASIS/dataset.py:104-122, dHCP/dataset.py:14-36,
     ADNI/create_dataset.py)."""
+    import re
+
     cfg = get_config(dataset)
     root = src_path or cfg.image_dir
     files = _find_files(root, cfg.img_file_ext)
+    # never re-ingest previously generated LR outputs (their '_Kmm'
+    # suffix still ends with img_file_ext for ADNI's plain '.nii'):
+    # a rerun would double-blur them into e.g. 'x_2mm_4mm.nii'
+    lr_pat = re.compile(r"_\d+(\.\d+)?mm" + re.escape(cfg.img_file_ext)
+                        + r"$")
+    files = [f for f in files if not lr_pat.search(os.path.basename(f))]
+    if out_path:
+        out_path = os.path.expanduser(out_path)
+        os.makedirs(out_path, exist_ok=True)
     written = []
     for path in files:
         arr, spacing, affine = read_image(path)
-        thickness = (downsample_steps if dataset != "dHCP"
-                     else downsample_steps)  # steps are in native-voxel units
+        # blur sigma works in native-voxel units for every dataset; the
+        # dHCP naming alone differs (0.5mm voxels → suffix ds/2 mm)
+        thickness = downsample_steps
         lr = create_lr_volume(arr.astype(np.float32), thickness,
                               subsample=False)
         suffix = cfg.lr_file_suffix(downsample_steps)
@@ -184,12 +208,33 @@ def create_lr_dataset(dataset: str, downsample_steps: int,
 ACDC_5MM_PATIENTS = (4, 5, 9, 18, 54, 63, 69, 75, 79, 80, 90, 94)
 
 
+def acdc_default_split(pids) -> Dict[str, List[str]]:
+    """Reference ACDC SR split when no on-disk file exists: the 12
+    patients with native 5mm slices form the test set, 70 of the rest
+    train, the remainder validate (reference: datasets/ACDC/data.py
+    PATIENT_LIST_5MM_SLICE_THICKNESS:21-23,
+    split_patids_by_slice_thickness:163-174, get_patids_acdc_sr:176-195)."""
+    five = {f"patient{p:03d}" for p in ACDC_5MM_PATIENTS}
+    ids = sorted(set(str(p) for p in pids))
+    test = [p for p in ids if p in five]
+    rest = [p for p in ids if p not in five]
+    rs = np.random.RandomState(1234)
+    perm = rs.permutation(len(rest))
+    n_tr = min(70, len(rest))
+    return {
+        "training": sorted(rest[i] for i in perm[:n_tr]),
+        "validation": sorted(rest[i] for i in perm[n_tr:]),
+        "test": test,
+    }
+
+
 def load_acdc_volumes(split: str = "training",
                       limited_load: bool = False,
                       resample: bool = True,
                       rescale: bool = True,
                       src_path: Optional[str] = None,
-                      frame_limit: Optional[int] = None) -> List[Volume]:
+                      frame_limit: Optional[int] = None,
+                      dataset: str = "ACDC") -> List[Volume]:
     """Load ACDC 4D cine volumes; each frame becomes one 3-D Volume
     (pair sampling never crosses frames, matching the reference's
     (pat, frame, slice) index — datasets/ACDC/data4d_simple.py:131-240).
@@ -198,15 +243,26 @@ def load_acdc_volumes(split: str = "training",
     (data.py:471-506): in-plane resample to 1.4x1.4 mm with blur, 1-99
     percentile rescale.
     """
-    cfg = get_config("ACDC")
+    cfg = get_config(dataset)
     root = src_path or cfg.image_dir
     files = _find_files(root, "4d.nii.gz") or _find_files(root, ".nii.gz")
     if not files:
-        raise FileNotFoundError(f"no ACDC volumes under {root}")
-    pids = [_patient_id_from_file("ACDC", f) for f in files]
-    splits = _split_patients(pids, cfg.split_file)
+        raise FileNotFoundError(f"no {dataset} volumes under {root}")
+    pids = [_patient_id_from_file(dataset, f) for f in files]
+    if (dataset == "ACDC" and not (cfg.split_file and os.path.isfile(
+            os.path.expanduser(cfg.split_file)))):
+        # reference 5mm-thickness split (see acdc_default_split)
+        splits = acdc_default_split(pids)
+    else:
+        splits = _split_patients(pids, cfg.split_file)
     wanted = set(splits.get(split, []))
     sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
+    if not sel and files:
+        import warnings
+        warnings.warn(
+            f"{dataset}: split {split!r} selected 0 of {len(files)} "
+            f"volumes (split keys: {sorted(splits)}; check the split "
+            f"file's patient ids)", stacklevel=2)
     if limited_load:
         sel = sel[:cfg.limited_load_max]
     volumes: List[Volume] = []
@@ -217,7 +273,8 @@ def load_acdc_volumes(split: str = "training",
             arr = arr[None]
         if frame_limit:
             arr = arr[:frame_limit]
-        bad_limit = acdc_frame_limit(pid)
+        # per-patient bad-frame trimming is an ACDC-specific curation
+        bad_limit = acdc_frame_limit(pid) if dataset == "ACDC" else None
         if bad_limit is not None:
             arr = arr[:bad_limit]
         original_spacing = np.asarray(spacing, np.float64)[-3:]
@@ -312,12 +369,23 @@ def load_sunnybrook_volumes(src_path: Optional[str] = None,
     if not files:
         raise FileNotFoundError(f"no '*{file_suffix}' under {root}")
     if limited_load:
-        files = files[:20]
+        files = files[:cfg.limited_load_max]
     volumes = []
     for fname in files:
-        pid = os.path.basename(fname).replace(file_suffix, "")
-        for phase, path in (("ES", fname),
-                            ("ED", fname.replace("ES", "ED"))):
+        base = os.path.basename(fname)
+        pid = base.replace(file_suffix, "")
+        # anchored suffix swap on the BASENAME — a path component or
+        # patient id containing 'ES' must not be rewritten
+        ed_name = base[: -len(file_suffix)] + file_suffix.replace("ES", "ED")
+        ed_path = os.path.join(os.path.dirname(fname), ed_name)
+        phases = [("ES", fname)]
+        if os.path.isfile(ed_path):
+            phases.append(("ED", ed_path))
+        else:
+            import warnings
+            warnings.warn(f"sunnybrook: no ED companion for {base} — "
+                          f"loading ES phase only", stacklevel=2)
+        for phase, path in phases:
             arr, _sp, _ = read_image(path)
             arr = np.flip(arr.astype(np.float32), axis=2).copy()
             spacing = np.asarray(SUNNYBROOK_SPACING, np.float64)
@@ -342,7 +410,7 @@ def load_arvc_volumes(split: str = "training", limited_load: bool = False,
     cfg = get_config("ARVC")
     root = src_path or cfg.image_dir
     return load_acdc_volumes(split=split, limited_load=limited_load,
-                             src_path=root)
+                             src_path=root, dataset="ARVC")
 
 
 def create_dhcp_dataset(src_path: str, out_path: str,
@@ -460,7 +528,8 @@ def load_sax_volumes(root_dir: str, file_suffix: str = ".nii.gz",
     if not files:
         raise FileNotFoundError(f"no '*{file_suffix}' under {root_dir}")
     if limited_load:
-        files = files[:5]
+        from ..config.data_config import get_config as _gc
+        files = files[:_gc("sunnybrook").limited_load_max]
     volumes = []
     for path in files:
         arr, spacing, _ = read_image(path)

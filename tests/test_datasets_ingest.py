@@ -129,3 +129,82 @@ def test_split_patients_yaml_and_fallback(tmp_path):
     yaml_file.write_text("training: [p0, p1]\nvalidation: [p2]\ntest: [p3]\n")
     split2 = _split_patients(ids, str(yaml_file))
     assert split2["training"] == ["p0", "p1"]
+
+
+def test_acdc_default_split_puts_5mm_patients_in_test(tmp_path):
+    """With no on-disk split file, the 12 native-5mm patients form the
+    SR test split (reference: data.py:21-23, 163-195); ids strip the
+    '_4d' filename suffix so they match reference split files."""
+    from superresolution_aniso_mri_tpu.data.datasets import (
+        ACDC_5MM_PATIENTS, acdc_default_split, _patient_id_from_file,
+    )
+
+    assert _patient_id_from_file("ACDC", "/x/patient004_4d.nii.gz") == \
+        "patient004"
+    pids = [f"patient{i:03d}" for i in range(1, 101)]
+    splits = acdc_default_split(pids)
+    assert set(splits["test"]) == {f"patient{p:03d}"
+                                  for p in ACDC_5MM_PATIENTS}
+    assert len(splits["training"]) == 70
+    assert len(splits["validation"]) == 100 - 12 - 70
+    # end-to-end: a 5mm patient's file lands in the test split
+    rng = np.random.RandomState(0)
+    for pat in (4, 5, 7, 8):
+        write_nifti(str(tmp_path / f"patient{pat:03d}_4d.nii.gz"),
+                    rng.rand(2, 6, 8, 8).astype(np.float32),
+                    spacing=np.array([5.0, 1.4, 1.4]))
+    test_vols = load_acdc_volumes(split="test", src_path=str(tmp_path),
+                                  resample=False, rescale=False)
+    pats = {v.patient_id.split("_f")[0] for v in test_vols}
+    assert pats == {"patient004", "patient005"}
+
+
+def test_create_lr_dataset_rerun_skips_generated_lr(tmp_path):
+    """A second create_lr_dataset run must not re-blur previously
+    written '_Kmm' LR outputs into doubly-blurred files."""
+    root = str(tmp_path)
+    rng = np.random.RandomState(2)
+    pdir = os.path.join(root, "OAS1_0002_MR1")
+    os.makedirs(pdir)
+    write_nifti(os.path.join(pdir, "OAS1_0002_MR1_t88_gfc.nii.gz"),
+                rng.rand(8, 8, 8).astype(np.float32))
+    first = create_lr_dataset("OASIS", 2, src_path=root)
+    second = create_lr_dataset("OASIS", 4, src_path=root)
+    assert len(first) == 1 and len(second) == 1
+    names = sorted(os.listdir(pdir))
+    assert not any("_2mm_4mm" in n for n in names), names
+
+
+def test_brainmasi_loads_plain_hr_volumes(tmp_path):
+    """brainMASI rides plain HR .nii files (reference downsamples at
+    sample time) — previously lr_file_suffix raised for it."""
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        write_nifti(str(tmp_path / f"{i:02d}.nii.gz"),
+                    rng.rand(10, 12, 12).astype(np.float32))
+    vols = load_brain_volumes("brainMASI", 3, split="training",
+                              src_path=str(tmp_path))
+    assert len(vols) >= 1
+
+
+def test_split_mismatch_warns_instead_of_silent_empty(tmp_path):
+    import warnings
+    import yaml
+
+    root = str(tmp_path)
+    _write_oasis_tree(root, n_patients=3, ds=3)
+    split_file = str(tmp_path / "split.yaml")
+    with open(split_file, "w") as fp:
+        yaml.safe_dump({"training": ["nonexistent_patient"]}, fp)
+    from unittest import mock
+
+    import superresolution_aniso_mri_tpu.data.datasets as ds_mod
+    cfg = ds_mod.get_config("OASIS")
+    cfg.split_file = split_file
+    with mock.patch.object(ds_mod, "get_config", return_value=cfg):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            vols = load_brain_volumes("OASIS", 3, split="training",
+                                      src_path=root)
+    assert vols == []
+    assert any("selected 0 of" in str(x.message) for x in w)
