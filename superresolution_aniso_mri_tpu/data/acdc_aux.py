@@ -119,6 +119,21 @@ class ACDCSRSegImage:
         # 2-phase files index by position; full 4D files by frame id
         if self.im.ndim == 4 and self.im.shape[0] == 2:
             return 0 if phase == "ED" else 1
+        if self.im.ndim == 4:
+            # raw ACDC Info.cfg frame ids are 1-based (they match the
+            # frameNN file numbering): detect the base from the smallest
+            # id over the phases so ES == NbFrame indexes the last frame
+            # instead of raising, while 0-based derived sets pass through
+            ids = [int(v) for k, v in self.info().items()
+                   if k in ("ED", "ES") and str(v).lstrip("-").isdigit()]
+            base = 0 if (ids and min(ids) == 0) else 1
+            idx = fid - base
+            if not 0 <= idx < self.im.shape[0]:
+                raise IndexError(
+                    f"{self.patient_id}: Info.cfg {phase} frame {fid} "
+                    f"(base {base}) outside 4D range "
+                    f"[0, {self.im.shape[0]})")
+            return idx
         return fid
 
     def phase(self, phase: str) -> Dict:
@@ -192,6 +207,10 @@ def load_acdc_sr_seg_slices(fold: int, root_dir: str,
         for s in range(d["image"].shape[0]):
             samples.append({
                 "image": d["image"][s], "spacing": d["spacing"],
+                # per-slice reference labels — the whole point of the
+                # SR-segmentation test set (sr_seg_test/dataset.py:46)
+                "reference": (d["reference"][s]
+                              if d.get("reference") is not None else None),
                 "cardiac_phase": d["cardiac_phase"],
                 "frame_id": d["frame_id"],
                 "patient_id": d["patient_id"],
@@ -217,7 +236,11 @@ _MC_SUFFIX = "_mc"
 def _uncertainty_glob(src_data_path: str, kind: str, cardiac_phase: str,
                       mc_dropout: bool = False,
                       patient_id: Optional[str] = None) -> str:
-    d = _UNCERTAINTY_DIRS[kind] + (_MC_SUFFIX if mc_dropout else "")
+    # the '_mc' suffix marks MC-dropout MODEL OUTPUTS; input images and
+    # ground-truth labels have no MC variants in the get_data.py layout
+    has_mc = kind in ("pred_labels", "pred_probs", "umaps")
+    d = _UNCERTAINTY_DIRS[kind] + (_MC_SUFFIX if mc_dropout and has_mc
+                                   else "")
     pat = patient_id if patient_id else "*"
     return os.path.join(src_data_path, d, f"{pat}_{cardiac_phase}.nii.gz")
 
@@ -275,29 +298,46 @@ def load_uncertainty_data(src_data_path: str, cardiac_phase: str,
 
 def center_of_mass_segmentation(labels: np.ndarray, lv_lbl: int = 3,
                                 rv_lbl: int = 1) -> Tuple[np.ndarray, np.ndarray]:
-    cms_lv = np.round(scipy.ndimage.center_of_mass(labels == lv_lbl)
-                      ).astype(int)
-    cms_rv = np.round(scipy.ndimage.center_of_mass(labels == rv_lbl)
-                      ).astype(int)
+    masks = {"LV": labels == lv_lbl, "RV": labels == rv_lbl}
+    for name, m in masks.items():
+        if not m.any():
+            # an empty structure would make center_of_mass return NaN,
+            # which np.round(...).astype(int) turns into INT64_MIN-scale
+            # garbage indices far from the real cause
+            raise ValueError(
+                f"center_of_mass_segmentation: no {name} voxels "
+                f"(labels present: {sorted(np.unique(labels).tolist())})")
+    cms_lv = np.round(scipy.ndimage.center_of_mass(masks["LV"])).astype(int)
+    cms_rv = np.round(scipy.ndimage.center_of_mass(masks["RV"])).astype(int)
     return cms_lv, cms_rv
 
 
 def centering_rotation_degrees(cms_lv: np.ndarray,
                                cms_rv: np.ndarray) -> float:
-    """Rotation (degrees) that puts the LV–RV axis horizontal with RV
-    left of LV (reference: generate_centered_dataset.py:17-28)."""
-    delta_x = abs(float(cms_lv[1]) - float(cms_rv[1]))
-    delta_y = abs(float(cms_lv[2]) - float(cms_rv[2]))
-    degree = 90.0 - np.degrees(np.arctan2(delta_y, delta_x))
-    if cms_rv[1] > cms_lv[1]:
-        degree = -degree
+    """Rotation (degrees, scipy.ndimage.rotate convention) that puts the
+    LV–RV axis horizontal with RV LEFT of LV in every quadrant.
+
+    The reference formula (generate_centered_dataset.py:17-28) uses
+    absolute deltas with a y-only sign rule, which flattens only two of
+    the four quadrant configurations and never enforces its own
+    documented "RV left of LV" 180-degree normalisation; this signed
+    form agrees with the reference where the reference is correct and
+    fixes the other quadrants. cms vectors are [z, y, x]."""
+    dy = float(cms_rv[1]) - float(cms_lv[1])
+    dx = float(cms_rv[2]) - float(cms_lv[2])
+    theta = np.degrees(np.arctan2(dy, dx))   # axis angle in (y, x)
+    degree = theta - 180.0                   # rotate(+d) maps θ → θ - d
+    while degree <= -180.0:
+        degree += 360.0
+    while degree > 180.0:
+        degree -= 360.0
     return float(degree)
 
 
 def _rotate_then_center(sl: np.ndarray, degrees: float,
                         target_center: np.ndarray,
                         border_value: float) -> np.ndarray:
-    rot = scipy.ndimage.rotate(sl, -degrees, reshape=False, order=1,
+    rot = scipy.ndimage.rotate(sl, degrees, reshape=False, order=1,
                                mode="constant", cval=border_value)
     shift = (np.asarray(sl.shape) * 0.5).astype(int) - target_center
     return scipy.ndimage.shift(rot, shift, order=1, mode="constant",
@@ -315,7 +355,7 @@ def center_4d_volume(img4d: np.ndarray,
     # rotated position of the midpoint: rotate a delta image and locate it
     dummy = np.zeros(labels3d.shape[1:], np.float32)
     dummy[avg_cms[1], avg_cms[2]] = 1.0
-    dummy_rot = scipy.ndimage.rotate(dummy, -degrees, reshape=False,
+    dummy_rot = scipy.ndimage.rotate(dummy, degrees, reshape=False,
                                      order=1, mode="constant")
     ys, xs = np.nonzero(dummy_rot > 1e-6)
     new_cms = np.array([int(np.mean(ys)), int(np.mean(xs))])

@@ -27,10 +27,13 @@ def find_bbox(mask2d: np.ndarray, threshold: float = 0.0,
     {'slice_y', 'slice_x', 'box_four' [y0, x0, y1, x1], 'empty'}."""
     binary = np.asarray(mask2d) > threshold
     if np.count_nonzero(binary):
+        h, w = binary.shape
         sy, sx = scipy.ndimage.find_objects(binary.astype(np.int8))[0]
-        sy = slice(sy.start - padding, sy.stop + padding)
-        sx = slice(sx.start - padding, sx.stop + padding)
-        empty = sy.start < 0 or sy.stop - sy.start == 0
+        # clamp the padded window inside the array: a negative start
+        # would wrap the slice and silently crop an empty region
+        sy = slice(max(sy.start - padding, 0), min(sy.stop + padding, h))
+        sx = slice(max(sx.start - padding, 0), min(sx.stop + padding, w))
+        empty = (sy.stop - sy.start == 0) or (sx.stop - sx.start == 0)
     else:
         sy, sx, empty = slice(0, 0), slice(0, 0), True
     return {"slice_y": sy, "slice_x": sx, "empty": empty,
@@ -45,12 +48,12 @@ def mask_axis_extent(mask: np.ndarray, axis: int) -> Tuple[int, int]:
 
 
 def foreground_mask(ref_labels: np.ndarray) -> np.ndarray:
-    """Per-slice filled foreground mask of a label volume
-    (reference: create_cropped_set.py:30-39 get_foreground_mask uses a
-    per-slice convex hull; a filled mask has the same axis extents)."""
-    mask = (np.asarray(ref_labels) != 0)
-    return np.stack([scipy.ndimage.binary_fill_holes(m) for m in mask]
-                    ).astype(np.int32)
+    """Foreground mask of a label volume (reference:
+    create_cropped_set.py:30-39 get_foreground_mask uses a per-slice
+    convex hull; crop_to_brain only consumes axis min/max extents, which
+    neither hull nor hole-filling can change, so the raw nonzero mask is
+    extent-identical and avoids a per-slice scipy loop)."""
+    return (np.asarray(ref_labels) != 0).astype(np.int32)
 
 
 def crop_to_brain(img: np.ndarray, ref_labels: np.ndarray,

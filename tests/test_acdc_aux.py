@@ -253,3 +253,90 @@ def test_evaluate_sr_segmentation(sr_seg_root, tmp_path):
     s = score_segmentation(np.zeros((4, 8, 8), np.int32),
                            np.ones((4, 8, 8), np.int32) * 3)
     assert s["LV"]["dice"] == 0.0 and np.isnan(s["LV"]["hd95"])
+
+
+def test_centering_flattens_all_quadrants():
+    """The LV-RV axis must end horizontal with RV LEFT of LV for every
+    quadrant configuration (the reference's abs-delta formula only
+    handled two of four)."""
+    import scipy.ndimage
+    from superresolution_aniso_mri_tpu.data.acdc_aux import (
+        center_4d_volume,
+    )
+
+    def axis_after(lv, rv):
+        lbl = np.zeros((1, 48, 48), np.int32)
+        lbl[0, lv[0]-2:lv[0]+2, lv[1]-2:lv[1]+2] = 3
+        lbl[0, rv[0]-2:rv[0]+2, rv[1]-2:rv[1]+2] = 1
+        out = center_4d_volume(lbl[None].astype(np.float32), lbl)[0, 0]
+        lv_c = np.array(scipy.ndimage.center_of_mass(np.abs(out - 3) < 0.6))
+        rv_c = np.array(scipy.ndimage.center_of_mass(np.abs(out - 1) < 0.4))
+        v = rv_c - lv_c
+        return np.degrees(np.arctan2(v[0], v[1]))
+
+    for lv, rv in [((30, 30), (14, 18)), ((14, 18), (30, 30)),
+                   ((30, 18), (14, 30)), ((14, 30), (30, 18))]:
+        ang = axis_after(lv, rv)
+        assert abs(abs(ang) - 180.0) < 6.0, (lv, rv, ang)
+
+
+def test_center_of_mass_missing_structure_raises():
+    from superresolution_aniso_mri_tpu.data.acdc_aux import (
+        center_of_mass_segmentation,
+    )
+
+    lbl = np.zeros((4, 8, 8), np.int32)
+    lbl[1, 2:4, 2:4] = 3  # LV only, no RV
+    with pytest.raises(ValueError, match="RV"):
+        center_of_mass_segmentation(lbl)
+
+
+def test_frame_index_handles_1based_info_cfg(tmp_path):
+    """Raw ACDC Info.cfg frame ids are 1-based; ES == NbFrame must index
+    the LAST frame instead of raising."""
+    from superresolution_aniso_mri_tpu.data.acdc_aux import ACDCSRSegImage
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    rng = np.random.RandomState(0)
+    os.makedirs(tmp_path / "images_sr")
+    os.makedirs(tmp_path / "info" / "patient077")
+    img = rng.rand(30, 4, 8, 8).astype(np.float32)
+    write_nifti(str(tmp_path / "images_sr" / "patient077.nii.gz"), img)
+    (tmp_path / "info" / "patient077" / "Info.cfg").write_text(
+        "ED: 1\nES: 30\nNbFrame: 30\n")
+    im = ACDCSRSegImage(77, str(tmp_path), label_dir=None)
+    np.testing.assert_allclose(im.ed()["image"], img[0])
+    np.testing.assert_allclose(im.es()["image"], img[29])
+
+
+def test_find_bbox_clamps_padding_at_edges():
+    from superresolution_aniso_mri_tpu.data.masi import find_bbox
+
+    m = np.zeros((8, 8), np.float32)
+    m[2:5, 0:3] = 1.0  # touches the left edge
+    box = find_bbox(m, padding=2)
+    assert not box["empty"]
+    assert box["slice_x"].start == 0 and box["slice_x"].stop == 5
+    crop = m[box["slice_y"], box["slice_x"]]
+    assert crop.size > 0 and crop.sum() == m.sum()
+
+
+def test_sr_seg_slices_carry_reference_labels(tmp_path):
+    from superresolution_aniso_mri_tpu.data.acdc_aux import (
+        load_acdc_sr_seg_slices, get_acdc_fold_patient_ids,
+    )
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    rng = np.random.RandomState(1)
+    os.makedirs(tmp_path / "images_sr")
+    os.makedirs(tmp_path / "ref_labels")
+    pat = int(get_acdc_fold_patient_ids(0, "validation")[0])
+    img = rng.rand(2, 4, 8, 8).astype(np.float32)
+    lbl = rng.randint(0, 4, (2, 4, 8, 8)).astype(np.int16)
+    write_nifti(str(tmp_path / "images_sr" / f"patient{pat:03d}.nii.gz"),
+                img)
+    write_nifti(str(tmp_path / "ref_labels" / f"patient{pat:03d}.nii.gz"),
+                lbl, dtype=np.int16)
+    samples = load_acdc_sr_seg_slices(0, str(tmp_path), patid=pat)
+    assert samples and samples[0]["reference"] is not None
+    assert samples[0]["reference"].shape == samples[0]["image"].shape
