@@ -59,11 +59,20 @@ def peak_rates(vol_curve: np.ndarray, frame_duration_s: float = 1.0
                ) -> Dict[str, float]:
     """Peak ejection (max -dV/dt) and filling (max +dV/dt) rates
     (reference: compute_clinical_metrics.py:233-260)."""
+    vol_curve = np.asarray(vol_curve, np.float64)
+    if vol_curve.size < 2:
+        # a single-frame curve has no rates; NaN keeps aggregates honest
+        return {"peak_ejection_rate": float("nan"),
+                "peak_ejection_frame": 0,
+                "peak_filling_rate": float("nan"),
+                "peak_filling_frame": 0}
     dv = np.diff(vol_curve) / frame_duration_s
+    # rates are magnitudes: a curve that only fills has no ejection
+    # phase (rate 0), not a negative "peak"
     return {
-        "peak_ejection_rate": float(np.max(-dv)),
+        "peak_ejection_rate": float(max(np.max(-dv), 0.0)),
         "peak_ejection_frame": int(np.argmax(-dv)),
-        "peak_filling_rate": float(np.max(dv)),
+        "peak_filling_rate": float(max(np.max(dv), 0.0)),
         "peak_filling_frame": int(np.argmax(dv)),
     }
 
@@ -74,6 +83,8 @@ def exchange_base_apex(labels3d_a: np.ndarray, labels3d_b: np.ndarray,
     (reference: compute_clinical_metrics.py:343-383 — used to test
     sensitivity of clinical indices to boundary slices)."""
     out = labels3d_a.copy()
+    if num_slices <= 0:
+        return out  # out[-0:] would alias the WHOLE array, not none
     out[:num_slices] = labels3d_b[:num_slices]
     out[-num_slices:] = labels3d_b[-num_slices:]
     return out
@@ -86,6 +97,8 @@ def bland_altman_arrays(values_a: np.ndarray, values_b: np.ndarray) -> Dict:
     mean = (a + b) / 2.0
     diff = a - b
     bias = float(np.mean(diff))
-    sd = float(np.std(diff))
+    # sample SD (ddof=1): Bland-Altman limits of agreement use the
+    # sample estimate; population SD narrows the interval at small n
+    sd = float(np.std(diff, ddof=1)) if diff.size > 1 else 0.0
     return {"mean": mean, "diff": diff, "bias": bias,
             "loa_low": bias - 1.96 * sd, "loa_high": bias + 1.96 * sd}

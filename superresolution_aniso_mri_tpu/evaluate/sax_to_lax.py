@@ -42,7 +42,11 @@ def make_transform(ident_grid: np.ndarray, lax_shape, sax_shape,
         @ np.linalg.inv(tr_S_sax).T
     denom = (np.r_[np.asarray(sax_shape)[::-1], 2].astype(np.float32)
              [None, None] - 1) / 2
-    scaled = sax / denom - 1.0
+    # a singleton SAX axis has (size-1)/2 == 0; torch grid_sample with
+    # align_corners=True maps its only slice to coordinate 0, so the
+    # normalised coordinate is identically 0 (not inf/nan)
+    safe = np.where(denom == 0.0, 1.0, denom)
+    scaled = np.where(denom == 0.0, 0.0, sax / safe - 1.0)
     scaled = scaled.reshape(tuple(lax_shape) + (4,))
     return scaled[..., :3]
 
@@ -80,6 +84,11 @@ def resample_sax_to_lax(sax_4d: np.ndarray, target_shape,
     """Resample every frame of a [t, z, y, x] SAX volume onto the LAX
     grid (reference: resample_sax_to_lax.py:8-24)."""
     assert len(target_shape) == 4
+    if sax_4d.shape[0] != target_shape[0]:
+        raise ValueError(
+            f"frame-count mismatch: SAX has {sax_4d.shape[0]} frames, "
+            f"target_shape asks for {target_shape[0]} — align the cines "
+            f"first (silent zero-fill would be scored as real data)")
     grid = jnp.asarray(transformed_ident_grid, jnp.float32)
     out = np.zeros(target_shape, np.float32)
     for t in range(sax_4d.shape[0]):

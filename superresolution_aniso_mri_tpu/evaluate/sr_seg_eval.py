@@ -30,6 +30,13 @@ def score_segmentation(pred: np.ndarray, reference: np.ndarray,
     for lbl, name in structures.items():
         p = pred == lbl
         r = reference == lbl
+        if not p.any() and not r.any():
+            # structure absent from BOTH volumes: perfect agreement on
+            # absence — dc() would return 0.0 and drag the cohort mean
+            # down; NaN excludes it like hd95/assd
+            out[name] = {"dice": float("nan"), "hd95": float("nan"),
+                         "assd": float("nan")}
+            continue
         scores = {"dice": dc(p, r)}
         if p.any() and r.any():
             scores["hd95"] = hd95(p, r, voxelspacing=voxelspacing)
