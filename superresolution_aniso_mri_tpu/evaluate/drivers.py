@@ -60,11 +60,16 @@ def create_brain_volumes(trainer, dataset: str, downsample_steps: int,
     (reference: evaluate/brain/evaluate_model.py:58-170)."""
     from ..data.datasets import get_datasets, load_brain_volumes
 
+    width = kwargs.pop("width", 64)  # consumed on every path — a brain
+    # dataset call passing width must not leak it into create_hr_images
     if dataset in ("MNIST3D", "MNISTRoto"):
-        _train, volumes = get_datasets({
+        _train, val = get_datasets({
             "dataset": dataset, "downsample_steps": downsample_steps,
             "use_synthetic_data": True, "limited_load": limited_load,
-            "width": kwargs.pop("width", 64), "seed": 0})
+            "width": width, "seed": 0})
+        # the toy backend has no separate test split; the validation
+        # phantoms stand in for every split name
+        volumes = val
     else:
         volumes = load_brain_volumes(dataset, downsample_steps, split,
                                      limited_load=limited_load,

@@ -27,8 +27,10 @@ def evaluate_image(trainer, image_dict: Dict, frame_id: int = 0,
     if img.ndim == 4:
         frame = img[frame_id]
     else:
+        # 3D volumes have a single "frame"; keep the CALLER's frame_id
+        # as the result key so generate_val_volume_grids' lookup with
+        # the same id never KeyErrors
         frame = img
-        frame_id = 0
     if eval_patch_size is not None:
         frame = pad_to_size(frame, eval_patch_size)
         h, w = frame.shape[-2:]

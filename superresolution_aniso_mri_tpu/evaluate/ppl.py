@@ -11,13 +11,22 @@ import jax.numpy as jnp
 
 from ..ops import lpips_distance
 
+_PPL_LPIPS = None
+
 
 def compute_ppl(trainer, images: np.ndarray, num_pairs: int = 64,
                 epsilon: float = 1e-4, seed: int = 0) -> float:
     """``images``: [N, H, W] pool of slices in [0,1]."""
     if trainer.lpips_params is None:
         from ..ops import get_lpips_params
-        lpips_params = get_lpips_params()
+
+        # resolve once per process (device-committed weights) and warn
+        # loudly on the fallback modes; cache on the module so sweeps
+        # don't reload ~59MB from disk per checkpoint
+        global _PPL_LPIPS
+        if _PPL_LPIPS is None:
+            _PPL_LPIPS = get_lpips_params()
+        lpips_params = _PPL_LPIPS
     else:
         lpips_params = trainer.lpips_params
     rs = np.random.RandomState(seed)

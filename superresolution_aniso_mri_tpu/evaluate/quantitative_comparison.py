@@ -29,8 +29,33 @@ def compare_quantitative(reference_files: Iterable[str],
                          output_file: Optional[str] = None,
                          normalize: bool = False) -> Dict:
     """Score one method's saved volumes vs matching HR volumes
-    (reference: quantitative_comparison.py:20-195)."""
+    (reference: quantitative_comparison.py:20-195). ``normalize``
+    rescales the METHOD volume only, like the reference ("we assume
+    l_images is always normalized"). 4D saved volumes (the framework's
+    own save_4d_volume output) score frame by frame; verbatim tail
+    slices are excluded like create_hr_images."""
+    reference_files = list(reference_files)
+    method_files = list(method_files)
+    if len(reference_files) != len(method_files):
+        raise ValueError(
+            f"{len(reference_files)} reference vs {len(method_files)} "
+            f"method files — the lists must pair one-to-one")
+    if not reference_files:
+        raise ValueError("compare_quantitative: no volumes to compare")
+
+    ds = int(downsample_steps)
+
+    def _score3d(ref3d, up3d):
+        n = min(len(ref3d), len(up3d))
+        # exclude verbatim-copied tail slices (same rule as
+        # create_hr_images: determine_last_slice + 1)
+        n = min(n, ((len(up3d) - 1) // ds) * ds + 1)
+        return compute_volume_metrics(
+            ref3d[:n], up3d[:n], downsample_steps=ds,
+            conv_interpol=conv_interpol)
+
     per_volume: List[Dict] = []
+    agg_samples: List[Dict] = []
     ids = []
     for ref_path, m_path in zip(reference_files, method_files):
         ref, _, _ = read_image(ref_path)
@@ -40,13 +65,31 @@ def compare_quantitative(reference_files: Iterable[str],
         if normalize:
             from ..data import rescale_intensities
             up = rescale_intensities(up, percs=(0, 100))
-        n = min(len(ref), len(up))
-        per_volume.append(compute_volume_metrics(
-            ref[:n], up[:n], downsample_steps=downsample_steps,
-            conv_interpol=conv_interpol))
+        if float(ref.min()) < -1e-3 or float(ref.max()) > 1.0 + 1e-3:
+            import warnings
+            warnings.warn(
+                f"{os.path.basename(ref_path)}: reference intensities "
+                f"outside [0, 1] ({ref.min():.3g}..{ref.max():.3g}) — "
+                f"metrics assume normalized references", stacklevel=2)
+        if ref.ndim == 4 and up.ndim == 4:
+            t = min(ref.shape[0], up.shape[0])
+            frames = [_score3d(ref[i], up[i]) for i in range(t)]
+            agg_samples.extend(frames)
+            metrics = {k: float(np.mean([f[k] for f in frames]))
+                       for k in frames[0]}
+        else:
+            metrics = _score3d(ref, up)
+            agg_samples.append(metrics)
+        per_volume.append(metrics)
         ids.append(os.path.basename(ref_path))
-    agg = aggregate_metrics(per_volume)
-    result = {"per_volume": dict(zip(ids, per_volume)), "aggregate": agg}
+    agg = aggregate_metrics(agg_samples)
+    # uniquify duplicate basenames (per-patient dirs often share names)
+    seen: Dict[str, int] = {}
+    uids = []
+    for i in ids:
+        seen[i] = seen.get(i, 0) + 1
+        uids.append(i if seen[i] == 1 else f"{i}#{seen[i]}")
+    result = {"per_volume": dict(zip(uids, per_volume)), "aggregate": agg}
     if output_file:
         flat = {}
         for m in per_volume:
