@@ -36,13 +36,17 @@ class NetworkConfig:
         arch["ae_class"] = self.ae_class
 
         net, ds = self.network, self.dataset
+        # every dataset the CLI entry points and loaders support
+        # (cli/entry.py BRAIN_DATASETS/CARDIAC_DATASETS,
+        # data/datasets.py get_datasets)
+        plain = (None, "ACDC", "ACDCC", "ARVC", "dHCP", "ADNI", "OASIS",
+                 "brainMASI", "MNIST3D", "MNISTRoto")
         if net in ("ae", "aesr"):
             arch["image_mix_loss_func"] = None
             if ds == "ACDCLBL":
                 arch["trainer_class"] = "MultiChannelTrainer"
                 arch["nclasses"] = 4
-            elif ds in (None, "ACDC", "dHCP", "ADNI", "OASIS",
-                        "MNIST3D", "MNISTRoto"):
+            elif ds in plain:
                 arch["trainer_class"] = "AETrainer"
             else:
                 raise ValueError(f"unsupported combination {net}/{ds}")
@@ -51,27 +55,33 @@ class NetworkConfig:
             if ds == "ACDCLBL":
                 arch["trainer_class"] = "MultiChannelCAISRTrainer"
                 arch["nclasses"] = 4
-            elif ds in ("ACDC", "dHCP", "ADNI", "OASIS", "MNIST3D",
-                        "MNISTRoto"):
+            elif ds in plain:
                 arch["trainer_class"] = "AETrainerCombined"
             else:
                 raise ValueError(f"unsupported combination {net}/{ds}")
         elif net in ("vae", "vae_combined", "vae2"):
-            if ds in ("MNIST3D", "MNISTRoto", "ACDC", "OASIS", "dHCP",
-                      "ADNI"):
+            if ds in plain:
                 arch["image_mix_loss_func"] = (
                     "perceptual" if "combined" in net else None)
                 arch["trainer_class"] = "VAETrainer"
             else:
                 raise ValueError(f"VAE does not support dataset {ds}")
         elif net in ("acai", "acai_combined"):
-            if ds in ("MNIST3D", "MNISTRoto", "ACDC", "OASIS", "dHCP",
-                      "ADNI"):
+            if ds in plain:
                 arch["image_mix_loss_func"] = (
                     "perceptual" if "combined" in net else None)
                 arch["trainer_class"] = "ACAITrainer"
             else:
                 raise ValueError(f"ACAI does not support dataset {ds}")
+        elif net in ("alpha", "alpha_end_to_end", "alpha_only",
+                     "alpha_combined"):
+            # alpha-probe families (reference MODULE_PATH routes these to
+            # kwatsch/alpha/*; Trainer builds ae+probe[+decoder_mix])
+            if ds in plain or ds == "ACDCLBL":
+                arch["image_mix_loss_func"] = None
+                arch["trainer_class"] = "AlphaTrainer"
+            else:
+                raise ValueError(f"unsupported combination {net}/{ds}")
         else:
             raise ValueError(f"unknown network {net}")
 

@@ -35,6 +35,10 @@ def save_experiment_settings(args: Dict[str, Any], fname: str) -> None:
 def load_settings(fname: str) -> Dict[str, Any]:
     with open(fname, "r") as fp:
         args = yaml.safe_load(fp)
+    if not isinstance(args, dict):
+        raise ValueError(
+            f"{fname}: empty or corrupt settings.yaml "
+            f"(parsed as {type(args).__name__}, expected a mapping)")
     return apply_setting_defaults(args)
 
 

@@ -49,8 +49,22 @@ def create_features(feature_dict: Dict,
 def get_alpha_probe_features(feature_dict: Dict, batch_item: Dict
                              ) -> np.ndarray:
     """Train-time feature rows from a batch's metadata
-    (reference: kwatsch/alpha/common.py:3 get_alpha_probe_features)."""
+    (reference: kwatsch/alpha/common.py:3 get_alpha_probe_features).
+
+    Batches from TripletSampler already carry the assembled
+    'alpha_features' [B, 5] (data/pairs.py) — that is returned verbatim.
+    Raw metadata keys are accepted as a fallback for hand-built batches;
+    a batch carrying neither is an error (silent zero features would
+    train/evaluate the probe on garbage)."""
+    if "alpha_features" in batch_item:
+        return np.asarray(batch_item["alpha_features"], np.float32)
     b = np.asarray(batch_item["alpha_from"]).shape[0]
+    if not any(k in batch_item for k in
+               ("slice_id_from", "slice_id_to", "num_slices")):
+        raise KeyError(
+            "batch carries neither 'alpha_features' nor raw slice "
+            "metadata (slice_id_from/slice_id_to/num_slices) — probe "
+            "features cannot be constructed")
     return np.concatenate([
         np.asarray(batch_item.get("slice_id_from",
                                   np.zeros(b)))[:, None],
@@ -72,6 +86,12 @@ def latent_space_interp_pred_alpha(trainer, img1, img2,
     latent_space_interp_pred_alpha). ``img1``/``img2``: [K-1, H, W, C]
     adjacent-slice stacks. Returns (decoded [K-1, H, W, C],
     alphas [K-1, num_out])."""
+    if feature_dict is None:
+        raise ValueError(
+            "latent_space_interp_pred_alpha requires a feature_dict "
+            "({'anatomy': 'cardiac', 'norm_frame_id', 'orig_num_slices', "
+            "'spacing'}) — the probe's coefficients depend on slice "
+            "geometry")
     z1 = trainer.encode(img1)
     z2 = trainer.encode(img2)
     features = jnp.asarray(create_features(feature_dict, downsample_steps))

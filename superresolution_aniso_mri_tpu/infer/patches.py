@@ -17,11 +17,16 @@ Array = jax.Array
 
 
 def extract_patches(volume: Array, patch: int) -> Array:
-    """[S, H, W] → [S * (H//p) * (W//p), p, p, 1] (non-overlapping)."""
+    """[S, H, W] → [S * (H//p) * (W//p), p, p, 1] (non-overlapping).
+    H and W must divide ``patch`` — a silent crop here would make the
+    round trip return a smaller volume than the input."""
     s, h, w = volume.shape
+    if h % patch or w % patch:
+        raise ValueError(
+            f"spatial dims ({h}, {w}) must be multiples of patch "
+            f"{patch} — pad the volume first (data.pad_to_size)")
     gh, gw = h // patch, w // patch
-    x = volume[:, :gh * patch, :gw * patch]
-    x = x.reshape(s, gh, patch, gw, patch)
+    x = volume.reshape(s, gh, patch, gw, patch)
     x = x.transpose(0, 1, 3, 2, 4)
     return x.reshape(s * gh * gw, patch, patch, 1)
 

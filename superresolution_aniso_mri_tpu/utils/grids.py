@@ -51,7 +51,11 @@ def generate_batch_compare_grid(image: np.ndarray, between: np.ndarray,
     """Rows: slice_from, slice_to, true between, synthesized between,
     reconstruction (reference: training_utils.py:16-26)."""
     b = min(max_items, between.shape[0])
-    rows = [np.asarray(image)[:b], np.asarray(image)[-b:],
+    image = np.asarray(image)
+    half = image.shape[0] // 2   # (2B ∥ B) layout: [from ∥ to]
+    # to-slices of the SAME first b items — image[-b:] would show the
+    # LAST b items' to-slices and misalign every column when 2B > 2b
+    rows = [image[:b], image[half:half + b],
             np.asarray(between)[:b], np.asarray(synthesized)[:b],
             np.asarray(reconstruction)[:b]]
     rows = [r[..., 0] if r.ndim == 4 else r for r in rows]
@@ -80,8 +84,11 @@ def save_image_grid(grid: np.ndarray, filename: str) -> None:
     from PIL import Image
 
     g = np.asarray(grid, np.float32)
-    if g.max() <= 1.0 + 1e-6:
-        g = g * 255.0
+    # [0,1]-ish grids (allowing slight sigmoid-free overshoot) scale to
+    # 0..255; a hard max<=1.0 gate turned a single 1.02 pixel into an
+    # all-black PNG
+    if g.max() <= 2.0:
+        g = np.clip(g, 0.0, 1.0) * 255.0
     g = np.clip(g, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
     Image.fromarray(g).save(filename)

@@ -25,8 +25,12 @@ def make_mosaic(images: np.ndarray, nx: Optional[int] = None,
     """[N, H, W] → mosaic [ny*H, nx*W], row-major, zero-filled tail."""
     imgs = np.asarray(images)
     n, h, w = imgs.shape
-    if nx is None or ny is None:
+    if nx is None and ny is None:
         ny, nx = find_rectangle(n)
+    elif nx is None:
+        nx = int(np.ceil(n / ny))
+    elif ny is None:
+        ny = int(np.ceil(n / nx))
     out = np.zeros((ny * h, nx * w), imgs.dtype)
     for i in range(min(n, nx * ny)):
         r, c = divmod(i, nx)
@@ -86,8 +90,16 @@ def dicom_series_to_nifti(dicom_dir: str, output_file: str) -> str:
             slices.append(ds)
     if not slices:
         raise ValueError(f"no DICOM images in {dicom_dir}")
-    slices.sort(key=lambda d: float(
-        getattr(d, "ImagePositionPatient", [0, 0, 0])[2]))
+    # z-position when available, else InstanceNumber — without a
+    # fallback a position-less series would keep lexicographic filename
+    # order (1, 10, 11, 2, ...) and scramble the volume
+    def _order(d):
+        pos = getattr(d, "ImagePositionPatient", None)
+        if pos is not None:
+            return (0, float(pos[2]))
+        return (1, float(getattr(d, "InstanceNumber", 0)))
+
+    slices.sort(key=_order)
     vol = np.stack([s.pixel_array.astype(np.float32) for s in slices])
     ps = [float(v) for v in getattr(slices[0], "PixelSpacing", (1.0, 1.0))]
     try:
