@@ -147,15 +147,22 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             print(f"resumed from {merged['model_filename']} "
                   f"(epoch {trainer.epoch})")
     elif merged.get("auto_resume"):
-        # elastic restart: continue from the newest numbered checkpoint
-        # (the reference requires a manual --model_filename,
+        # elastic restart: prefer the rolling last.models (written every
+        # epoch), else the newest numbered checkpoint (the reference
+        # requires a manual --model_filename,
         # train_cardiac_aesr.py:108-116)
         from ..evaluate.find_best_model import list_epoch_checkpoints
 
-        epochs_saved = list_epoch_checkpoints(merged["output_dir"])
-        if epochs_saved:
-            ckpt = os.path.join(trainer.dir_models,
-                                f"{epochs_saved[-1]}.models")
+        last = os.path.join(trainer.dir_models, "last.models")
+        ckpt = None
+        if os.path.isfile(last):
+            ckpt = last
+        else:
+            epochs_saved = list_epoch_checkpoints(merged["output_dir"])
+            if epochs_saved:
+                ckpt = os.path.join(trainer.dir_models,
+                                    f"{epochs_saved[-1]}.models")
+        if ckpt:
             trainer.load(ckpt)
             if verbose:
                 print(f"auto-resumed from {ckpt} (epoch {trainer.epoch})")
@@ -222,6 +229,11 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             trainer.show_loss_on_tensorboard("train")
             trainer.show_loss_on_tensorboard("test")
 
+            if last_batch is None:
+                raise ValueError(
+                    f"epoch {epoch} produced 0 training batches — the "
+                    f"dataset has fewer slices ({len(sampler)}) than "
+                    f"batch_size ({batch_size})")
             if verbose:
                 tr = trainer.mean_losses["loss_ae"][-1]
                 te = trainer.mean_losses_test["loss_ae"][-1]

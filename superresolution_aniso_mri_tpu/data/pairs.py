@@ -48,7 +48,15 @@ class TripletSampler:
         self._idcs = np.asarray(idcs, np.int64)
         hs = [v.image.shape[1] for v in self.volumes]
         ws = [v.image.shape[2] for v in self.volumes]
-        self.pad_size = pad_size if pad_size is not None else max(max(hs), max(ws))
+        # pad_size is a LOWER bound: every volume must pad to one common
+        # shape, so heterogeneous in-plane sizes (per-patient FOVs after
+        # resampling) take the max — a smaller fixed pad would mix
+        # shapes inside one batch (numpy stack crash; worse, the native
+        # gather would read out of bounds). The device-side
+        # augmentation crops back down to the patch size.
+        biggest = max(max(hs), max(ws))
+        self.pad_size = (biggest if pad_size is None
+                         else max(int(pad_size), biggest))
         # pad every volume ONCE at construction — per-item padding was
         # the sampler's hot spot (3 HxW copies per sample)
         self._padded = [pad_to_size(v.image, self.pad_size)

@@ -66,6 +66,10 @@ def laplacian_pyramid(img: Array, max_levels: int = 3) -> List[Array]:
         filtered = _blur(current)
         down = _downsample(filtered)
         up = _upsample_zero_stuff(down)
+        # odd level sizes upsample to 2*ceil(n/2) = n+1 — crop back so
+        # the residual subtraction matches (torch's F.conv path crops
+        # implicitly through its padding arithmetic)
+        up = up[:, :current.shape[1], :current.shape[2], :]
         pyr.append(current - up)
         current = down
     return pyr

@@ -21,7 +21,6 @@ class SRTrainState(train_state.TrainState):
     """TrainState carrying BatchNorm running statistics."""
 
     batch_stats: Any = None
-    epoch: int = struct.field(pytree_node=False, default=0)
 
 
 def make_optimizer(lr: float, weight_decay: float = 0.0,

@@ -554,6 +554,12 @@ class Trainer:
             # --auto_resume) continues after the completed epoch instead
             # of repeating it; the filename keeps the completed epoch
             self.save_models(fname, self.epoch + 1)
+        # rolling latest checkpoint EVERY epoch (atomic replace): before
+        # the epoch_threshold crossing there was otherwise nothing for
+        # --auto_resume to resume from, and a run shorter than the
+        # threshold finished with NO saved weights at all
+        self.save_models(os.path.join(self.dir_models, "last.models"),
+                         self.epoch + 1)
         self.save_losses()
         self.epoch += 1
 
