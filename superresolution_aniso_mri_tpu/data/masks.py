@@ -10,14 +10,19 @@ import numpy as np
 import scipy.ndimage
 
 
-def make_loss_mask(labels: np.ndarray, dilation_iters: int = 8,
+def make_loss_mask(labels: np.ndarray, dilation_iters: int = 5,
                    include_labels=(1, 2, 3)) -> np.ndarray:
-    """Binary foreground mask dilated by ``dilation_iters`` voxels.
+    """Binary foreground mask dilated by ``dilation_iters`` voxels
+    (reference masks are "Dilated 5 times", data4d_simple.py:458).
 
     ``labels``: integer map [..., H, W] (ACDC: 1=RV, 2=MYO, 3=LV).
-    Returns float32 mask of the same shape (2-D dilation per slice).
+    Returns float32 mask of the same shape (2-D dilation per slice);
+    ``dilation_iters=0`` means no dilation (scipy's iterations<=0 would
+    dilate until convergence — the whole slice).
     """
     fg = np.isin(labels, include_labels)
+    if dilation_iters <= 0:
+        return fg.astype(np.float32)
     if fg.ndim == 2:
         mask = scipy.ndimage.binary_dilation(fg, iterations=dilation_iters)
         return mask.astype(np.float32)
@@ -31,7 +36,7 @@ def make_loss_mask(labels: np.ndarray, dilation_iters: int = 8,
     return out
 
 
-def masks_for_volume(labels3d: np.ndarray, dilation_iters: int = 8
+def masks_for_volume(labels3d: np.ndarray, dilation_iters: int = 5
                      ) -> np.ndarray:
     """Per-slice loss masks for a [S, H, W] label volume; slices without
     any structure get an all-ones mask (no loss suppression), matching

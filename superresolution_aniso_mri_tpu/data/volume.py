@@ -53,6 +53,10 @@ def rescale_intensities(im: np.ndarray, percs=(0, 100),
         min_val = 0.0
     if np.isnan(max_val):
         max_val = 1.0
+    if max_val - min_val == 0:
+        # constant input (blank/padded frame): dividing by 0 would fill
+        # the training batch with NaNs
+        return np.zeros_like(im, dtype=dtype)
     return ((im.astype(dtype) - min_val) / (max_val - min_val)).clip(0, 1)
 
 
@@ -153,8 +157,10 @@ def get_paired_frames(num_frames: int, rs):
 
 def get_paired_slices(num_slices: int, rs=None):
     """Adjacent slice pairing (+one random 'joker' self-pair), randomly
-    reversed (reference: datasets/common.py:59-69)."""
-    rand = rs if rs is not None else np.random
+    reversed (reference: datasets/common.py:59-69). ``rs`` defaults to a
+    fresh seeded RandomState — the unseeded global RNG would break the
+    deterministic data pipeline."""
+    rand = rs if rs is not None else np.random.RandomState(1234)
     joker = int(rand.randint(num_slices))
     s1 = np.append(np.arange(0, num_slices - 1), np.array([joker]))
     s2 = np.append(np.arange(1, num_slices), np.array([joker]))

@@ -37,20 +37,30 @@ class _CompressZ(nn.Module):
 
 
 class _MLPProbe(nn.Module):
-    """Generic probe: compress → concat(add_features) → MLP head."""
+    """Generic probe: compress → concat(add_features) → MLP head.
+
+    ``hidden_act=False`` reproduces ExBN's activation-free stack
+    (alpha_network.py:157-158); ``hidden_bias=False`` reproduces
+    AlphaProbe256v1's all-bias-free pred_alpha (alpha_network.py:133-135).
+    """
 
     hidden: Sequence[int]
     num_out: int
     compress_channels: int = 1
     use_batchnorm: bool = False
     final_bias: bool = False
+    hidden_act: bool = True
+    hidden_bias: bool = True
 
     @nn.compact
     def __call__(self, z: Array, add_features: Array, train: bool = False) -> Array:
         x = _CompressZ(self.compress_channels, self.use_batchnorm)(z, train=train)
         x = jnp.concatenate([x, add_features], axis=1)
         for h in self.hidden:
-            x = nn.relu(nn.Dense(h, param_dtype=jnp.float32)(x))
+            x = nn.Dense(h, use_bias=self.hidden_bias,
+                         param_dtype=jnp.float32)(x)
+            if self.hidden_act:
+                x = nn.relu(x)
         return nn.Dense(self.num_out, use_bias=self.final_bias,
                         param_dtype=jnp.float32)(x)
 
@@ -76,13 +86,19 @@ def make_alpha_probe(name: str, config: AEConfig, additional_dims: int = 0,
     if name == "AlphaProbe16Convex":
         return _MLPProbe(hidden=(512, 1024), num_out=latent, use_batchnorm=use_batchnorm)
     if name == "AlphaProbe16ExBN":
-        return _MLPProbe(hidden=(512,), num_out=2 * latent, use_batchnorm=use_batchnorm)
+        # NO activation between the two head Linears
+        # (alpha_network.py:157-158)
+        return _MLPProbe(hidden=(512,), num_out=2 * latent,
+                         use_batchnorm=use_batchnorm, hidden_act=False)
     if name == "AlphaProbe256v1":
+        # all three pred_alpha Linears are bias-free
+        # (alpha_network.py:133-135)
         return _MLPProbe(hidden=((lw * lw * (lw // 2) + additional_dims) // 32,
                                  lw * lw * (lw // 2) + additional_dims),
                          num_out=lw * lw,
                          compress_channels=lw // 2,
-                         use_batchnorm=use_batchnorm)
+                         use_batchnorm=use_batchnorm,
+                         hidden_bias=False)
     raise ValueError(f"unknown alpha probe class: {name}")
 
 

@@ -105,18 +105,22 @@ class BlockEncoder(nn.Module):
 
 
 class BlockDecoder(nn.Module):
-    """Mirror decoder (reference: ae_standard.py:124-160)."""
+    """Mirror decoder (reference: ae_standard.py:124-160):
+    reversed_channels = channel_list[::-1][1:] + [colors], upsample
+    flags taken UN-reversed (downsample_list[block_id]), then a final
+    3x3 conv to ``colors``. The reference creates a Sigmoid module but
+    never applies it in forward — ``use_sigmoid`` stays opt-in."""
 
     channel_list: Sequence[int]
     downsample_list: Sequence[bool]
     colors: int = 1
-    use_sigmoid: bool = True
+    use_sigmoid: bool = False
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
         x = z
-        for cout, up in zip(reversed(self.channel_list),
-                            reversed(self.downsample_list)):
+        rev_channels = list(self.channel_list)[::-1][1:] + [self.colors]
+        for cout, up in zip(rev_channels, self.downsample_list):
             x = BasicDecoderBlock(cout, do_upsample=up)(x, train=train)
         x = _conv(self.colors, 3, x.dtype)(x)
         if self.use_sigmoid:
@@ -163,28 +167,41 @@ class LegacyAEAdv(nn.Module):
                                 self.latent_dim)
         self.dec = BlockDecoder(self.channel_list, self.downsample_list,
                                 self.colors)
+        # the reference wraps BOTH bottleneck projections in
+        # Conv1x1 + BatchNorm + LeakyReLU (ae_standard.py:212-227)
         self.to_latent = nn.Conv(self.latent_dim_chan, (1, 1),
                                  padding="VALID")
+        self.to_latent_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
         self.from_latent = nn.Conv(self.channel_list[-1], (1, 1),
                                    padding="VALID")
+        self.from_latent_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5)
 
     def encode(self, x: Array, train: bool = False) -> Array:
-        return self.to_latent(self.enc(x, train=train))
+        h = self.to_latent(self.enc(x, train=train))
+        return _leaky(self.to_latent_bn(h, use_running_average=not train))
 
     def decode(self, z: Array, train: bool = False) -> Array:
-        return self.dec(self.from_latent(z), train=train)
+        h = _leaky(self.from_latent_bn(self.from_latent(z),
+                                       use_running_average=not train))
+        return self.dec(h, train=train)
 
     def __call__(self, x: Array, train: bool = False) -> Array:
         return self.decode(self.encode(x, train=train), train=train)
 
 
 class DiscriminatorSpatial(nn.Module):
-    """Latent-space spatial critic: 1x1 conv → flatten → linear → scalar
-    (reference: ae_standard.py:239-270)."""
+    """Spatial critic: the full block-encoder stack, then 1x1 conv →
+    flatten → linear → scalar, with NO extra activation in the head
+    (reference: ae_standard.py:238-266)."""
+
+    channel_list: Sequence[int] = (32, 64, 128)
+    downsample_list: Sequence[bool] = (True, True, True)
 
     @nn.compact
-    def __call__(self, z: Array) -> Array:
-        x = _leaky(nn.Conv(z.shape[-1], (1, 1), padding="VALID")(z))
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        for cout, down in zip(self.channel_list, self.downsample_list):
+            x = BasicEncoderBlock(cout, downsample=down)(x, train=train)
+        x = nn.Conv(x.shape[-1], (1, 1), padding="VALID")(x)
         x = x.reshape(x.shape[0], -1)
         return nn.Dense(1)(x)[:, 0]
 
