@@ -177,7 +177,8 @@ class VanillaACAI(nn.Module):
 
     def setup(self):
         self.enc = Encoder(self.config)
-        self.dec = Decoder(self.config)
+        self.dec = Decoder(self.config,
+                           use_upsample=self.config.use_upsample)
 
     def encode(self, x: Array, train: bool = False) -> Array:
         return self.enc(x, train=train)

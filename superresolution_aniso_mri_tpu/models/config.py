@@ -38,6 +38,9 @@ class AEConfig:
     use_batchnorm: bool = True
     use_sigmoid: bool = True
     n_res_block: Optional[int] = None
+    # nearest-neighbour upsample (True) vs ConvTranspose decoder blocks
+    # (reference: acai_vanilla.py:75 use_upsample)
+    use_upsample: bool = True
     nclasses: int = 4  # only used by MultiChannelAE
     # compute dtype for conv stacks; params are always float32.
     compute_dtype: str = "float32"
@@ -62,6 +65,7 @@ class AEConfig:
             use_batchnorm=bool(args.get("use_batchnorm", False)),
             use_sigmoid=bool(args.get("use_sigmoid", False)),
             n_res_block=args.get("n_res_block", None),
+            use_upsample=bool(args.get("use_upsample", True)),
             nclasses=int(args.get("nclasses", 4)),
             compute_dtype=str(args.get("compute_dtype", "float32")),
         )

@@ -76,7 +76,9 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
         use_extra_latent_loss=bool(args.get("use_extra_latent_loss", False)),
         use_masks=bool(args.get("get_masks", False)),
         vae_beta=float(args.get("vae_beta") or 0.0),
-        lamb=float(args.get("lamb") or 1.0),
+        # explicit lamb=0 (recon-term ablation) must survive — `or`
+        # would silently turn it into 1.0
+        lamb=(1.0 if args.get("lamb") is None else float(args["lamb"])),
         lamb_reg_acai=float(args.get("lamb_reg_acai", 0.5)),
         nclasses=int(args.get("nclasses", 4)),
     )
@@ -119,7 +121,10 @@ class Trainer:
             ae_class = "VAE"
         elif model_flag == "vae2" and ae_class == "VanillaACAI":
             ae_class = "VAE2"
-        if self.args.get("dataset") == "ACDCLBL":
+        if (self.args.get("dataset") == "ACDCLBL"
+                and not model_flag.startswith("alpha")):
+            # alpha families keep the plain AE: their loss family cannot
+            # consume MultiChannelAE's dict decode output
             ae_class = "MultiChannelAE"
         self.args["ae_class"] = ae_class
         ae = build_model(ae_class, self.model_config)
@@ -358,7 +363,7 @@ class Trainer:
             # params live replicated on the mesh — commit the batch there
             # too (sharded over 'data' when divisible, else replicated) so
             # the jitted eval doesn't see two incompatible device sets
-            from ..parallel import batch_sharding, replicated, shard_batch
+            from ..parallel import replicated, shard_batch
             n_dev = self.mesh.devices.size
             leaves = jax.tree_util.tree_leaves(batch)
             if all(l.shape[0] % n_dev == 0 for l in leaves):
@@ -403,9 +408,18 @@ class Trainer:
         from flax import serialization
 
         raw = load_checkpoint_raw(fname)
+        raw_p = raw["model_dict_ae"]
+        raw_bs = raw.get("batch_stats", {})
         p, bs = self._ae_params()
-        params_sr = serialization.from_state_dict(p, raw["model_dict_ae"])
-        bs_sr = serialization.from_state_dict(bs, raw.get("batch_stats", {}))
+        # checkpoints from dict-family trainers (acai/alpha) store
+        # {'ae': ..., 'disc'/'probe': ...}; select the AE subtree when
+        # the template is a bare AE (its top-level keys differ)
+        if (isinstance(raw_p, dict) and "ae" in raw_p
+                and "ae" not in (p.keys() if hasattr(p, "keys") else ())):
+            raw_p = raw_p["ae"]
+            raw_bs = raw_bs.get("ae", {}) if isinstance(raw_bs, dict) else {}
+        params_sr = serialization.from_state_dict(p, raw_p)
+        bs_sr = serialization.from_state_dict(bs, raw_bs)
         self.params_sr = (params_sr, bs_sr)
 
     def _sr_params(self, use_sr_model: bool = False):
@@ -487,6 +501,33 @@ class Trainer:
         if self.mesh is not None:  # resume keeps the mesh placement
             from ..parallel import replicate_state
             self.state = replicate_state(self.mesh, self.state)
+        self._restore_history()
+
+    def _restore_history(self) -> None:
+        """Rehydrate the loss archives + best-val trackers from the
+        experiment dir on resume. Without this, the first post-resume
+        epoch would (a) treat ANY val loss as a new best and overwrite
+        ae.models/caisr.models with a worse model, and (b) save_losses
+        would clobber the npz archives with only the post-resume tail."""
+        out = self.args.get("output_dir")
+        if not out or not os.path.isfile(os.path.join(out,
+                                                      "loss_iters.npz")):
+            return
+        try:
+            iters, tr, te = self.load_losses(out)
+        except Exception:
+            return
+        self.loss_iters = [int(v) for v in iters]
+        for k, v in tr.items():
+            self.mean_losses[k] = [float(x) for x in v]
+        for k, v in te.items():
+            self.mean_losses_test[k] = [float(x) for x in v]
+        if self.loss_iters:
+            self._iters = int(self.loss_iters[-1])
+        for key in ("loss_ae_dist", "loss_ae_dist_extra"):
+            hist = self.mean_losses_test.get(key)
+            if hist:
+                self._best_val[key] = float(np.min(hist))
 
     def save_best_val_model(self) -> None:
         """Rolling best checkpoints: ae.models on min mean loss_ae_dist;
@@ -596,11 +637,8 @@ def get_trainer(src_path: str, model_nbr=None, eval_mode: bool = True) -> Traine
     settings["output_dir"] = src_path
     trainer = Trainer(settings, eval_mode=eval_mode)
     if model_nbr is not None:
-        if isinstance(model_nbr, int):
-            ckpt = os.path.join(src_path, "models", f"{model_nbr}.models")
-        else:
-            ckpt = os.path.join(src_path, "models", f"{model_nbr}.models"
-                                if not str(model_nbr).endswith(".models")
-                                else str(model_nbr))
-        trainer.load(ckpt)
+        name = str(model_nbr)
+        if not name.endswith(".models"):
+            name += ".models"
+        trainer.load(os.path.join(src_path, "models", name))
     return trainer

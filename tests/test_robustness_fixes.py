@@ -86,3 +86,63 @@ def test_empty_epoch_raises_clearly(tmp_path):
     }
     with pytest.raises(ValueError, match="0 training batches"):
         run_training(args, verbose=True)
+
+
+def test_resume_restores_loss_history_and_best_val(tmp_path):
+    """Resume must rehydrate the npz loss archives and best-val
+    trackers — otherwise the first post-resume epoch overwrites
+    ae.models with any (worse) model and clobbers the history."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    args = {
+        "dataset": "MNIST3D", "model": "ae_combined",
+        "ae_class": "VanillaACAI", "width": 16, "latent_width": 8,
+        "depth": 4, "latent": 4, "colors": 1, "lr": 1e-3,
+        "weight_decay": 0.0, "batch_size": 2, "epochs": 4,
+        "epoch_threshold": -1, "use_batchnorm": False,
+        "use_sigmoid": True, "image_mix_loss_func": "mse",
+        "downsample_steps": 2, "seed": 0, "output_dir": str(tmp_path),
+    }
+    t = Trainer(dict(args))
+    t.prepare_run()
+    # two epochs of fake history; best val loss at epoch 0
+    t.mean_losses["loss_ae"] = [0.5, 0.4]
+    t.mean_losses_test["loss_ae"] = [0.5, 0.45]
+    t.mean_losses_test["loss_ae_dist"] = [0.10, 0.20]
+    t.loss_iters = [10, 20]
+    t._best_val["loss_ae_dist"] = 0.10
+    t.epoch = 1
+    t.end_epoch_processing()   # writes last.models + npz archives
+
+    t2 = Trainer(dict(args))
+    t2.load(os.path.join(t.dir_models, "last.models"))
+    assert t2.epoch == 2
+    assert t2.loss_iters == [10, 20]
+    assert t2.mean_losses_test["loss_ae_dist"] == [0.10, 0.20]
+    assert t2._best_val["loss_ae_dist"] == pytest.approx(0.10)
+
+
+def test_load_caisr_from_dict_family_checkpoint(tmp_path):
+    """caisr.models saved by an acai run stores {'ae', 'disc'} params;
+    load_caisr into a plain-AE trainer must select the 'ae' subtree."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    base = {
+        "dataset": "MNIST3D", "ae_class": "VanillaACAI", "width": 16,
+        "latent_width": 8, "depth": 4, "latent": 4, "colors": 1,
+        "lr": 1e-3, "weight_decay": 0.0, "batch_size": 2, "epochs": 1,
+        "epoch_threshold": -1, "use_batchnorm": False,
+        "use_sigmoid": True, "image_mix_loss_func": "mse",
+        "downsample_steps": 2, "seed": 0, "output_dir": str(tmp_path),
+    }
+    t_acai = Trainer(dict(base, model="acai"))
+    t_acai.prepare_run()
+    ckpt = os.path.join(t_acai.dir_models, "caisr.models")
+    t_acai.save_models(ckpt, 1)
+
+    t_ae = Trainer(dict(base, model="ae", output_dir=None))
+    t_ae.load_caisr(ckpt)
+    assert t_ae.params_sr is not None
+    x = jnp.zeros((2, 16, 16, 1), jnp.float32)
+    out = t_ae.predict(x, use_sr_model=True)
+    assert out.shape == x.shape
