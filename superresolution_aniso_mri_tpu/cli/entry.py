@@ -114,7 +114,10 @@ def generate_hr_volumes(argv=None):
                 break
         out_path = os.path.join(args.output_dir,
                                 f"{base}_ni{n:02d}.nii.gz")
-        write_image(out_path, out.astype(np.float32), spacing=new_spacing)
+        # keep the source orientation metadata — a synthesized affine
+        # would translate/flip the volume relative to the scanner frame
+        write_image(out_path, out.astype(np.float32), spacing=new_spacing,
+                    affine=affine)
         print(f"saved {out_path}  "
               f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
               f"z-spacing {new_spacing[0]:.3f}mm)")
@@ -143,6 +146,9 @@ def find_best_model(argv=None):
     if args.use_synthetic_data:
         settings["use_synthetic_data"] = True
     ds = args.downsample_steps or int(settings.get("downsample_steps") or 2)
+    # the validation volumes must be built for the SAME factor the sweep
+    # scores (toy slice counts and brain LR simulation depend on it)
+    settings["downsample_steps"] = ds
     _train, val = get_datasets(settings)
     res = find_best_val_model(exper_dir, val, ds, batched=args.batched,
                               verbose=True)

@@ -122,14 +122,26 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     ds = int(merged.get("downsample_steps") or 2)
     pad = int(merged.get("aug_patch_size") or merged["width"])
     use_masks = bool(merged.get("get_masks"))
-    sampler = TripletSampler(train_vols, ds,
-                             merged.get("slice_selection", "adjacent_plus"),
-                             pad_size=pad, seed=int(merged.get("seed", 0)),
-                             use_masks=use_masks)
-    val_sampler = TripletSampler(val_vols, ds, "adjacent_plus",
-                                 pad_size=pad,
-                                 seed=int(merged.get("seed", 0)) + 1,
-                                 use_masks=use_masks)
+    if merged["dataset"] == "MNISTRoto":
+        # on-the-fly rotation triplets (reference: MNIST/data_roto.py
+        # MakeRotatedTriple) — NOT the pre-built MNIST3D stacks
+        from ..data.synthetic import RotoTripletSampler
+
+        sampler = RotoTripletSampler(
+            size=int(merged["width"]), downsample_steps=ds,
+            seed=int(merged.get("seed", 0)))
+        val_sampler = RotoTripletSampler(
+            size=int(merged["width"]), downsample_steps=ds,
+            seed=int(merged.get("seed", 0)) + 1)
+    else:
+        sampler = TripletSampler(
+            train_vols, ds, merged.get("slice_selection", "adjacent_plus"),
+            pad_size=pad, seed=int(merged.get("seed", 0)),
+            use_masks=use_masks)
+        val_sampler = TripletSampler(val_vols, ds, "adjacent_plus",
+                                     pad_size=pad,
+                                     seed=int(merged.get("seed", 0)) + 1,
+                                     use_masks=use_masks)
     aug_cfg = build_augment_config(merged)
     val_cfg = AugmentConfig(patch_size=int(merged["width"]),
                             aug_patch_size=aug_cfg.aug_patch_size,

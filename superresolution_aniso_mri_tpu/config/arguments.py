@@ -14,8 +14,9 @@ def parse_args(argv=None):
     parser = argparse.ArgumentParser(
         description="Train auto-encoder for SR (TPU-native)")
     parser.add_argument("-d", "--dataset", type=str,
-                        choices=["ACDC", "ACDCC", "dHCP", "ADNI", "OASIS",
-                                 "MNIST3D", "MNISTRoto", "ACDCLBL"],
+                        choices=["ACDC", "ACDCC", "ARVC", "dHCP", "ADNI",
+                                 "OASIS", "brainMASI", "MNIST3D",
+                                 "MNISTRoto", "ACDCLBL"],
                         default="ACDC")
     parser.add_argument("--downsample_steps", type=int, default=None)
     parser.add_argument("-ss", "--slice_selection", type=str,

@@ -101,7 +101,13 @@ def make_packed_decoder(model, cfg: AEConfig):
             else:
                 # conv1 consumes the previous scale's (virtual) 2x
                 # nearest upsample — packed: 4x the output lanes
-                pk = pack_after_upsample_kernel(w1)
+                # pack tap sums in float32 BEFORE the compute-dtype
+                # cast: summing pre-cast bf16 taps would round
+                # differently than the plain decoder's f32-accumulating
+                # conv and break the bit-exactness contract
+                pk = pack_after_upsample_kernel(
+                    dec[f"Conv_{2 * i}"]["kernel"].astype(jnp.float32)
+                ).astype(dt)
                 pb = jnp.tile(b1, 4)
                 x = depth_to_space2(_leaky(_conv(x, pk, pb)))
             w2 = dec[f"Conv_{2 * i + 1}"]["kernel"].astype(dt)
@@ -113,7 +119,10 @@ def make_packed_decoder(model, cfg: AEConfig):
         # final conv after the last upsample — packed
         wf = dec[f"Conv_{2 * scales}"]["kernel"].astype(dt)
         bf = dec[f"Conv_{2 * scales}"]["bias"].astype(dt)
-        x = _leaky(_conv(x, pack_after_upsample_kernel(wf), jnp.tile(bf, 4)))
+        pkf = pack_after_upsample_kernel(
+            dec[f"Conv_{2 * scales}"]["kernel"].astype(jnp.float32)
+        ).astype(dt)
+        x = _leaky(_conv(x, pkf, jnp.tile(bf, 4)))
         x = depth_to_space2(x)
         wo = dec["out"]["kernel"].astype(dt)
         bo = dec["out"]["bias"].astype(dt)

@@ -26,15 +26,15 @@ def show_loss_curves(iters, losses_train: Dict, losses_test: Dict,
               ("loss_latent_1", "latent mse")]
     fig, axes = plt.subplots(len(panels), 1, figsize=(10, 10))
     for ax, (key, title) in zip(np.atleast_1d(axes), panels):
-        n = len(iters[iter_range])
-        if key in losses_train and len(losses_train[key]):
-            ax.plot(iters[iter_range][:len(losses_train[key])],
-                    np.asarray(losses_train[key])[iter_range][:n],
-                    c="b", label="tr")
-        if key in losses_test and len(losses_test[key]):
-            ax.plot(iters[iter_range][:len(losses_test[key])],
-                    np.asarray(losses_test[key])[iter_range][:n],
-                    c="r", label="te")
+        x = np.asarray(iters)[iter_range]
+        for arr, color, label in (
+                (losses_train.get(key), "b", "tr"),
+                (losses_test.get(key), "r", "te")):
+            if arr is None or not len(arr):
+                continue
+            y = np.asarray(arr)[iter_range]
+            n = min(len(x), len(y))   # both truncated to the COMMON
+            ax.plot(x[:n], y[:n], c=color, label=label)  # sliced length
         ax.set_title(title)
         ax.legend(loc="best")
     fig.tight_layout(rect=[0.03, 0.03, 0.97, 0.97])

@@ -53,6 +53,13 @@ def convert(vgg16_path: str | None, lin_path: str | None,
             w = lin_sd[key].numpy()
             out[f"lin{k}_kernel"] = np.transpose(w, (2, 3, 1, 0)).astype(
                 np.float32)  # (1, 1, C, 1)
+    elif any(k.startswith("conv") for k in out):
+        # a full npz with placeholder lins would load as mode
+        # 'converted' (true LPIPS) and silently mislabel every metric
+        raise SystemExit(
+            "--vgg16 without --lin would bake UNLEARNED placeholder lin "
+            "weights into a 'converted' archive; pass --lin "
+            "(lpips/weights/v0.1/vgg.pth) as well")
     else:
         for k, c in enumerate(_LPIPS_CHANNELS):
             out[f"lin{k}_kernel"] = np.full((1, 1, c, 1), 1.0 / c,
