@@ -23,7 +23,7 @@ import numpy as np
 def main():
     from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
     from superresolution_aniso_mri_tpu.infer.super_volume import (
-        interleave_volume, make_volume_synthesizer,
+        make_volume_synthesizer,
     )
 
     # OASIS ae_combined config (reference README.md:46), evaluated at the

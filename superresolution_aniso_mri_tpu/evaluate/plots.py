@@ -33,7 +33,10 @@ def metric_boxplots(results_per_method: Dict[str, Dict[str, Sequence[float]]],
                              figsize=(4 * len(metrics), 4))
     for ax, metric in zip(np.atleast_1d(axes), metrics):
         data = [np.asarray(results_per_method[m][metric]) for m in methods]
-        ax.boxplot(data, tick_labels=methods)
+        try:  # tick_labels is matplotlib>=3.9; labels elsewhere
+            ax.boxplot(data, tick_labels=methods)
+        except TypeError:
+            ax.boxplot(data, labels=methods)
         ax.set_title(metric)
         ax.tick_params(axis="x", rotation=30)
     fig.tight_layout()
@@ -53,10 +56,9 @@ def qualitative_comparison_figure(reference_vol: np.ndarray,
     if slice_ids is None:
         slice_ids = np.linspace(1, s - 2, 4).astype(int)
     rows = {"reference": reference_vol, **method_vols}
-    fig, axes = plt.subplots(len(rows), len(slice_ids),
+    fig, axes = plt.subplots(len(rows), len(slice_ids), squeeze=False,
                              figsize=(2.2 * len(slice_ids),
                                       2.2 * len(rows)))
-    axes = np.atleast_2d(axes)
     for r, (name, vol) in enumerate(rows.items()):
         for c, sid in enumerate(slice_ids):
             axes[r, c].imshow(vol[sid], cmap="gray", vmin=0, vmax=1)
@@ -154,9 +156,8 @@ def interpolation_sequence_figure(slice_from: np.ndarray,
     seq = [slice_from] + [interpolants[i] for i in
                           range(interpolants.shape[0])] + [slice_to]
     rows = 2 if ground_truth is not None else 1
-    fig, axes = plt.subplots(rows, len(seq),
+    fig, axes = plt.subplots(rows, len(seq), squeeze=False,
                              figsize=(2 * len(seq), 2 * rows))
-    axes = np.atleast_2d(axes)
     for i, s in enumerate(seq):
         axes[0, i].imshow(s, cmap="gray", vmin=0, vmax=1)
         axes[0, i].axis("off")
@@ -185,17 +186,22 @@ def compare_methods_slices(reference_slice: np.ndarray,
     plt = _plt(save_path)
     cols = 1 + len(method_slices)
     rows = 2 if show_diff else 1
-    fig, axes = plt.subplots(rows, cols, figsize=(2.4 * cols, 2.4 * rows))
-    axes = np.atleast_2d(axes)
+    fig, axes = plt.subplots(rows, cols, squeeze=False,
+                             figsize=(2.4 * cols, 2.4 * rows))
     axes[0, 0].imshow(reference_slice, cmap="gray", vmin=0, vmax=1)
     axes[0, 0].set_title("reference", fontsize=8)
+    # one SHARED difference scale — per-image autoscaling would make
+    # every method's error map look equally severe
+    diffs = {name: np.abs(reference_slice.astype(np.float32)
+                          - np.asarray(sl, np.float32))
+             for name, sl in method_slices.items()} if show_diff else {}
+    vmax = max((float(d.max()) for d in diffs.values()), default=1.0) or 1.0
     for j, (name, sl) in enumerate(method_slices.items(), start=1):
         axes[0, j].imshow(sl, cmap="gray", vmin=0, vmax=1)
         axes[0, j].set_title(name, fontsize=8)
         if show_diff:
-            diff = np.abs(reference_slice.astype(np.float32)
-                          - sl.astype(np.float32))
-            axes[1, j].imshow(diff, cmap="viridis")
+            axes[1, j].imshow(diffs[name], cmap="viridis", vmin=0.0,
+                              vmax=vmax)
     for ax in axes.ravel():
         ax.axis("off")
     fig.tight_layout()
@@ -214,8 +220,8 @@ def reconstructions_grid(method_volumes: Dict[str, np.ndarray],
     plt = _plt(save_path)
     rows = len(method_volumes)
     cols = len(slice_ids)
-    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
-    axes = np.atleast_2d(axes)
+    fig, axes = plt.subplots(rows, cols, squeeze=False,
+                             figsize=(2 * cols, 2 * rows))
     for i, (name, vol) in enumerate(method_volumes.items()):
         for j, s in enumerate(slice_ids):
             axes[i, j].imshow(vol[s], cmap="gray", vmin=0, vmax=1)
@@ -285,8 +291,9 @@ class SegColorMap:
     ACDC = ((0, 0, 0), (234, 9, 9), (43, 84, 206), (10, 170, 28))
 
     def __init__(self, alpha: float = 0.8, colors=DEFAULT):
-        c = np.asarray(colors, np.float64)
-        c = (c - c.min()) / (c.max() - c.min())
+        # 8-bit palette → [0,1] by /255 (min-max normalisation shifted
+        # every colour and went NaN on constant palettes)
+        c = np.asarray(colors, np.float64) / 255.0
         self.np_cmap = np.concatenate(
             [c, np.full((len(c), 1), alpha)], axis=1)
         self.np_cmap[0, -1] = 0.0  # background fully transparent
@@ -297,8 +304,12 @@ class SegColorMap:
         return ListedColormap(self.np_cmap)
 
     def convert_multi_labels(self, label_array: np.ndarray) -> np.ndarray:
-        """Integer label map → RGBA array."""
-        return self.np_cmap[np.asarray(label_array, np.int64)]
+        """Integer label map → RGBA array. Negative (ignore) labels
+        render transparent instead of wrapping to the last class."""
+        lbl = np.asarray(label_array, np.int64)
+        rgba = self.np_cmap[np.clip(lbl, 0, len(self.np_cmap) - 1)]
+        rgba[lbl < 0] = 0.0
+        return rgba
 
 
 def label_overlay_figure(image: np.ndarray, labels: np.ndarray,

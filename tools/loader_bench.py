@@ -27,6 +27,9 @@ from superresolution_aniso_mri_tpu.utils.nifti import (  # noqa: E402
 def bench_ingest(n_files=12, shape=(40, 220, 220), reps=3):
     rng = np.random.RandomState(0)
     d = tempfile.mkdtemp()
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, d, True)  # ~90MB of .nii.gz otherwise
     paths = []
     for i in range(n_files):
         arr = rng.rand(*shape).astype(np.float32)

@@ -2,13 +2,16 @@
 """Training-step throughput micro-benchmark on the attached chip.
 
 Measures jitted train-step wall time for the reference's headline
-training configs (BASELINE.md): ACDC ae_combined (batch 12 pairs, 128²)
-and OASIS ae_combined (batch 16 pairs, 64²), in f32 and bf16.
+training configs (BASELINE.md): ACDC ae_combined (batch 12 pairs, 128²),
+OASIS ae_combined (batch 16 pairs, 64²) and dHCP (batch 8, 256²), in
+f32 and bf16. The per-step figure is amortized total/steps (a mean).
 """
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +51,7 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
     for _ in range(steps):
         m = t.train(batch)
     float(m["loss_ae"])
-    med = (time.perf_counter() - t0) / steps
+    mean_step = (time.perf_counter() - t0) / steps
     print(f"{name:>28} [{compute_dtype:8}]: {med * 1e3:8.3f} ms/step "
           f"({batch_pairs / med:8.1f} pairs/s)")
     return med
