@@ -642,3 +642,131 @@ def test_vae_trajectory_parity_with_torch():
             opt.step()
             np.testing.assert_allclose(float(metrics["loss_ae"]),
                                        float(loss), rtol=5e-3, atol=1e-5)
+
+
+def test_train_trajectory_parity_alpha_variant():
+    """Alpha-family pin for variant 'alpha' (reference AlphaTrainer,
+    kwatsch/alpha/trainer_alpha.py:13-82 + base_alpha_trainer.py:14-126):
+    probe input detached, z_mix built from LIVE latents (latent loss
+    trains encoder + probe), decode of z_mix and the z_ref/z_syn encodes
+    under no_grad, loss = recon + 0.5*img + 0.5*(l1+l2), one Adam over
+    AE + probe. 25 steps from identical weights/batches must track a
+    functional torch oracle."""
+    import jax
+    import jax.numpy as jnp
+    from superresolution_aniso_mri_tpu.models import (
+        AEConfig, VanillaACAI, make_alpha_probe,
+    )
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, make_train_step,
+    )
+    from superresolution_aniso_mri_tpu.train.state import (
+        SRTrainState, make_optimizer,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6,
+                   use_batchnorm=False, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    probe = make_alpha_probe("AlphaProbe16v1", cfg, additional_dims=5)
+    lr, b, n_steps = 1e-3, 4, 25
+    rng = np.random.RandomState(21)
+    batches = []
+    for _ in range(n_steps):
+        batches.append({
+            "image": rng.rand(2 * b, 32, 32, 1).astype(np.float32),
+            "slice_between": rng.rand(b, 32, 32, 1).astype(np.float32),
+            "alpha_from": np.full(b, 0.5, np.float32),
+            "alpha_to": np.full(b, 0.5, np.float32),
+            "alpha_features": rng.rand(b, 5).astype(np.float32),
+        })
+
+    with jax.default_matmul_precision("highest"):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        v_ae = model.init(k1, jnp.zeros((2, 32, 32, 1)), train=False)
+        v_pr = probe.init(k2, jnp.zeros((2, 8, 8, 12)), jnp.zeros((2, 5)))
+        state = SRTrainState.create(
+            apply_fn=model.apply,
+            params={"ae": v_ae["params"], "probe": v_pr["params"]},
+            tx=make_optimizer(lr), batch_stats={"ae": {}, "probe": {}})
+
+        # ---- torch oracle: AE via _TorchAEOracle converters + probe ----
+        oracle = _TorchAEOracle(v_ae["params"], cfg, lr)
+        pp = v_pr["params"]
+        cw = torch.tensor(np.transpose(
+            np.asarray(pp["_CompressZ_0"]["Conv_0"]["kernel"]),
+            (3, 2, 0, 1)), requires_grad=True)
+        cb = torch.tensor(np.asarray(pp["_CompressZ_0"]["Conv_0"]["bias"]),
+                          requires_grad=True)
+        d0w = torch.tensor(np.asarray(pp["Dense_0"]["kernel"]),
+                           requires_grad=True)
+        d0b = torch.tensor(np.asarray(pp["Dense_0"]["bias"]),
+                           requires_grad=True)
+        d1w = torch.tensor(np.asarray(pp["Dense_1"]["kernel"]),
+                           requires_grad=True)
+        opt = torch.optim.Adam(oracle.tensors + [cw, cb, d0w, d0b, d1w],
+                               lr=lr, betas=(0.9, 0.999), eps=1e-8)
+
+        def torch_probe(z_cat_nchw, feats):
+            import torch.nn.functional as F
+            h = F.leaky_relu(F.conv2d(z_cat_nchw, cw, cb), 0.01)
+            # NCHW → flax's NHWC flatten order
+            h = h.permute(0, 2, 3, 1).reshape(h.shape[0], -1)
+            h = torch.cat([h, feats], dim=1)
+            h = torch.relu(h @ d0w + d0b)
+            return h @ d1w
+
+        def torch_step(batch):
+            import torch.nn.functional as F
+            x = torch.tensor(np.transpose(batch["image"], (0, 3, 1, 2)))
+            between = torch.tensor(np.transpose(
+                batch["slice_between"], (0, 3, 1, 2)))
+            feats = torch.tensor(batch["alpha_features"])
+            z = oracle.encode(x)
+            out = oracle.decode(z)
+            loss_rec = F.mse_loss(out, x)
+            z1, z3 = z[:b], z[b:]
+            alpha = torch_probe(torch.cat([z1, z3], dim=1).detach(), feats)
+            lat = cfg.latent
+            z_mix = (alpha[:, :lat, None, None] * z1
+                     + alpha[:, lat:, None, None] * z3)
+            with torch.no_grad():
+                s_mix = oracle.decode(z_mix)
+                z_ref = oracle.encode(between)
+                z_syn = oracle.encode(s_mix)
+            loss_img = F.mse_loss(between, s_mix)
+            l1 = F.mse_loss(z_ref, z_mix)
+            l2 = F.mse_loss(z_ref, z_syn)
+            loss = loss_rec + 0.5 * loss_img + 0.5 * (l1 + l2)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            return float(loss)
+
+        step = make_train_step(
+            {"ae": model, "probe": probe},
+            LossConfig(model="alpha", recon_loss="mse",
+                       image_mix_loss_func="mse",
+                       num_alphas=2 * cfg.latent, latent=cfg.latent),
+            donate=False)
+
+        traj_jax, traj_torch = [], []
+        for batch in batches:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, jb, jax.random.PRNGKey(1),
+                                  jnp.float32(0.0))
+            traj_jax.append(float(metrics["loss_ae"]))
+            traj_rec = float(metrics["loss_ae_dist"])
+            traj_torch.append(torch_step(batch))
+
+    np.testing.assert_allclose(traj_jax, traj_torch, rtol=3e-3, atol=1e-6)
+    # the optimized recon term dropped (the TOTAL also carries the
+    # monitored latent/img terms, which need not fall in 25 steps on
+    # random data)
+    assert traj_rec < 0.1
+    # the encoder moved THROUGH the latent loss: compare against a
+    # recon-only oracle would be redundant here — weight agreement at
+    # the end pins the whole gradient routing
+    w_jax = np.asarray(state.params["ae"]["enc"]["stem"]["kernel"])
+    w_torch = oracle.enc["conv"]["stem"]["weight"].detach().numpy()
+    np.testing.assert_allclose(w_jax, w_torch.transpose(2, 3, 1, 0),
+                               atol=5e-3)
