@@ -770,3 +770,137 @@ def test_train_trajectory_parity_alpha_variant():
     w_torch = oracle.enc["conv"]["stem"]["weight"].detach().numpy()
     np.testing.assert_allclose(w_jax, w_torch.transpose(2, 3, 1, 0),
                                atol=5e-3)
+
+
+def test_train_trajectory_parity_multichannel():
+    """Multichannel (ACDCLBL) pin: 20 steps of recon-MSE + 0.1*negative
+    soft dice through the dual-head model track a functional torch twin
+    (reference: sr_multi_channel/trainer_ae.py:79-130,
+    networks/acai_multi_channel.py:22-103, kwatsch/dice_loss.py)."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from superresolution_aniso_mri_tpu.models import AEConfig, build_model
+    from superresolution_aniso_mri_tpu.train import (
+        LossConfig, create_train_state, make_train_step,
+    )
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=6, colors=2,
+                   nclasses=4, use_batchnorm=False, use_sigmoid=True)
+    model = build_model("MultiChannelAE", cfg)
+    lr, b, n_steps = 1e-3, 4, 20
+    rng = np.random.RandomState(31)
+    batches = []
+    for _ in range(n_steps):
+        img = rng.rand(2 * b, 32, 32, 1).astype(np.float32)
+        lbl = rng.randint(0, 4, (2 * b, 32, 32, 1)).astype(np.float32)
+        bimg = rng.rand(b, 32, 32, 1).astype(np.float32)
+        blbl = rng.randint(0, 4, (b, 32, 32, 1)).astype(np.float32)
+        batches.append({
+            "image": np.concatenate([img, lbl], -1),
+            "slice_between": np.concatenate([bimg, blbl], -1),
+            "alpha_from": np.full(b, 0.5, np.float32),
+            "alpha_to": np.full(b, 0.5, np.float32)})
+
+    with jax.default_matmul_precision("highest"):
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   jnp.zeros((2, 32, 32, 2)), lr=lr)
+        p = state.params
+
+        # --- torch twin built from the SAME flax params ---
+        tensors = []
+
+        def conv_t(tree):
+            w = torch.tensor(np.transpose(np.asarray(tree["kernel"]),
+                                          (3, 2, 0, 1)),
+                             requires_grad=True)
+            bb = torch.tensor(np.asarray(tree["bias"]), requires_grad=True)
+            tensors.extend([w, bb])
+            return w, bb
+
+        enc_convs = {k: conv_t(v) for k, v in sorted(p["enc"].items())}
+        trunk_convs = {k: conv_t(v) for k, v in sorted(p["trunk"].items())}
+        hi = conv_t(p["head_image"])
+        ha = conv_t(p["head_cls_a"])
+        hb = conv_t(p["head_cls_b"])
+        bn_w = torch.tensor(np.asarray(p["head_cls_bn"]["scale"]),
+                            requires_grad=True)
+        bn_b = torch.tensor(np.asarray(p["head_cls_bn"]["bias"]),
+                            requires_grad=True)
+        tensors.extend([bn_w, bn_b])
+        bn_mean = torch.zeros(cfg.depth)
+        bn_var = torch.ones(cfg.depth)
+        opt = torch.optim.Adam(tensors, lr=lr, betas=(0.9, 0.999),
+                               eps=1e-8)
+        lrelu = lambda h: F.leaky_relu(h, 0.01)
+
+        def t_encode(x):
+            h = F.conv2d(x, *enc_convs["stem"])  # 1x1 stem
+            ci = 0
+            for s in range(cfg.scales):
+                h = lrelu(F.conv2d(h, *enc_convs[f"Conv_{ci}"], padding=1))
+                h = lrelu(F.conv2d(h, *enc_convs[f"Conv_{ci+1}"],
+                                   padding=1))
+                h = F.avg_pool2d(h, 2)
+                ci += 2
+            h = lrelu(F.conv2d(h, *enc_convs[f"Conv_{ci}"], padding=1))
+            return F.conv2d(h, *enc_convs["head"], padding=1)
+
+        def t_decode(z):
+            h = lrelu(F.conv2d(z, *trunk_convs["Conv_0"]))  # 1x1 expand
+            ci = 1
+            for s in range(cfg.scales - 1, -1, -1):
+                h = lrelu(F.conv2d(h, *trunk_convs[f"Conv_{ci}"],
+                                   padding=1))
+                h = lrelu(F.conv2d(h, *trunk_convs[f"Conv_{ci+1}"],
+                                   padding=1))
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                ci += 2
+            h = lrelu(F.conv2d(h, *trunk_convs[f"Conv_{ci}"], padding=1))
+            img = torch.sigmoid(F.conv2d(h, *hi, padding=1))
+            c = lrelu(F.conv2d(h, *ha, padding=1))
+            c = F.batch_norm(c, bn_mean, bn_var, bn_w, bn_b,
+                             training=True, momentum=0.1, eps=1e-5)
+            c = F.conv2d(c, *hb)
+            return img, torch.softmax(c, dim=1)
+
+        def t_dice(probs, labels):
+            one_hot = F.one_hot(labels.long(), cfg.nclasses)
+            one_hot = one_hot.permute(0, 3, 1, 2).float()
+            eps = 1.0e-6
+            nom = 2.0 * (one_hot * probs).sum(dim=(2, 3))
+            den = one_hot.sum(dim=(2, 3)) + probs.sum(dim=(2, 3)) + eps
+            return -(nom / den).mean()
+
+        def torch_step(batch):
+            x = torch.tensor(np.transpose(batch["image"], (0, 3, 1, 2)))
+            img_in = x[:, 0:1]
+            labels = x[:, 1]
+            z = t_encode(x)
+            out_img, probs = t_decode(z)
+            loss_ae = F.mse_loss(out_img, img_in)
+            loss_lbl = 0.1 * t_dice(probs, labels)
+            loss = loss_ae + loss_lbl
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            return float(loss)
+
+        step = make_train_step(
+            model, LossConfig(model="multichannel", recon_loss="mse",
+                              nclasses=4), donate=False)
+
+        traj_jax, traj_torch = [], []
+        for batch in batches:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = step(state, jb, jax.random.PRNGKey(1),
+                                  jnp.float32(0.0))
+            # total = logged recon-only loss_ae + weighted dice
+            traj_jax.append(float(metrics["loss_ae"])
+                            + float(metrics["loss_label"]))
+            traj_torch.append(torch_step(batch))
+
+    np.testing.assert_allclose(traj_jax, traj_torch, rtol=5e-3, atol=1e-5)
+    w_jax = np.asarray(state.params["enc"]["stem"]["kernel"])
+    w_t = enc_convs["stem"][0].detach().numpy()
+    np.testing.assert_allclose(w_jax, w_t.transpose(2, 3, 1, 0), atol=5e-3)
