@@ -52,7 +52,7 @@ def replicate_state(mesh: Mesh, state):
 
 
 def _make_sharded_step(model, loss_config, lpips_params, mesh: Mesh,
-                       state_sharding_fn):
+                       state_sharding_fn, donate: bool = False):
     """Shared pjit scaffolding for the 1-D and 2-D mesh train steps.
 
     ``state_sharding_fn(state)`` returns the sharding (or sharding tree)
@@ -79,22 +79,30 @@ def _make_sharded_step(model, loss_config, lpips_params, mesh: Mesh,
                 lambda st, b, r, ww: base_step(st, b, r, ww),
                 in_shardings=(st_sh, tree, rep, rep),
                 out_shardings=(st_sh, rep),
+                # donate=True lets XLA update params/opt-state in place
+                # instead of holding two copies per device; opt-in
+                # because it deletes the caller's input state buffers
+                donate_argnums=(0,) if donate else (),
             )
         return cache[keys](state, batch, rng, w)
 
     return step
 
 
-def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh):
+def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh,
+                            donate: bool = False):
     """Data-parallel train step: params replicated, batch sharded.
 
     Built on the same family losses as the single-chip path
     (train.steps) — the only difference is the sharding annotations; XLA
-    emits the gradient all-reduce over ICI.
+    emits the gradient all-reduce over ICI. ``donate=True`` updates the
+    state in place on-device (halves its HBM footprint) but deletes the
+    caller's input state buffers — use when the old state is discarded
+    every step (the Trainer does).
     """
     rep = replicated(mesh)
     return _make_sharded_step(model, loss_config, lpips_params, mesh,
-                              lambda state: rep)
+                              lambda state: rep, donate=donate)
 
 
 def make_sharded_synthesizer(model, mesh: Mesh,

@@ -222,8 +222,11 @@ class Trainer:
             from ..parallel import create_mesh, make_sharded_train_step, \
                 replicate_state
             self.mesh = create_mesh(devices[:n_dev])
+            # donate=True: the Trainer discards the old state every
+            # step, so XLA can update params/opt-state in place
             self.train_step = make_sharded_train_step(
-                self.model, self.loss_config, self.lpips_params, self.mesh)
+                self.model, self.loss_config, self.lpips_params, self.mesh,
+                donate=True)
             self.state = replicate_state(self.mesh, self.state)
         else:
             self.train_step = make_train_step(self.model, self.loss_config,
