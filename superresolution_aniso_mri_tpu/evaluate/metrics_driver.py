@@ -36,6 +36,11 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
         ref = ref[:, 0] if ref.shape[1] == 1 else ref.squeeze()
     if up.ndim == 4:
         up = up[:, 0] if up.shape[1] == 1 else up.squeeze()
+    if ref.ndim != 3 or up.ndim != 3:
+        raise ValueError(
+            f"compute_volume_metrics expects [S, H, W] volumes (got "
+            f"{ref.shape} vs {up.shape}); score true 4D cine volumes "
+            f"frame by frame (create_hr_images/compare_quantitative do)")
 
     if eval_axis != 0:
         ref = np.swapaxes(ref, 0, eval_axis)
@@ -49,7 +54,7 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
         synth = synth_slice_mask(s, downsample_steps, conv_interpol)
     else:
         synth = all_mask.copy()
-    synth = synth & all_mask
+    synth = synth & all_mask  # black-slice skip applies to synth too
 
     ref_j = jnp.asarray(ref)
     up_j = jnp.asarray(up)
@@ -78,8 +83,17 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
 
 
 def aggregate_metrics(per_volume: list) -> Dict[str, tuple]:
-    """mean ± std across volumes (reference: create_HR_images.py:181-196)."""
+    """mean ± std across volumes, non-finite entries dropped like the
+    per-slice layer (reference skips nan/inf values,
+    metrics.py:101-105; one all-uniform volume's NaN VIF must not NaN
+    the whole cohort row)."""
     keys = per_volume[0].keys()
-    return {k: (float(np.mean([m[k] for m in per_volume])),
-                float(np.std([m[k] for m in per_volume])))
-            for k in keys}
+    out = {}
+    for k in keys:
+        vals = np.asarray([m[k] for m in per_volume], np.float64)
+        finite = vals[np.isfinite(vals)]
+        if finite.size:
+            out[k] = (float(np.mean(finite)), float(np.std(finite)))
+        else:
+            out[k] = (float("nan"), float("nan"))
+    return out

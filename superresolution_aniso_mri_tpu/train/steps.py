@@ -159,7 +159,18 @@ def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
         loss = (jnp.sum(per_sample * sample_weight)
                 / jnp.maximum(jnp.sum(sample_weight), 1.0))
     if cfg.use_laploss:
-        loss = loss + lap_loss(synthesized, reference)
+        # (reference adds the lap term only in this mse branch,
+        # brain/trainer_ae.py:218-221 — the perceptual branch above
+        # returns without it, matching get_extra_image_loss)
+        if sample_weight is None:
+            loss = loss + lap_loss(synthesized, reference)
+        else:
+            # degenerate (is_inbetween=0) triplets must not contribute
+            # lap gradients either — weight the per-sample pyramids
+            per = jax.vmap(lambda s, r: lap_loss(s[None], r[None]))(
+                synthesized, reference)
+            loss = loss + (jnp.sum(per * sample_weight)
+                           / jnp.maximum(jnp.sum(sample_weight), 1.0))
     return loss
 
 
@@ -216,9 +227,7 @@ def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
         loss_ae = loss_ae + loss_extra
         metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
         metrics["loss_ae_extra"] = jax.lax.stop_gradient(loss_extra)
-    else:
-        # 'ae': latent loss monitored only — no gradient through mix path
-        loss_ae = loss_ae
+    # else 'ae': the latent loss stays monitor-only — nothing to add
 
     metrics["loss_ae"] = loss_ae
     aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
@@ -785,8 +794,10 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
                 ref_img = between[..., 0:1]
             else:
                 ref_img = between
-            loss_mix = _mix_image_loss(cfg, lpips_params, ref_img, s_mix,
-                                       batch.get("loss_mask"))
+            loss_mix = _mix_image_loss(
+                cfg, lpips_params, ref_img, s_mix,
+                batch.get("loss_mask"),
+                sample_weight=batch.get("is_inbetween"))
             metrics["loss_ae_dist_extra"] = loss_mix
         return metrics, {"reconstruction": recon,
                          "slice_inbetween_mix": s_mix, "z_mix": z_mix,

@@ -73,6 +73,13 @@ def read_nifti(path: str):
         # on-disk order is Fortran (x fastest): reshape reversed → [.., z, y, x]
         arr = arr.reshape(shape_xyz[::-1])
 
+    # non-finite slope/inter mean "no scaling" (nibabel convention;
+    # uninitialized headers commonly carry NaN here — multiplying would
+    # silently NaN the whole volume)
+    if not np.isfinite(scl_slope):
+        scl_slope = 1.0
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         arr = arr.astype(np.float32) * slope + scl_inter
@@ -122,7 +129,8 @@ def write_nifti(path: str, arr: np.ndarray, spacing=None,
     struct.pack_into("<f", hdr, 112, 1.0)     # scl_slope
     struct.pack_into("<f", hdr, 116, 0.0)     # scl_inter
     if affine is None:
-        affine = np.diag(list(spacing_xyz) + [1.0])
+        sp3 = list(spacing_xyz) + [1.0] * (3 - len(spacing_xyz))
+        affine = np.diag(sp3[:3] + [1.0])  # always 4x4 (2-D saves too)
     struct.pack_into("<h", hdr, 252, 1)       # qform_code (ignored, sform wins)
     struct.pack_into("<h", hdr, 254, 1)       # sform_code
     struct.pack_into("<4f", hdr, 280, *affine[0])
