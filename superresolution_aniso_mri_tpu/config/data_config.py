@@ -29,8 +29,6 @@ class DataConfig:
     limited_load_max: int = 5
     voxel_spacing_resample: Optional[np.ndarray] = None
     tissue_structure_labels: Optional[Dict[int, str]] = None
-    # native slice thickness in mm (for synthetic-LR suffix logic)
-    native_thickness_mm: float = 1.0
 
     def lr_file_suffix(self, downsample_steps: int) -> str:
         """Synthetic-LR file suffix for blurred volumes
@@ -83,6 +81,10 @@ def _arvc(name) -> DataConfig:
     return DataConfig(
         dataset=name, data_root_dir=root,
         image_dir=os.path.join(root, "nifti", "sax"),
+        # same per-frame 1.4mm in-plane pipeline as ACDC (reference:
+        # ARVC/dataset_sr.py:33-51 resample=True with the shared
+        # new_spacing)
+        voxel_spacing_resample=np.array([1.4, 1.4], np.float32),
         tissue_structure_labels={0: "BG", 1: "LV", 2: "RV"},
         limited_load_max=3,
     )
@@ -94,7 +96,6 @@ def _oasis(name) -> DataConfig:
     return DataConfig(
         dataset=name, img_file_ext="t88_gfc.nii.gz",
         data_root_dir=root, image_dir=os.path.join(root, "nifti"),
-        native_thickness_mm=1.0,
     )
 
 
@@ -104,7 +105,6 @@ def _dhcp(name) -> DataConfig:
     return DataConfig(
         dataset=name, img_file_ext="t2w.nii.gz",
         data_root_dir=root, image_dir=root,
-        native_thickness_mm=0.5,
     )
 
 

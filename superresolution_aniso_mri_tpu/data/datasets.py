@@ -43,17 +43,29 @@ def _find_files(root: str, suffix: str) -> List[str]:
     return hits
 
 
-def _patient_id_from_file(dataset: str, path: str) -> str:
+def _patient_id_from_file(dataset: str, path: str,
+                          root: Optional[str] = None) -> str:
     name = os.path.basename(path)
     if dataset == "OASIS":
         return "_".join(name.split("_")[:3])
     if dataset == "dHCP":
         return name.split("_")[0]
     if dataset == "ADNI":
-        parts = os.path.normpath(path).split(os.sep)
-        return parts[-4] + "_" + parts[-2] if len(parts) >= 4 else name
+        # reference: the first subdir BELOW the dataset root is the
+        # patient id, the scan dir above the file the sequence number
+        # (common_brains.py:120-128 parses the root-relative path;
+        # absolute-path offsets would grab arbitrary components)
+        if root:
+            rel = os.path.relpath(os.path.normpath(path),
+                                  os.path.expanduser(root))
+            parts = [p for p in rel.split(os.sep) if p not in ("", ".")]
+            if len(parts) >= 3:
+                return parts[0] + "_" + parts[-2]
+            if len(parts) == 2:
+                return parts[0]
+        return os.path.splitext(name)[0].replace(".nii", "")
     stem = os.path.splitext(name)[0].replace(".nii", "")
-    if dataset in ("ACDC", "ARVC") and stem.endswith("_4d"):
+    if dataset in ("ACDC", "ACDCC", "ARVC") and stem.endswith("_4d"):
         # 'patient001_4d.nii.gz' → 'patient001' so ids match the
         # reference split files and the labeled loader's ids
         # (reference: datasets/ACDC/data.py patient ids)
@@ -101,10 +113,27 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
     if not files:
         raise FileNotFoundError(
             f"no '*{suffix}' volumes under {root} for {dataset}")
-    pids = [_patient_id_from_file(dataset, f) for f in files]
-    splits = _split_patients(pids, cfg.split_file)
-    wanted = set(splits.get(split, []))
-    sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
+    if dataset == "brainMASI":
+        # the curated on-disk layout IS the split
+        # (reference: brainMASI/dataset.py — Training/ and Test/
+        # directories only; 'validation' maps to the test set like the
+        # reference's val_set). A random re-split would leak curated
+        # test patients into training.
+        want_dir = ("training" if split == "training" else "test")
+        by_dir = [f for f in files
+                  if want_dir in {p.lower() for p in f.split(os.sep)}]
+        if by_dir:
+            files = by_dir
+    pids = [_patient_id_from_file(dataset, f, root) for f in files]
+    if dataset == "brainMASI" and any(
+            d in {p.lower() for f in files for p in f.split(os.sep)}
+            for d in ("training", "test")):
+        # directory filter above already selected the split
+        sel = list(zip(pids, files))
+    else:
+        splits = _split_patients(pids, cfg.split_file)
+        wanted = set(splits.get(split, []))
+        sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
     if not sel and files:
         import warnings
         warnings.warn(
@@ -132,7 +161,10 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
         hr = None
         if include_hr_images:
             hr_path = path.replace(suffix, cfg.img_file_ext)
-            if hr_path in decoded:
+            # when the LR suffix IS the extension (brainMASI/toy sets),
+            # hr_path == path and "HR" would just be the LR copy —
+            # scoring SR against its own input
+            if hr_path != path and hr_path in decoded:
                 hr = decoded[hr_path][0].astype(np.float32)
                 if rescale_int:
                     hr = rescale_intensities(hr, percs=(0, 100))
@@ -170,6 +202,11 @@ def create_lr_dataset(dataset: str, downsample_steps: int,
     import re
 
     cfg = get_config(dataset)
+    if cfg.lr_file_suffix(downsample_steps) == cfg.img_file_ext:
+        raise ValueError(
+            f"{dataset} trains from HR volumes (downsampling happens at "
+            f"sample time) — there is no LR file convention, and writing "
+            f"one would overwrite the source volumes in place")
     root = src_path or cfg.image_dir
     files = _find_files(root, cfg.img_file_ext)
     # never re-ingest previously generated LR outputs (their '_Kmm'
@@ -248,8 +285,8 @@ def load_acdc_volumes(split: str = "training",
     files = _find_files(root, "4d.nii.gz") or _find_files(root, ".nii.gz")
     if not files:
         raise FileNotFoundError(f"no {dataset} volumes under {root}")
-    pids = [_patient_id_from_file(dataset, f) for f in files]
-    if (dataset == "ACDC" and not (cfg.split_file and os.path.isfile(
+    pids = [_patient_id_from_file(dataset, f, root) for f in files]
+    if (dataset in ("ACDC", "ACDCC") and not (cfg.split_file and os.path.isfile(
             os.path.expanduser(cfg.split_file)))):
         # reference 5mm-thickness split (see acdc_default_split)
         splits = acdc_default_split(pids)
@@ -442,7 +479,9 @@ def create_dhcp_dataset(src_path: str, out_path: str,
         from .transforms import pad_to_size
         cropped = pad_to_size(cropped, patch_size)
         pid = _patient_id_from_file("dHCP", path)
-        out = os.path.join(out_path, f"{pid}.nii.gz")
+        out = os.path.join(out_path, os.path.basename(path)
+                   if os.path.basename(path).endswith("t2w.nii.gz")
+                   else f"{pid}_t2w.nii.gz")
         write_image(out, cropped, spacing=spacing)
         written.append(out)
     return written
@@ -482,7 +521,13 @@ def load_acdc_labeled_volumes(split: str = "training",
         raise FileNotFoundError(f"no labeled ACDC frames under {root}")
     pids = [_patient_id_from_file("ACDC", f).split("_")[0]
             for f in img_files]
-    splits = _split_patients(pids, cfg.split_file)
+    if not (cfg.split_file and os.path.isfile(
+            os.path.expanduser(cfg.split_file))):
+        # keep the 12 native-5mm SR test patients out of ACDCLBL
+        # training too (same default split as load_acdc_volumes)
+        splits = acdc_default_split(pids)
+    else:
+        splits = _split_patients(pids, cfg.split_file)
     wanted = set(splits.get(split, []))
     sel = [(p, f) for p, f in zip(pids, img_files) if p in wanted]
     if limited_load:
@@ -520,7 +565,8 @@ def acdc_frame_limit(patient_id: str) -> Optional[int]:
 def load_sax_volumes(root_dir: str, file_suffix: str = ".nii.gz",
                      resample: bool = True, rescale: bool = True,
                      new_spacing=(1.4, 1.4),
-                     limited_load: bool = False) -> List[Volume]:
+                     limited_load: bool = False,
+                     limited_load_max: int = 5) -> List[Volume]:
     """Generic short-axis eval-only loader (PIE-style datasets —
     reference: datasets/cardiac_image.py:7-120, sax_dataset.py:9-140:
     read a directory of SAX volumes, resample in-plane, rescale)."""
@@ -528,8 +574,7 @@ def load_sax_volumes(root_dir: str, file_suffix: str = ".nii.gz",
     if not files:
         raise FileNotFoundError(f"no '*{file_suffix}' under {root_dir}")
     if limited_load:
-        from ..config.data_config import get_config as _gc
-        files = files[:_gc("sunnybrook").limited_load_max]
+        files = files[:limited_load_max]
     volumes = []
     for path in files:
         arr, spacing, _ = read_image(path)

@@ -208,3 +208,50 @@ def test_split_mismatch_warns_instead_of_silent_empty(tmp_path):
                                       src_path=root)
     assert vols == []
     assert any("selected 0 of" in str(x.message) for x in w)
+
+
+def test_brainmasi_directory_split_is_respected(tmp_path):
+    """brainMASI's curated Training/Test directory layout IS the split
+    — a random re-split would leak test patients into training."""
+    rng = np.random.RandomState(5)
+    for d, n in (("training", 3), ("test", 2)):
+        os.makedirs(tmp_path / d / "images")
+        for i in range(n):
+            write_nifti(str(tmp_path / d / "images" / f"{d[:2]}{i}.nii.gz"),
+                        rng.rand(8, 12, 12).astype(np.float32))
+    tr = load_brain_volumes("brainMASI", 3, split="training",
+                            src_path=str(tmp_path))
+    te = load_brain_volumes("brainMASI", 3, split="test",
+                            src_path=str(tmp_path))
+    assert {v.patient_id for v in tr} == {"tr0", "tr1", "tr2"}
+    assert {v.patient_id for v in te} == {"te0", "te1"}
+    # and "HR" must never be the LR volume itself
+    tr_hr = load_brain_volumes("brainMASI", 3, split="training",
+                               src_path=str(tmp_path),
+                               include_hr_images=True)
+    assert all(v.image_hr is None for v in tr_hr)
+
+
+def test_create_lr_dataset_refuses_inplace_overwrite(tmp_path):
+    """Datasets whose LR suffix equals the file extension train from HR
+    volumes — generating 'LR' files would overwrite the sources."""
+    write_nifti(str(tmp_path / "00.nii.gz"),
+                np.random.RandomState(6).rand(6, 8, 8).astype(np.float32))
+    with pytest.raises(ValueError, match="overwrite"):
+        create_lr_dataset("brainMASI", 3, src_path=str(tmp_path))
+
+
+def test_create_dhcp_dataset_keeps_t2w_suffix(tmp_path):
+    """Cropped dHCP outputs must keep the t2w suffix the dHCP config
+    globs for — and distinct sessions must not collide."""
+    src = tmp_path / "raw"
+    out = tmp_path / "crop"
+    os.makedirs(src)
+    rng = np.random.RandomState(7)
+    for name in ("subA_ses1_t2w.nii.gz", "subA_ses2_t2w.nii.gz"):
+        vol = np.zeros((8, 40, 40), np.float32)
+        vol[:, 10:30, 10:30] = rng.rand(8, 20, 20)
+        write_nifti(str(src / name), vol)
+    written = create_dhcp_dataset(str(src), str(out), patch_size=32)
+    names = sorted(os.path.basename(w) for w in written)
+    assert names == ["subA_ses1_t2w.nii.gz", "subA_ses2_t2w.nii.gz"]
