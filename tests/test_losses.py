@@ -3,7 +3,6 @@ implementations (the reference ships no tests; SURVEY.md §4 prescribes
 closed-form/golden checks for every loss kernel)."""
 import numpy as np
 import jax.numpy as jnp
-import scipy.ndimage
 import scipy.signal
 
 from superresolution_aniso_mri_tpu.ops import (
@@ -42,6 +41,8 @@ def _np_lap_pyramid(img, max_levels=3):
         up = np.zeros((n, c, 2 * h, 2 * w), np.float32)
         up[:, :, ::2, ::2] = down
         up = _np_conv_gauss(up, 4.0 * kernel)
+        # odd level sizes upsample to n+1 — crop like the implementation
+        up = up[:, :, :current.shape[2], :current.shape[3]]
         pyr.append(current - up)
         current = down
     return pyr
@@ -57,7 +58,7 @@ def test_lap_loss_golden():
     # ours is NHWC
     got = lap_loss(jnp.asarray(a.transpose(0, 2, 3, 1)),
                    jnp.asarray(b.transpose(0, 2, 3, 1)))
-    # float32 on-device vs float64 oracle: allow accumulation noise
+    # float32 on-device vs float32 numpy oracle: allow accumulation noise
     np.testing.assert_allclose(float(got), float(expect), rtol=1e-3)
 
 
@@ -115,3 +116,17 @@ def test_dice_loss_perfect_prediction():
     # classes 0 and 1 perfect (dice 1), class 2 absent (0/eps → ~0):
     # mean over classes of -dice ≈ -(1 + 1 + 0)/3
     np.testing.assert_allclose(loss, -2.0 / 3.0, atol=1e-3)
+
+
+def test_lap_loss_golden_odd_sizes():
+    """Odd spatial dims exercise the upsample crop (lap_pyramid.py) —
+    the all-even 32x32 golden case cannot catch a crop regression."""
+    rng = np.random.RandomState(4)
+    for size in (45, 30):
+        a = rng.rand(2, 1, size, size).astype(np.float32)
+        b = rng.rand(2, 1, size, size).astype(np.float32)
+        expect = sum(np.mean(np.abs(x - y)) for x, y in
+                     zip(_np_lap_pyramid(a), _np_lap_pyramid(b)))
+        got = lap_loss(jnp.asarray(a.transpose(0, 2, 3, 1)),
+                       jnp.asarray(b.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(float(got), expect, rtol=2e-3)

@@ -2,6 +2,7 @@
 implementations (skimage is not installed; we reimplement its exact
 algorithm here as the oracle)."""
 import numpy as np
+import pytest
 import scipy.ndimage
 import jax.numpy as jnp
 
@@ -144,3 +145,40 @@ def test_masked_mean_drops_nan():
     v = jnp.asarray([1.0, np.nan, 3.0, 5.0])
     m = np.array([True, True, True, False])
     assert float(masked_mean(v, m)) == 2.0
+
+
+def test_masked_mean_empty_selection_is_nan():
+    """An empty (or all-non-finite) selection must be NaN, never a
+    plausible-looking 0.0 (metrics_driver relies on this contract)."""
+    vals = jnp.asarray([1.0, 2.0, 3.0])
+    assert np.isnan(float(masked_mean(vals, np.zeros(3, bool))))
+    assert np.isnan(float(masked_mean(
+        jnp.asarray([np.nan, np.inf, -np.inf]), np.ones(3, bool))))
+    # finite entries still average, non-finite dropped
+    got = float(masked_mean(jnp.asarray([1.0, np.nan, 3.0]),
+                            np.ones(3, bool)))
+    assert got == pytest.approx(2.0)
+
+
+def test_synth_slice_mask_conv_interpol_branch():
+    """conv_interpol=True applies a SECOND tail trim (the expand-filter
+    geometry, reference common.py:74-111) — untested before."""
+    # S=13, ds=3: first trim none (12%3==0); conv branch trims 13%3=1
+    # slice (id 12) → originals are 0,3,6,9 plus the kept tail 12
+    m = synth_slice_mask(13, 3, conv_interpol=True)
+    expected = np.ones(13, bool)
+    expected[[0, 3, 6, 9, 12]] = False
+    np.testing.assert_array_equal(m, expected)
+    # without the conv branch, 12 IS on the grid → original too
+    m2 = synth_slice_mask(13, 3, conv_interpol=False)
+    expected2 = np.ones(13, bool)
+    expected2[[0, 3, 6, 9, 12]] = False
+    np.testing.assert_array_equal(m2, expected2)
+    # S=14, ds=4: tail 1 (id 13) kept verbatim; conv trims 13%4=1 more
+    # (id 12) → originals 0,4,8 + 12,13
+    m3 = synth_slice_mask(14, 4, conv_interpol=True)
+    expected3 = np.ones(14, bool)
+    expected3[[0, 4, 8, 12, 13]] = False
+    np.testing.assert_array_equal(m3, expected3)
+    with pytest.raises(ValueError):
+        synth_slice_mask(10, 0)

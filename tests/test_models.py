@@ -23,14 +23,16 @@ def test_acai_shapes(width, lw):
     cfg = AEConfig(width=width, latent_width=lw, depth=8, latent=16,
                    use_batchnorm=True, use_sigmoid=True)
     model = VanillaACAI(cfg)
-    x = jnp.zeros((2, width, width, 1))
+    # RANDOM input: with all-zeros every activation is exactly 0 and the
+    # [0,1] range check would pass with or without the sigmoid
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, width, width, 1))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
     z = model.apply(variables, x, method=model.encode)
     assert z.shape == (2, lw, lw, cfg.latent)
     out = model.apply(variables, z, method=model.decode)
     assert out.shape == x.shape
-    # sigmoid output in [0, 1]
-    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # sigmoid output strictly inside (0, 1) for a real signal
+    assert float(out.min()) > 0.0 and float(out.max()) < 1.0
 
 
 def test_acai_train_mode_updates_batch_stats():
