@@ -88,3 +88,22 @@ def test_bench_json_contract():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in data
     assert data["value"] > 0
+
+
+@pytest.mark.parametrize("model", ["vae_combined", "acai_combined"])
+def test_train_cli_secondary_families(model, tmp_path):
+    """The secondary model families train end-to-end through the real
+    CLI (not just the step-level family tests)."""
+    out = str(tmp_path)
+    r = _run([sys.executable, "train_brain_aesr.py",
+              "-d", "MNIST3D", "-m", model,
+              "--downsample_steps", "2", "-e", "1", "-b", "4",
+              "--width", "32", "--latent_width", "16", "--depth", "8",
+              "--latent", "8", "--lr", "0.001",
+              "--image_mix_loss_func", "mse",
+              "--epoch_threshold", "-1", "--use_synthetic_data",
+              "--volume_preview_interval", "0",
+              "-o", out, "-id", "fam"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    exper = os.path.join(out, "fam")
+    assert os.path.isfile(os.path.join(exper, "models", "last.models"))
