@@ -91,9 +91,20 @@ def test_use_original_keeps_grid_slices(trainer, toy_volume):
 
 
 def test_latent_space_interp_matches_kernel(trainer, toy_volume):
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        make_volume_synthesizer,
+    )
+
     imgs = jnp.asarray(toy_volume.image[:4])[..., None]
     out = latent_space_interp(trainer, 0.5, imgs[1:], imgs[:-1])
     assert out.shape == (3, 32, 32, 1)
+    # VALUES must match the batched synthesizer kernel's interpolants
+    # (same alpha-operand orientation), not just the shape
+    p, bs = trainer._ae_params()
+    synth = make_volume_synthesizer(trainer._ae_model())
+    ref = synth(p, bs, imgs, jnp.asarray([0.5], jnp.float32),
+                use_original=True)["interp"][:, 0]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
 def test_simple_interpolation_linear_exact():

@@ -297,7 +297,7 @@ class _TorchAEOracle:
         lrelu = lambda h: F.leaky_relu(h, 0.01)
         cfg = self.cfg
         h = z
-        for i, s in enumerate(range(cfg.scales - 1, -1, -1)):
+        for i in range(cfg.scales):
             h = lrelu(self._conv(self.dec, f"Conv_{2 * i}", h, 1))
             h = lrelu(self._conv(self.dec, f"Conv_{2 * i + 1}", h, 1))
             if cfg.use_batchnorm:
@@ -562,6 +562,13 @@ def test_acai_trajectory_parity_with_torch():
                                        float(loss_disc), rtol=5e-3,
                                        atol=1e-6)
 
+        # final-weight agreement pins the whole gradient routing (incl.
+        # the disc branch), not just the per-step scalars
+        w_jax = np.asarray(s.params["ae"]["enc"]["stem"]["kernel"])
+        w_t = oracle.enc["conv"]["stem"]["weight"].detach().numpy()
+        np.testing.assert_allclose(w_jax, w_t.transpose(2, 3, 1, 0),
+                                   atol=5e-3)
+
 
 def test_vae_trajectory_parity_with_torch():
     """VAE parity (reference: trainer_vae.py:24-80): BCE-sum/B + beta*KL
@@ -642,6 +649,11 @@ def test_vae_trajectory_parity_with_torch():
             opt.step()
             np.testing.assert_allclose(float(metrics["loss_ae"]),
                                        float(loss), rtol=5e-3, atol=1e-5)
+
+        w_jax = np.asarray(s.params["enc"]["stem"]["kernel"])
+        w_t = oracle.enc["conv"]["stem"]["weight"].detach().numpy()
+        np.testing.assert_allclose(w_jax, w_t.transpose(2, 3, 1, 0),
+                                   atol=5e-3)
 
 
 def test_train_trajectory_parity_alpha_variant():
@@ -749,20 +761,21 @@ def test_train_trajectory_parity_alpha_variant():
                        num_alphas=2 * cfg.latent, latent=cfg.latent),
             donate=False)
 
-        traj_jax, traj_torch = [], []
+        traj_jax, traj_torch, traj_rec = [], [], []
         for batch in batches:
             jb = {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step(state, jb, jax.random.PRNGKey(1),
                                   jnp.float32(0.0))
             traj_jax.append(float(metrics["loss_ae"]))
-            traj_rec = float(metrics["loss_ae_dist"])
+            traj_rec.append(float(metrics["loss_ae_dist"]))
             traj_torch.append(torch_step(batch))
 
     np.testing.assert_allclose(traj_jax, traj_torch, rtol=3e-3, atol=1e-6)
-    # the optimized recon term dropped (the TOTAL also carries the
-    # monitored latent/img terms, which need not fall in 25 steps on
-    # random data)
-    assert traj_rec < 0.1
+    # the OPTIMIZED recon term dropped relative to its start (an
+    # untrained sigmoid decoder already scores ~1/12 absolute, so an
+    # absolute bound would be vacuous; the total also carries monitored
+    # latent/img terms which need not fall on random data)
+    assert traj_rec[-1] < traj_rec[0]
     # the encoder moved THROUGH the latent loss: compare against a
     # recon-only oracle would be redundant here — weight agreement at
     # the end pins the whole gradient routing
