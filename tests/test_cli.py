@@ -13,8 +13,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 ENV = dict(os.environ,
            JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
-           XLA_FLAGS="--xla_force_host_platform_device_count=8",
-           PYTHONPATH=REPO)
+           # merge (not overwrite) inherited flags/paths — conftest.py
+           # preserves inherited XLA flags for the same reason
+           XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8"
+                      ).strip(),
+           PYTHONPATH=os.pathsep.join(
+               p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
 
 
 def _run(cmd, **kw):

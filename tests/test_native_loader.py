@@ -9,8 +9,13 @@ import pytest
 from superresolution_aniso_mri_tpu.data import native_loader as nl
 from superresolution_aniso_mri_tpu.utils.nifti import read_nifti, write_nifti
 
-pytestmark = pytest.mark.skipif(
-    not nl.available(), reason="native runtime unavailable (no g++/zlib)")
+# lazy skip: available() triggers the native build (`make`, up to
+# 300s) — evaluating it at collection would tax unrelated test
+# selections on a cold checkout
+@pytest.fixture(autouse=True)
+def _require_native():
+    if not nl.available():
+        pytest.skip("native runtime unavailable (no g++/zlib)")
 
 
 @pytest.fixture(scope="module")

@@ -60,9 +60,12 @@ def test_dp_step_matches_single_device(setup):
     # losses identical up to fp32 reduction-order noise (psum vs mean)
     np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
                                rtol=1e-4)
-    # updated parameters identical
-    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
-                     jax.tree_util.tree_leaves(s8.params)):
+    # updated parameters identical (same tree size — zip must not
+    # silently truncate on a structural regression)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-7)
 
@@ -80,12 +83,9 @@ def test_sharded_synthesizer_matches_local(setup):
 
     sharded = make_sharded_synthesizer(model, mesh)
     with mesh:
-        out_sh = sharded(replicate_state(mesh, state.params),
-                         state.batch_stats,
-                         jax.device_put(
-                             kept, jax.sharding.NamedSharding(
-                                 mesh, jax.sharding.PartitionSpec("data"))),
-                         alphas)
+        # pass HOST arrays: the wrapper commits them itself — this is
+        # the real caller contract (create_super_volume does the same)
+        out_sh = sharded(state.params, state.batch_stats, kept, alphas)
     np.testing.assert_allclose(np.asarray(out_sh["recon"]),
                                np.asarray(out_local["recon"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_sh["interp"]),
@@ -93,30 +93,43 @@ def test_sharded_synthesizer_matches_local(setup):
 
 
 def test_grad_clipping_option():
+    """max_grad_norm must actually change the update: an identical
+    trainer without clipping must walk a different trajectory (the old
+    'params changed' assertion passed even with clipping deleted)."""
     from superresolution_aniso_mri_tpu.train import Trainer
 
-    t = Trainer({
-        "dataset": "MNIST3D", "model": "ae", "ae_class": "VanillaACAI",
-        "width": 16, "latent_width": 8, "depth": 4, "latent": 4,
-        "colors": 1, "lr": 1e-2, "weight_decay": 0.0, "batch_size": 2,
-        "epochs": 1, "epoch_threshold": -1, "use_batchnorm": False,
-        "use_sigmoid": True, "downsample_steps": 2, "seed": 0,
-        "output_dir": None, "max_grad_norm": 0.001,
-    })
+    def make(clip):
+        return Trainer({
+            "dataset": "MNIST3D", "model": "ae", "ae_class": "VanillaACAI",
+            "width": 16, "latent_width": 8, "depth": 4, "latent": 4,
+            "colors": 1, "lr": 1e-2, "weight_decay": 0.0, "batch_size": 2,
+            "epochs": 1, "epoch_threshold": -1, "use_batchnorm": False,
+            "use_sigmoid": True, "downsample_steps": 2, "seed": 0,
+            "output_dir": None, "max_grad_norm": clip,
+        })
+
     rng = np.random.RandomState(0)
     batch = {"image": jnp.asarray(rng.rand(4, 16, 16, 1), jnp.float32),
              "slice_between": jnp.asarray(rng.rand(2, 16, 16, 1),
                                           jnp.float32),
              "alpha_from": jnp.full((2,), 0.5),
              "alpha_to": jnp.full((2,), 0.5)}
+    t_clip = make(0.001)
+    t_free = make(0)
     before = [np.array(x) for x in
-              jax.tree_util.tree_leaves(t.state.params)]
-    t.train(batch)
-    after = jax.tree_util.tree_leaves(t.state.params)
-    # with a tiny clip norm the update magnitude is bounded but nonzero
+              jax.tree_util.tree_leaves(t_clip.state.params)]
+    t_clip.train(dict(batch))
+    t_free.train(dict(batch))
+    after_clip = jax.tree_util.tree_leaves(t_clip.state.params)
+    after_free = jax.tree_util.tree_leaves(t_free.state.params)
+    assert len(before) == len(after_clip) == len(after_free)
     deltas = [np.abs(np.asarray(a) - b).max()
-              for a, b in zip(after, before)]
+              for a, b in zip(after_clip, before)]
     assert max(deltas) > 0
+    # a 0.001 clip on first-step gradients must diverge from unclipped
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(after_clip, after_free)), \
+        "clipping had no effect on the update"
 
 
 def test_dp_step_with_loss_mask_matches_single_device(setup):
@@ -145,8 +158,10 @@ def test_dp_step_with_loss_mask_matches_single_device(setup):
 
     np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
                                rtol=1e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
-                     jax.tree_util.tree_leaves(s8.params)):
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-7)
 
@@ -201,8 +216,10 @@ def test_dp_step_alpha_family_matches_single_device():
 
     np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
                                rtol=1e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
-                     jax.tree_util.tree_leaves(s8.params)):
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-7)
 
@@ -229,8 +246,10 @@ def test_2d_mesh_tensor_parallel_step_matches_single_device(setup):
 
     np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
                                rtol=1e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(s1.params),
-                     jax.tree_util.tree_leaves(s8.params)):
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-6)
 
@@ -272,15 +291,16 @@ def test_trainer_num_devices_matches_single_device(tmp_path):
         m8 = t8.train(dict(batch))
         np.testing.assert_allclose(float(m8["loss_ae"]),
                                    float(m1["loss_ae"]), rtol=1e-4)
-    for a, b_ in zip(jax.tree_util.tree_leaves(t1.state.params),
-                     jax.tree_util.tree_leaves(t8.state.params)):
+    l1 = jax.tree_util.tree_leaves(t1.state.params)
+    l8 = jax.tree_util.tree_leaves(t8.state.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=1e-7)
 
     # validation on the mesh (divisible + non-divisible batch sizes)
     t8.validate(dict(batches[0]))
-    odd = {k: v[:6] if k == "slice_between" else
-           (v[:12] if k == "image" else v[:6])
+    odd = {k: (v[:12] if k == "image" else v[:6])
            for k, v in batches[0].items()}
     t8.validate(odd)
     assert all(np.isfinite(v) for v in
@@ -324,7 +344,9 @@ def test_create_super_volume_num_devices_matches_local(tmp_path):
         "output_dir": None,
     })
     rng = np.random.RandomState(0)
-    vol = rng.rand(11, 16, 16).astype(np.float32)  # 11 kept → pads
+    # 12 slices at ds=2 → remain=(12-1)%2=1: the verbatim tail re-append
+    # actually runs (11 slices would give remain=0 and skip that path)
+    vol = rng.rand(12, 16, 16).astype(np.float32)
 
     for kw in (dict(use_original=True),
                dict(generate_inbetween_slices=True, downsample_steps=2)):
