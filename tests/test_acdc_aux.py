@@ -84,11 +84,16 @@ def test_uncertainty_loaders(tmp_path):
         write_image(str(tmp_path / "umaps" / f"{pid}_ES.nii.gz"),
                     rng.rand(6, 24, 24).astype(np.float32),
                     spacing=[5.0, 1.4, 1.4])
+        write_image(str(tmp_path / "pred_probs" / f"{pid}_ES.nii.gz"),
+                    rng.rand(4, 6, 24, 24).astype(np.float32),
+                    spacing=[5.0, 1.4, 1.4])
     d = load_uncertainty_data(str(tmp_path), "ES",
-                              ["pred_labels", "umaps"], one_hot=True)
+                              ["pred_labels", "umaps", "pred_probs"],
+                              one_hot=True)
     assert set(d["pred_labels"]) == {"patient016", "patient017"}
     assert d["pred_labels"]["patient016"].shape == (4, 6, 24, 24)  # one-hot
     assert d["umaps"]["patient017"].shape == (6, 24, 24)
+    assert d["pred_probs"]["patient016"].shape == (4, 6, 24, 24)
     single = load_uncertainty_data(str(tmp_path), "ES", "umaps",
                                    patient_id="patient016", meta_info=True)
     assert list(single["umaps"]) == ["patient016"]
@@ -174,6 +179,9 @@ def test_perspective_warp_exact_matrices():
     np.testing.assert_allclose(np.asarray(out_t)[3:, 2:],
                                np.asarray(img)[:-3, :-2], atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_t)[:3], 0.0, atol=1e-6)
+    # shifted-in COLUMNS must be zero-filled too (a clamp/wrap bug on
+    # the x border would leave rows 3+ cols <2 corrupted)
+    np.testing.assert_allclose(np.asarray(out_t)[:, :2], 0.0, atol=1e-6)
 
 
 def test_random_perspective_in_pipeline():

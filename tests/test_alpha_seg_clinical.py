@@ -64,8 +64,9 @@ def test_alpha_only_freezes_ae():
     # probe learns on the FROZEN latent space → its loss must decrease
     assert float(last["loss_ae"]) < float(first["loss_ae"])
     after = jax.tree_util.tree_leaves(t.state.params["ae"])
+    assert len(before) == len(after) > 0
     for x, y in zip(before, after):
-        np.testing.assert_allclose(x, np.array(y), atol=1e-8)
+        np.testing.assert_array_equal(x, np.array(y))  # frozen = EXACT
     # but the probe moved
     # (compare against a freshly initialised trainer's probe)
     t2 = Trainer(_alpha_args("alpha_only"))
@@ -80,6 +81,9 @@ def test_alpha_only_freezes_ae():
 ])
 def test_alpha_probe_classes_in_trainer(alpha_class, nout):
     t = Trainer(_alpha_args("alpha", alpha_class=alpha_class))
+    # coefficient-count routing must match the probe class
+    # (reference: base_alpha_trainer.py:141-154)
+    assert t.num_alphas == nout
     m = t.train(_alpha_batch())
     assert np.isfinite(float(m["loss_ae"]))
 

@@ -35,7 +35,7 @@ def test_interp_performance_wrapper():
     t = _toy_trainer()
     vols = make_toy_dataset(1, 32, 9, seed=4)
     res = evaluate_interpolation_performance(t, vols, downsample_steps=2)
-    assert "ssim_synth" in res["aggregate"]
+    assert np.isfinite(res["aggregate"]["ssim_synth"][0])
 
 
 def test_rigid_transform_sensitivity():
@@ -65,7 +65,11 @@ def test_create_brain_volumes_synthetic(tmp_path):
 def test_model_registry(tmp_path):
     register_model(CARDIAC_MODEL_SPECS, "toy", str(tmp_path),
                    checkpoint=3, downsample_steps=2)
-    assert CARDIAC_MODEL_SPECS["toy"]["checkpoint"] == 3
+    try:
+        assert CARDIAC_MODEL_SPECS["toy"]["checkpoint"] == 3
+    finally:
+        # never leak the tmp-path spec into the module-global registry
+        CARDIAC_MODEL_SPECS.pop("toy", None)
     yaml_path = tmp_path / "models.yaml"
     yaml_path.write_text(
         "exp_a:\n  path: /tmp/exp_a\n  checkpoint: caisr\n")

@@ -44,6 +44,9 @@ def test_extra_augmentations():
     out = augment_batch(jax.random.PRNGKey(0), triplet, cfg)
     assert out.shape == triplet.shape
     assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # the augmentations must actually DO something — a silent no-op
+    # (wrong config gate) would pass every other check here
+    assert not np.allclose(np.asarray(out), np.asarray(triplet))
     out2 = augment_batch(jax.random.PRNGKey(0), triplet, cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
 
