@@ -19,6 +19,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC srloader.cc -lz -pthread)
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -263,8 +264,12 @@ SrlImage* srl_read_nifti(const char* path) {
     set_err(im, path, "unsupported NIfTI datatype");
     return im;
   }
-  // scl_slope/inter like the Python reader: identity (0 or 1, 0) applies
+  // scl_slope/inter like the Python reader: non-finite means "no
+  // scaling" (uninitialized headers commonly carry NaN — multiplying
+  // would silently NaN the whole volume); identity (0 or 1, 0) applies
   // nothing; anything else rescales
+  if (!std::isfinite(scl_slope)) scl_slope = 1.0f;
+  if (!std::isfinite(scl_inter)) scl_inter = 0.0f;
   if ((scl_slope != 0.0f && scl_slope != 1.0f) || scl_inter != 0.0f) {
     float s = scl_slope != 0.0f ? scl_slope : 1.0f;
     for (int64_t i = 0; i < count; ++i)

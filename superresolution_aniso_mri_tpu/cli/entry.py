@@ -114,10 +114,16 @@ def generate_hr_volumes(argv=None):
                 break
         out_path = os.path.join(args.output_dir,
                                 f"{base}_ni{n:02d}.nii.gz")
-        # keep the source orientation metadata — a synthesized affine
-        # would translate/flip the volume relative to the scanner frame
+        # keep the source orientation/translation, but rescale the
+        # affine's z column to the densified slice spacing — write_nifti
+        # sets sform_code=1 and consumers prefer sform over pixdim, so a
+        # verbatim affine would render the volume stretched (n+1)x in z
+        new_affine = affine
+        if affine is not None:
+            new_affine = np.asarray(affine, np.float64).copy()
+            new_affine[:3, 2] *= new_spacing[0] / spacing[0]
         write_image(out_path, out.astype(np.float32), spacing=new_spacing,
-                    affine=affine)
+                    affine=new_affine)
         print(f"saved {out_path}  "
               f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
               f"z-spacing {new_spacing[0]:.3f}mm)")

@@ -113,6 +113,7 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
     if not files:
         raise FileNotFoundError(
             f"no '*{suffix}' volumes under {root} for {dataset}")
+    dir_split_applied = False
     if dataset == "brainMASI":
         # the curated on-disk layout IS the split
         # (reference: brainMASI/dataset.py — Training/ and Test/
@@ -122,12 +123,22 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
         want_dir = ("training" if split == "training" else "test")
         by_dir = [f for f in files
                   if want_dir in {p.lower() for p in f.split(os.sep)}]
+        has_split_dirs = any(
+            d in {p.lower() for f in files for p in f.split(os.sep)}
+            for d in ("training", "test"))
         if by_dir:
             files = by_dir
+            dir_split_applied = True
+        elif has_split_dirs:
+            # split directories exist but NONE matched the requested
+            # split (e.g. split='test' with only Training/ present) —
+            # returning everything would silently leak training volumes
+            # into the test/validation set
+            raise FileNotFoundError(
+                f"brainMASI: no '{want_dir}' directory with *{suffix} "
+                f"volumes under {root} for split {split!r}")
     pids = [_patient_id_from_file(dataset, f, root) for f in files]
-    if dataset == "brainMASI" and any(
-            d in {p.lower() for f in files for p in f.split(os.sep)}
-            for d in ("training", "test")):
+    if dir_split_applied:
         # directory filter above already selected the split
         sel = list(zip(pids, files))
     else:

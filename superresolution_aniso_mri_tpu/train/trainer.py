@@ -409,7 +409,16 @@ class Trainer:
         (reference: base_trainer.py:358-367 load_caisr)."""
         from .checkpoint import load_checkpoint_raw
         from flax import serialization
+        from .import_torch import is_torch_checkpoint, torch_state_to_flax
 
+        if is_torch_checkpoint(fname):
+            import torch
+            raw_t = torch.load(fname, map_location="cpu",
+                               weights_only=False)
+            p, bs = self._ae_params()
+            self.params_sr = torch_state_to_flax(
+                raw_t["model_dict_ae"], p, bs or {})
+            return
         raw = load_checkpoint_raw(fname)
         raw_p = raw["model_dict_ae"]
         raw_bs = raw.get("batch_stats", {})
@@ -520,11 +529,19 @@ class Trainer:
             iters, tr, te = self.load_losses(out)
         except Exception:
             return
-        self.loss_iters = [int(v) for v in iters]
+        # the archives hold one entry per COMPLETED epoch (flushed once
+        # per epoch by the train loop); when resuming an older numbered
+        # checkpoint (epoch k of an n>k run, stored epoch = next to run
+        # = k) keep only the first k entries — otherwise post-resume
+        # epochs append after stale tail entries and best-val tracking
+        # compares against epochs that no longer exist in the resumed
+        # trajectory
+        keep = int(self.epoch)
+        self.loss_iters = [int(v) for v in iters][:keep]
         for k, v in tr.items():
-            self.mean_losses[k] = [float(x) for x in v]
+            self.mean_losses[k] = [float(x) for x in v][:keep]
         for k, v in te.items():
-            self.mean_losses_test[k] = [float(x) for x in v]
+            self.mean_losses_test[k] = [float(x) for x in v][:keep]
         if self.loss_iters:
             self._iters = int(self.loss_iters[-1])
         for key in ("loss_ae_dist", "loss_ae_dist_extra"):

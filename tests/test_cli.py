@@ -70,9 +70,15 @@ def test_generate_hr_volumes_cli(trained_exper, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     outs = [f for f in os.listdir(out_dir) if f.endswith(".nii.gz")]
     assert len(outs) == 1
-    arr, spacing, _ = read_nifti(os.path.join(out_dir, outs[0]))
+    arr, spacing, affine = read_nifti(os.path.join(out_dir, outs[0]))
     assert arr.shape[0] == (7 - 1) * 3 + 1          # 2 interp per gap
     np.testing.assert_allclose(spacing[0], 2.0)     # 6mm / 3
+    # the sform (preferred by NIfTI consumers over pixdim) must carry the
+    # densified z spacing too — a verbatim source affine renders the
+    # volume stretched (n+1)x in z
+    assert affine is not None
+    np.testing.assert_allclose(np.linalg.norm(affine[:3, 2]), 2.0,
+                               rtol=1e-5)
     # original slices kept verbatim (use_original=True path)
     np.testing.assert_allclose(arr[::3], vol.image, atol=1e-6)
 

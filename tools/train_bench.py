@@ -52,9 +52,9 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
         m = t.train(batch)
     float(m["loss_ae"])
     mean_step = (time.perf_counter() - t0) / steps
-    print(f"{name:>28} [{compute_dtype:8}]: {med * 1e3:8.3f} ms/step "
-          f"({batch_pairs / med:8.1f} pairs/s)")
-    return med
+    print(f"{name:>28} [{compute_dtype:8}]: {mean_step * 1e3:8.3f} ms/step "
+          f"({batch_pairs / mean_step:8.1f} pairs/s)")
+    return mean_step
 
 
 def main():
