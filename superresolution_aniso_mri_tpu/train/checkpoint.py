@@ -46,6 +46,13 @@ def load_checkpoint_raw(path: str) -> Dict[str, Any]:
     with open(path, "rb") as f:
         magic = f.read(8)
         if magic != _MAGIC:
+            from .import_torch import is_torch_checkpoint
+            if is_torch_checkpoint(path):
+                raise ValueError(
+                    f"{path}: reference-format torch checkpoint — load it "
+                    f"through load_checkpoint()/Trainer.load() (auto-"
+                    f"detected) or convert it with "
+                    f"tools/convert_reference_checkpoint.py")
             raise ValueError(f"{path}: not a SRTPU checkpoint")
         (n,) = struct.unpack("<q", f.read(8))
         blob = f.read(n)
@@ -54,7 +61,13 @@ def load_checkpoint_raw(path: str) -> Dict[str, Any]:
 
 def load_checkpoint(path: str, state):
     """Restore a state saved by save_checkpoint into ``state``'s pytree
-    structure; returns (state, epoch)."""
+    structure; returns (state, epoch). Reference-format torch pickles
+    (kwatsch/base_trainer.py:353-367) are detected and imported in place
+    of the native msgpack format — optimizer moments restart fresh."""
+    from .import_torch import is_torch_checkpoint
+    if is_torch_checkpoint(path):
+        from .import_torch import load_torch_reference
+        return load_torch_reference(path, state)
     raw = load_checkpoint_raw(path)
     params = serialization.from_state_dict(state.params, raw["model_dict_ae"])
     opt_state = serialization.from_state_dict(state.opt_state,

@@ -8,14 +8,47 @@ conventional interpolation SSIM/PSNR/VIF). Trains a small ae_combined
 model on procedural phantoms, super-resolves held-out volumes and prints
 both methods' metrics.
 
+``--loss_mode`` selects the training configuration:
+  mse            — MSE synthesis loss + laplacian (the ablation config)
+  perceptual     — LPIPS synthesis loss, the reference's FORCED default
+                   for ae_combined (reference: kwatsch/arguments.py:67-76
+                   sets image_mix_loss_func='perceptual'); in this
+                   environment LPIPS runs in lin-over-deterministic-
+                   random-VGG mode (no ImageNet backbone on disk) and the
+                   mode is printed so results are honestly labelled
+  perceptual+lap — LPIPS synthesis loss + laplacian pyramid term
+  mse+ssim       — MSE + SSIM structural term (use_ssim_loss)
+
 Run on TPU (default) or CPU:
-  python tools/quality_check.py --epochs 30
+  python tools/quality_check.py --epochs 30 --loss_mode perceptual
 """
 import argparse
+import json
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+LOSS_MODES = ("mse", "perceptual", "perceptual+lap", "mse+ssim")
+
+
+def loss_mode_args(mode: str) -> dict:
+    """Map a --loss_mode name onto the trainer's loss flags."""
+    if mode == "mse":
+        return {"use_percept_loss": False, "image_mix_loss_func": "mse",
+                "use_laploss": True, "use_ssim_loss": False}
+    if mode == "perceptual":
+        return {"use_percept_loss": False,
+                "image_mix_loss_func": "perceptual",
+                "use_laploss": False, "use_ssim_loss": False}
+    if mode == "perceptual+lap":
+        return {"use_percept_loss": False,
+                "image_mix_loss_func": "perceptual",
+                "use_laploss": True, "use_ssim_loss": False}
+    if mode == "mse+ssim":
+        return {"use_percept_loss": False, "image_mix_loss_func": "mse",
+                "use_laploss": True, "use_ssim_loss": True}
+    raise ValueError(f"unknown loss_mode {mode!r}")
 
 
 def main():
@@ -25,6 +58,11 @@ def main():
     p.add_argument("--downsample_steps", type=int, default=3)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_train_volumes", type=int, default=12)
+    p.add_argument("--loss_mode", type=str, default="mse",
+                   choices=LOSS_MODES)
+    p.add_argument("--depth", type=int, default=24)
+    p.add_argument("--json_out", type=str, default=None,
+                   help="append a JSON result line to this file")
     args = p.parse_args()
 
     import jax
@@ -44,17 +82,20 @@ def main():
     test_vols = make_toy_dataset(3, size=w, num_slices=6 * ds + 1,
                                  seed=1000)
 
-    trainer = Trainer({
+    targs = {
         "dataset": "MNIST3D", "model": "ae_combined",
         "ae_class": "VanillaACAI", "width": w, "latent_width": w // 4,
-        "depth": 24, "latent": 64, "colors": 1, "lr": 2e-3,
+        "depth": args.depth, "latent": 64, "colors": 1, "lr": 2e-3,
         "weight_decay": 0.0, "batch_size": args.batch_size,
         "epochs": args.epochs, "epoch_threshold": 10 ** 9,
         "ex_loss_weight1": 0.1, "use_batchnorm": False,
-        "use_sigmoid": True, "use_laploss": True,
-        "use_percept_loss": False, "image_mix_loss_func": "mse",
+        "use_sigmoid": True,
         "downsample_steps": ds, "seed": 7, "output_dir": None,
-    })
+    }
+    targs.update(loss_mode_args(args.loss_mode))
+    trainer = Trainer(targs)
+    lpips_mode = trainer.args.get("lpips_mode", "n/a")
+    print(f"loss_mode={args.loss_mode}  lpips_mode={lpips_mode}")
     sampler = TripletSampler(train_vols, ds, "adjacent_plus", seed=3)
 
     t0 = time.time()
@@ -70,7 +111,8 @@ def main():
             steps += 1
         if epoch % 5 == 0 or epoch == args.epochs - 1:
             print(f"epoch {epoch:3d}  loss_ae={float(m['loss_ae']):.5f} "
-                  f"synth={float(m['loss_ae_dist_extra']):.5f}")
+                  f"synth={float(m['loss_ae_dist_extra']):.5f}",
+                  flush=True)
     dt = time.time() - t0
     print(f"trained {steps} steps in {dt:.1f}s "
           f"({steps / dt:.1f} steps/s)")
@@ -91,12 +133,37 @@ def main():
         print(f"{name:>14} | {agg['ssim_synth'][0]:12.4f} | "
               f"{agg['psnr_synth'][0]:12.3f} | {agg['vif_synth'][0]:12.4f}")
 
-    model_ssim = rows["model (AESR)"]["ssim_synth"][0]
-    best_conv = max(rows[m]["ssim_synth"][0]
-                    for m in ("linear", "bspline", "lanczos"))
-    verdict = "BEATS" if model_ssim > best_conv else "does not beat"
-    print(f"\nmodel {verdict} best conventional interpolation "
-          f"(SSIM {model_ssim:.4f} vs {best_conv:.4f})")
+    model = rows["model (AESR)"]
+    conv_methods = ("linear", "bspline", "lanczos")
+    wins = {}
+    for metric in ("ssim_synth", "psnr_synth", "vif_synth"):
+        best_conv = max(rows[m][metric][0] for m in conv_methods)
+        wins[metric] = (model[metric][0], best_conv)
+    all_beat = all(m > c for m, c in wins.values())
+    for metric, (mv, cv) in wins.items():
+        tag = "BEATS" if mv > cv else ("ties" if mv == cv
+                                       else "does not beat")
+        print(f"{metric}: model {tag} best conventional "
+              f"({mv:.4f} vs {cv:.4f})")
+    print(f"\nmodel {'BEATS' if all_beat else 'does not beat'} "
+          f"conventional interpolation on ALL metrics")
+
+    if args.json_out:
+        rec = {
+            "loss_mode": args.loss_mode, "lpips_mode": lpips_mode,
+            "epochs": args.epochs, "depth": args.depth,
+            "downsample_steps": ds,
+            "train_seconds": round(dt, 1),
+            "model": {k: round(float(model[k][0]), 5)
+                      for k in ("ssim_synth", "psnr_synth", "vif_synth")},
+            "best_conventional": {
+                k: round(float(max(rows[m][k][0] for m in conv_methods)), 5)
+                for k in ("ssim_synth", "psnr_synth", "vif_synth")},
+            "beats_all": bool(all_beat),
+        }
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"appended result to {args.json_out}")
 
 
 if __name__ == "__main__":
