@@ -81,6 +81,20 @@ def parse_args(argv=None):
                              "attached devices (params replicated, batch "
                              "sharded over the mesh; batch_size must be a "
                              "multiple of N)")
+    parser.add_argument("--mnist_path", type=str, default=None,
+                        help="local MNIST idx3-ubyte[.gz]/.npz file: use "
+                             "real digits for MNIST3D/MNISTRoto instead "
+                             "of procedural phantoms (also env "
+                             "SR_MNIST_PATH)")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="multi-host: host:port of process 0's JAX "
+                             "coordinator (also env SR_COORDINATOR_ADDRESS)")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="multi-host: total process count "
+                             "(also env SR_NUM_PROCESSES)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="multi-host: this process's rank "
+                             "(also env SR_PROCESS_ID)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--use_synthetic_data", action="store_true",

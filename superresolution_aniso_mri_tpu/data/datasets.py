@@ -362,10 +362,17 @@ def get_datasets(args: Dict) -> Tuple[List[Volume], List[Volume]]:
     if args.get("use_synthetic_data") or dataset in ("MNIST3D", "MNISTRoto"):
         width = int(args.get("aug_patch_size") or args.get("width", 64))
         n_train = 4 if limited else 12
+        # a locally provided MNIST file (args or SR_MNIST_PATH) swaps the
+        # procedural phantoms for real digits — the reference's exact
+        # MNIST3D construction (datasets/MNIST/data.py:11-45)
+        mnist_path = args.get("mnist_path")
         train = make_toy_dataset(n_train, size=width, num_slices=8 * ds + 1,
-                                 seed=int(args.get("seed", 0)) % 100000)
+                                 seed=int(args.get("seed", 0)) % 100000,
+                                 mnist_path=mnist_path,
+                                 mnist_split="train")
         val = make_toy_dataset(2, size=width, num_slices=8 * ds + 1,
-                               seed=int(args.get("seed", 0)) % 100000 + 999)
+                               seed=int(args.get("seed", 0)) % 100000 + 999,
+                               mnist_path=mnist_path, mnist_split="val")
         if dataset == "ACDCLBL":
             # the multichannel model needs a label channel: quantize the
             # phantom intensities into 4 pseudo-structures

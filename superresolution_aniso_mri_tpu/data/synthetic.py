@@ -41,12 +41,15 @@ def _phantom2d(size: int, rs: np.random.RandomState) -> np.ndarray:
 
 def make_rotated_volume(size: int = 32, num_slices: int = 17,
                         degrees_per_slice: float = 5.0,
-                        seed: int = 0) -> Volume:
-    """Stack of progressively rotated copies of one phantom
+                        seed: int = 0,
+                        base: np.ndarray | None = None) -> Volume:
+    """Stack of progressively rotated copies of one base image
     (reference construction: datasets/MNIST/data.py:11-45 with
-    grad_step=5° per slice)."""
+    grad_step=5° per slice). ``base`` overrides the procedural phantom
+    (e.g. a real MNIST digit from load_mnist_images)."""
     rs = np.random.RandomState(seed)
-    base = _phantom2d(size, rs)
+    if base is None:
+        base = _phantom2d(size, rs)
     slices = []
     for s in range(num_slices):
         rot = scipy.ndimage.rotate(base, s * degrees_per_slice, reshape=False,
@@ -58,10 +61,87 @@ def make_rotated_volume(size: int = 32, num_slices: int = 17,
 
 
 def make_toy_dataset(num_volumes: int = 4, size: int = 32,
-                     num_slices: int = 17, seed: int = 0) -> List[Volume]:
+                     num_slices: int = 17, seed: int = 0,
+                     mnist_path: str | None = None,
+                     mnist_split: str = "train") -> List[Volume]:
+    """Procedural phantoms, or — when ``mnist_path`` (or the
+    ``SR_MNIST_PATH`` environment variable) points at a locally provided
+    MNIST file — real digits, reproducing the reference's MNIST3D
+    construction exactly (datasets/MNIST/data.py:11-45: each digit
+    progressively rotated into a volume). Accepts idx3-ubyte
+    (train-images-idx3-ubyte[.gz]) and .npz/.npy arrays."""
+    import os
+
+    mnist_path = mnist_path or os.environ.get("SR_MNIST_PATH")
+    if mnist_path:
+        digits = load_mnist_images(mnist_path)
+        # disjoint train/val digit pools (the reference draws train and
+        # test digits from separate MNIST files)
+        half = max(1, len(digits) // 2)
+        digits = digits[:half] if mnist_split == "train" else digits[half:]
+        rs = np.random.RandomState(seed)
+        picks = rs.choice(len(digits), size=num_volumes, replace=False) \
+            if len(digits) >= num_volumes else \
+            rs.randint(0, len(digits), size=num_volumes)
+        return [make_rotated_volume(size=size, num_slices=num_slices,
+                                    seed=seed + i,
+                                    base=_fit_digit(digits[j], size))
+                for i, j in enumerate(picks)]
     return [make_rotated_volume(size=size, num_slices=num_slices,
                                 seed=seed + i)
             for i in range(num_volumes)]
+
+
+def load_mnist_images(path: str) -> np.ndarray:
+    """[N, 28, 28] float32 in [0, 1] from a local MNIST file.
+
+    Supports the canonical idx3-ubyte format (magic 0x00000803, big-
+    endian dims; optionally gzipped — exactly what torchvision downloads
+    for the reference, datasets/MNIST/data.py) and .npz/.npy exports."""
+    import gzip
+    import os
+    import struct
+
+    path = os.path.expanduser(path)
+    if path.endswith(".npy"):
+        arr = np.load(path)
+    elif path.endswith(".npz"):
+        with np.load(path) as z:
+            key = "images" if "images" in z.files else z.files[0]
+            arr = z[key]
+    else:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as f:
+            magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+            if magic != 0x803:
+                raise ValueError(
+                    f"{path}: bad idx3-ubyte magic 0x{magic:x} "
+                    f"(want 0x803 — an MNIST images file)")
+            raw = f.read(n * rows * cols)
+            if len(raw) < n * rows * cols:
+                raise ValueError(f"{path}: truncated idx payload")
+            arr = np.frombuffer(raw, np.uint8).reshape(n, rows, cols)
+    arr = np.asarray(arr)
+    if arr.ndim != 3:
+        raise ValueError(f"{path}: expected [N,H,W] images, got {arr.shape}")
+    arr = arr.astype(np.float32)
+    if arr.max() > 1.0:
+        arr = arr / 255.0
+    return arr
+
+
+def _fit_digit(img: np.ndarray, size: int) -> np.ndarray:
+    """Center a digit into a size x size canvas (pad or bilinear zoom),
+    like the reference's transforms.Pad(2) 28->32 then translation."""
+    h, w = img.shape
+    if h > size or w > size:
+        z = size / max(h, w)
+        img = scipy.ndimage.zoom(img, z, order=1)
+        h, w = img.shape
+    out = np.zeros((size, size), np.float32)
+    y0, x0 = (size - h) // 2, (size - w) // 2
+    out[y0:y0 + h, x0:x0 + w] = img
+    return np.clip(out, 0.0, 1.0)
 
 
 class RotoTripletSampler:
@@ -76,9 +156,18 @@ class RotoTripletSampler:
 
     def __init__(self, num_images: int = 16, size: int = 32,
                  grad_step: float = 5.0, downsample_steps: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, mnist_path: str | None = None):
+        import os
+
         rs = np.random.RandomState(seed)
-        self.images = [_phantom2d(size, rs) for _ in range(num_images)]
+        mnist_path = mnist_path or os.environ.get("SR_MNIST_PATH")
+        if mnist_path:
+            digits = load_mnist_images(mnist_path)
+            picks = rs.choice(len(digits), size=min(num_images, len(digits)),
+                              replace=False)
+            self.images = [_fit_digit(digits[j], size) for j in picks]
+        else:
+            self.images = [_phantom2d(size, rs) for _ in range(num_images)]
         self.grad_step = float(grad_step)
         self.downsample_steps = int(downsample_steps)
         self.rs = np.random.RandomState(seed + 1)
