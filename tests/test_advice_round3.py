@@ -105,4 +105,6 @@ def test_train_bench_runs():
     v = tb.bench_config("tiny", width=16, latent_width=8, depth=4,
                         latent=8, batch_pairs=2, compute_dtype="float32",
                         use_laploss=False, steps=2)
-    assert v > 0
+    assert v["pipelined_s"] > 0 and v["sync_s"] > 0
+    # XLA's CPU backend exposes cost analysis too — FLOPs must be real
+    assert v["flops"] > 1e6

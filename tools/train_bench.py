@@ -4,7 +4,19 @@
 Measures jitted train-step wall time for the reference's headline
 training configs (BASELINE.md): ACDC ae_combined (batch 12 pairs, 128²),
 OASIS ae_combined (batch 16 pairs, 64²) and dHCP (batch 8, 256²), in
-f32 and bf16. The per-step figure is amortized total/steps (a mean).
+f32 and bf16, and reports a roofline account per config:
+
+  * pipelined ms/step — amortized over a dispatch stream (the real
+    training-loop cadence: async dispatch overlaps host<->device
+    transport with compute);
+  * sync ms/step — one step submitted and blocked on; the difference
+    vs pipelined is the per-step transport/dispatch cost the stream
+    hides (on the axon tunnel this dominates);
+  * GFLOP/step from XLA's own cost model
+    (jit(...).lower().compile().cost_analysis());
+  * achieved TFLOP/s and MFU — fraction of the v5e's 197 TFLOP/s bf16
+    peak (f32 rows use the same denominator, so their MFU reads as
+    "fraction of bf16 peak", the honest cross-dtype comparison).
 """
 import sys
 import time
@@ -16,6 +28,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak, bf16 MXU
+
+
+def _flops_per_step(trainer, batch) -> float:
+    """XLA cost-model FLOPs for one optimisation step (0.0 if the
+    backend does not expose cost analysis)."""
+    try:
+        lowered = trainer.train_step.lower(
+            trainer.state, batch, jax.random.PRNGKey(0), jnp.float32(0.05))
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def bench_config(name, width, latent_width, depth, latent, batch_pairs,
@@ -43,18 +71,39 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
         "alpha_from": jnp.full((batch_pairs,), 0.5),
         "alpha_to": jnp.full((batch_pairs,), 0.5),
     }
+    flops = _flops_per_step(t, batch)
+
     m = t.train(batch)  # compile
     float(m["loss_ae"])  # force completion via readback
-    # amortized pipelined timing (a per-step readback would measure the
-    # host<->device round trip, not the step)
+
+    # synchronous: submit one step, block — includes the full
+    # host<->device round trip a non-pipelined caller pays
+    sync_times = []
+    for _ in range(max(5, steps // 4)):
+        t0 = time.perf_counter()
+        m = t.train(batch)
+        float(m["loss_ae"])
+        sync_times.append(time.perf_counter() - t0)
+    sync_step = float(np.median(sync_times))
+
+    # pipelined: enqueue `steps`, read back once (the training loop's
+    # real cadence — async dispatch overlaps transport with compute)
     t0 = time.perf_counter()
     for _ in range(steps):
         m = t.train(batch)
     float(m["loss_ae"])
     mean_step = (time.perf_counter() - t0) / steps
+
+    tflops = flops / mean_step / 1e12 if flops else float("nan")
+    mfu = tflops * 1e12 / V5E_PEAK_BF16_FLOPS if flops else float("nan")
     print(f"{name:>28} [{compute_dtype:8}]: {mean_step * 1e3:8.3f} ms/step "
-          f"({batch_pairs / mean_step:8.1f} pairs/s)")
-    return mean_step
+          f"pipelined ({batch_pairs / mean_step:7.1f} pairs/s) | "
+          f"{sync_step * 1e3:8.3f} ms sync "
+          f"(transport+dispatch {1e3 * (sync_step - mean_step):6.3f} ms) | "
+          f"{flops / 1e9:7.2f} GFLOP -> {tflops:6.2f} TFLOP/s, "
+          f"MFU {100 * mfu:5.2f}% of bf16 peak")
+    return {"pipelined_s": mean_step, "sync_s": sync_step,
+            "flops": flops, "tflops": tflops, "mfu_vs_bf16_peak": mfu}
 
 
 def main():
