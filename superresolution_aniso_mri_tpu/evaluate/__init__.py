@@ -31,6 +31,11 @@ from .model_registry import (
     CARDIAC_MODEL_SPECS, BRAIN_MODEL_SPECS, load_model_specs,
     register_model, get_trainer_for_spec,
 )
+from .journal2 import (
+    upsample_factor_page, lambda_page, methods_comparison_page,
+    interpol_sequence_page, reconstruction_page, boxplot_page,
+    cardiac_lax_page,
+)
 
 __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
@@ -51,4 +56,7 @@ __all__ = [
     "create_brain_volumes", "create_cardiac_volumes",
     "CARDIAC_MODEL_SPECS", "BRAIN_MODEL_SPECS", "load_model_specs",
     "register_model", "get_trainer_for_spec",
+    "upsample_factor_page", "lambda_page", "methods_comparison_page",
+    "interpol_sequence_page", "reconstruction_page", "boxplot_page",
+    "cardiac_lax_page",
 ]
