@@ -39,12 +39,24 @@ def build_augment_config(args: Dict) -> AugmentConfig:
     # label channels (ACDCLBL) and loss-mask channels must stay exact:
     # no intensity remap, no bilinear rotation (rot90/crops are exact)
     exact_channels = dataset == "ACDCLBL" or bool(args.get("get_masks"))
+    # recipe parity with what the reference CLIs ACTUALLY compose:
+    #  * ACDC and ACDCC both train through train_cardiac_aesr.py's own
+    #    get_transforms (:83-105, passed into get_new_dataset_acdc at
+    #    :36-41): AdjustToPatchSize + CenterCrop(aug) + RandomCrop(width)
+    #    + RandomIntensity + RandomRotation (= rot90) — NO any-angle
+    #    rotation (RandomAnyRotation only appears in dataset-module
+    #    DEFAULTS the CLI overrides, data4d_simple.py:38-40);
+    #  * elastic deformation (shared_transforms.py:15-45
+    #    SpatialTransformToHalfBatch) is defined in the reference but
+    #    composed into NO training entry point (grep: zero call sites) —
+    #    AugmentConfig.elastic therefore defaults to False and stays an
+    #    opt-in extra here too.
     return AugmentConfig(
         patch_size=width,
         aug_patch_size=int(aug_patch) if aug_patch else None,
         random_crop=True, rot90=True, intensity=not exact_channels,
-        rotate_any=(dataset in ("ACDC", "ACDCC") and not exact_channels),
-        max_degree=45,
+        rotate_any=False,
+        max_degree=359,
         # dHCP/ADNI/brainMASI crop near the brain center
         # (reference: dHCP/dataset.py:45, ADNI/dataset.py:21 —
         # RandomCropNextToCenter(width, max_translation=35))
@@ -110,6 +122,15 @@ def _generate_volume_previews(trainer, val_vols, merged: Dict,
 
 
 def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
+    # multi-host: join the JAX distributed cluster BEFORE any device
+    # query (no-op unless --coordinator_address/--num_processes or the
+    # SR_* env names more than one process; parallel/distributed.py)
+    from ..parallel.distributed import initialize_distributed, \
+        is_main_process
+    initialize_distributed(args_dict)
+    main_proc = is_main_process()
+    verbose = verbose and main_proc
+
     net_cfg = NetworkConfig(args_dict["model"], args_dict["dataset"],
                             args_dict.get("ae_class", "VanillaACAI"))
     merged = merge_args_architecture(args_dict, net_cfg.architecture)
@@ -129,10 +150,12 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
 
         sampler = RotoTripletSampler(
             size=int(merged["width"]), downsample_steps=ds,
-            seed=int(merged.get("seed", 0)))
+            seed=int(merged.get("seed", 0)),
+            mnist_path=merged.get("mnist_path"))
         val_sampler = RotoTripletSampler(
             size=int(merged["width"]), downsample_steps=ds,
-            seed=int(merged.get("seed", 0)) + 1)
+            seed=int(merged.get("seed", 0)) + 1,
+            mnist_path=merged.get("mnist_path"))
     else:
         sampler = TripletSampler(
             train_vols, ds, merged.get("slice_selection", "adjacent_plus"),
@@ -253,7 +276,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                       f"val={te:.5f}  ({time.time() - t0:.1f}s)")
 
             # image dumps (reference: base_trainer.py:395-420)
-            if last_batch is not None and trainer.test_predictions:
+            if main_proc and last_batch is not None \
+                    and trainer.test_predictions:
                 grid = generate_recon_grid(
                     np.asarray(val_batch["image"]),
                     np.asarray(trainer.test_predictions["reconstruction"]))
@@ -266,7 +290,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # reference's main training-time QA signal
             # (reference: base_trainer.py:149-162 _generate_val_volumes,
             # evaluate/evaluate_image.py:82-107)
-            _generate_volume_previews(trainer, val_vols, merged, epoch)
+            if main_proc:
+                _generate_volume_previews(trainer, val_vols, merged, epoch)
 
             if merged.get("log_tensorboard") and epoch % 10 == 0:
                 trainer.log_tb_histograms()
