@@ -1,0 +1,119 @@
+"""Multi-host (multi-process) scaffolding.
+
+SURVEY §2.9/§5: on real TPU pods, 8+ chips means multiple hosts, each
+running one process that owns its local chips; JAX's distributed runtime
+(coordinator + GSPMD global meshes) replaces the reference's
+single-process CUDA story. This module provides:
+
+  * ``initialize_distributed`` — flag/env-driven
+    ``jax.distributed.initialize`` (must run before any backend query);
+  * main-process gating for filesystem side effects (settings,
+    checkpoints, TensorBoard, npz, png) so N hosts don't race on shared
+    storage;
+  * ``global_batch_from_host`` — assemble a global device array from the
+    identically-seeded host-side batch each process computes, slicing
+    out the process-local rows (process-major contiguous blocks match
+    ``jax.devices()`` ordering, so global row order is preserved).
+
+Design choice: every process loads the dataset and draws the SAME
+global batch sequence (identical seeds), then feeds only its slice to
+the device. This costs duplicated host-side sampling but guarantees a
+multi-process run is numerically IDENTICAL to the single-process run on
+the same total device count — which is also how we test it
+(tests/test_multihost.py: 2 procs x 4 devices == 1 proc x 8 devices).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+_INITIALIZED = False
+
+
+def initialize_distributed(args: Optional[Dict] = None) -> bool:
+    """Initialize the JAX distributed runtime when configured.
+
+    Sources, in priority order: explicit args
+    (``coordinator_address``/``num_processes``/``process_id``), then the
+    ``SR_COORDINATOR_ADDRESS``/``SR_NUM_PROCESSES``/``SR_PROCESS_ID``
+    environment. No-ops (returns False) when neither names more than one
+    process. Must be called before any JAX device query — the CLI entry
+    points call it first thing in run_training.
+
+    On a real multi-host TPU pod where the environment provides cluster
+    discovery (GKE/Cloud TPU metadata), set ``SR_MULTIHOST=auto`` to call
+    ``jax.distributed.initialize()`` with no arguments instead.
+    """
+    global _INITIALIZED
+    import jax
+
+    if _INITIALIZED:
+        return True
+    args = args or {}
+    if os.environ.get("SR_MULTIHOST") == "auto":
+        jax.distributed.initialize()
+        _INITIALIZED = True
+        return True
+    coord = (args.get("coordinator_address")
+             or os.environ.get("SR_COORDINATOR_ADDRESS"))
+    nproc = args.get("num_processes") or os.environ.get("SR_NUM_PROCESSES")
+    pid = args.get("process_id")
+    if pid is None:
+        pid = os.environ.get("SR_PROCESS_ID")
+    if not coord or not nproc or int(nproc) <= 1:
+        return False
+    if pid is None:
+        raise ValueError(
+            "multi-host: coordinator_address and num_processes are set "
+            "but process_id is missing (flag --process_id or env "
+            "SR_PROCESS_ID)")
+    jax.distributed.initialize(coordinator_address=str(coord),
+                               num_processes=int(nproc),
+                               process_id=int(pid))
+    _INITIALIZED = True
+    return True
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """True on the process that owns filesystem side effects."""
+    import jax
+    return jax.process_count() == 1 or jax.process_index() == 0
+
+
+def global_batch_from_host(sharding, batch: Dict) -> Dict:
+    """Turn an identically-seeded host batch (full GLOBAL leading axis on
+    every process) into global device arrays sharded over the mesh.
+
+    Each leaf's leading axis must be divisible by ``process_count()``;
+    this process contributes rows ``[pid*per, (pid+1)*per)`` — the
+    contiguous block owned by its local devices under a process-major
+    ``jax.devices()`` mesh ordering.
+    """
+    import jax
+
+    pc, pi = jax.process_count(), jax.process_index()
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        rows = arr.shape[0]
+        if rows % pc:
+            raise ValueError(
+                f"batch leaf {k!r}: leading axis {rows} not divisible by "
+                f"process_count {pc}")
+        per = rows // pc
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(arr[pi * per:(pi + 1) * per]),
+            global_shape=arr.shape)
+    return out

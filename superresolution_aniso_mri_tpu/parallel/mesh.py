@@ -41,8 +41,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict with the leading axis split over the mesh."""
+    """Place a host batch dict with the leading axis split over the mesh.
+
+    Multi-host: every process holds the identically-seeded GLOBAL batch
+    (see parallel/distributed.py); each contributes its process-local
+    rows — device_put of non-addressable shards is not possible, so the
+    global array is assembled from per-process blocks instead."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        from .distributed import global_batch_from_host
+        return global_batch_from_host(sh, batch)
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
 
 

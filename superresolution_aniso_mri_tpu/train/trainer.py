@@ -270,7 +270,13 @@ class Trainer:
 
     def prepare_run(self) -> None:
         """Create the experiment dir tree + settings.yaml
-        (reference: train_cardiac_aesr.py:119-141 prepare_run)."""
+        (reference: train_cardiac_aesr.py:119-141 prepare_run).
+
+        Multi-host: only process 0 touches the (shared) filesystem —
+        N hosts racing on settings/checkpoints corrupt the experiment."""
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return
         out = self.args["output_dir"]
         os.makedirs(out, exist_ok=True)
         os.makedirs(self.dir_models, exist_ok=True)
@@ -376,6 +382,13 @@ class Trainer:
                 batch = {k: jax.device_put(v, rep) for k, v in batch.items()}
         metrics, aux = self.eval_step(self.state.params,
                                       self.state.batch_stats, batch)
+        if self.mesh is not None and jax.process_count() > 1:
+            # aux predictions come out batch-sharded across processes;
+            # gather them replicated so the main process can read them
+            # for image dumps (host reads of non-addressable shards fail)
+            from ..parallel import replicated
+            rep = replicated(self.mesh)
+            aux = jax.jit(lambda t: t, out_shardings=rep)(aux)
         for k, v in metrics.items():
             self.losses_test[k].append(float(v))
         self.test_predictions = aux
@@ -505,6 +518,9 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_models(self, fname: str, epoch: int) -> None:
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return  # params are replicated; process 0's copy is the state
         save_checkpoint(fname, self.state, epoch)
 
     def load(self, fname: str) -> None:
@@ -587,6 +603,9 @@ class Trainer:
                 d[key] = []
 
     def save_losses(self) -> None:
+        from ..parallel.distributed import is_main_process
+        if not is_main_process():
+            return
         out = self.args["output_dir"]
         np.savez(os.path.join(out, "loss_iters.npz"),
                  loss_iters=np.array(self.loss_iters))
