@@ -95,6 +95,24 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
     def core(variables, kept: Array, alphas: Array,
              use_original: bool = False,
              interleave: bool = False) -> Dict[str, Array]:
+        # in-plane sizes not divisible by the encoder's total stride
+        # (2^scales) would come back smaller from the decoder (AvgPool
+        # floors; e.g. ACDC's 1.4mm resample commonly yields odd dims) —
+        # reflect-pad up front and crop every output back. The reference
+        # torch pipeline simply crashes on such volumes (generate_hr_
+        # volumes.py:56-60 torch.cat of mismatched sizes).
+        h, w = kept.shape[1], kept.shape[2]
+        div = (2 ** cfg.scales) if cfg is not None else 1
+        ph, pw = (-h) % div, (-w) % div
+        if ph or pw:
+            kept = jnp.pad(kept, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                           mode="reflect")
+
+        def _crop(arr, axes):
+            idx = [slice(None)] * arr.ndim
+            idx[axes[0]], idx[axes[1]] = slice(0, h), slice(0, w)
+            return arr[tuple(idx)]
+
         from .packed_decoder import make_packed_decoder, packable
         if packed and cfg is not None and packable(model, cfg, variables):
             packed_dec = make_packed_decoder(model, cfg)
@@ -132,6 +150,9 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
                                 decode_batch)
             recon = dec[:z.shape[0]]
             interp = dec[z.shape[0]:].reshape((k1, am) + dec.shape[1:])
+        if ph or pw:
+            recon = _crop(recon, (1, 2))
+            interp = _crop(interp, (2, 3))
         out = {"recon": recon, "interp": interp}
         if interleave:
             # full interleaved volume (+clamp) inside the same program —

@@ -583,3 +583,27 @@ def test_create_hr_images_rejects_empty_dataset(trainer):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         create_hr_images(trainer, [], downsample_steps=2)
+
+
+def test_odd_inplane_sizes_synthesize(trainer):
+    """In-plane sizes not divisible by the encoder stride (e.g. 27x27
+    after ACDC's 1.4mm resample) must synthesize at the original size —
+    reflect-padded through the model and cropped back (the reference
+    crashes on these)."""
+    vol = np.random.RandomState(7).rand(9, 27, 27).astype(np.float32)
+    res = create_super_volume(trainer, vol, alpha_range=[0.5],
+                              downsample_steps=2,
+                              generate_inbetween_slices=True,
+                              use_original=True)
+    assert res["upsampled_image"].shape == (9, 27, 27)
+    # originals kept verbatim on the grid
+    np.testing.assert_allclose(res["upsampled_image"][::2], vol[::2],
+                               atol=1e-6)
+
+    from superresolution_aniso_mri_tpu.evaluate import (
+        evaluate_volumes_batched,
+    )
+    vols = [Volume(image=vol, spacing=np.array([6.0, 1.4, 1.4]),
+                   patient_id="odd0")]
+    out = evaluate_volumes_batched(trainer, vols, downsample_steps=2)
+    assert np.isfinite(out["odd0"]["ssim_synth"])
