@@ -61,6 +61,13 @@ def main():
     p.add_argument("--loss_mode", type=str, default="mse",
                    choices=LOSS_MODES)
     p.add_argument("--depth", type=int, default=24)
+    p.add_argument("--phantom", type=str, default="smooth",
+                   choices=("smooth", "textured"),
+                   help="'textured' adds band-limited fine texture to "
+                        "the phantoms — real MRI has such texture, and "
+                        "it is exactly what through-plane interpolation "
+                        "blurs away (separates methods on VIF, which "
+                        "saturates on smooth phantoms)")
     p.add_argument("--json_out", type=str, default=None,
                    help="append a JSON result line to this file")
     args = p.parse_args()
@@ -77,10 +84,30 @@ def main():
 
     ds = args.downsample_steps
     w = args.width
-    train_vols = make_toy_dataset(args.num_train_volumes, size=w,
-                                  num_slices=6 * ds + 1, seed=0)
-    test_vols = make_toy_dataset(3, size=w, num_slices=6 * ds + 1,
-                                 seed=1000)
+
+    def build_vols(n, seed):
+        if args.phantom == "smooth":
+            return make_toy_dataset(n, size=w, num_slices=6 * ds + 1,
+                                    seed=seed)
+        import scipy.ndimage
+        from superresolution_aniso_mri_tpu.data.synthetic import (
+            _phantom2d, make_rotated_volume,
+        )
+        vols = []
+        for i in range(n):
+            rs = np.random.RandomState(seed + i)
+            base = _phantom2d(w, rs)
+            # band-limited multiplicative texture riding on the anatomy
+            tex = scipy.ndimage.gaussian_filter(
+                rs.randn(w, w).astype(np.float32), 0.7)
+            base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
+            vols.append(make_rotated_volume(size=w,
+                                            num_slices=6 * ds + 1,
+                                            seed=seed + i, base=base))
+        return vols
+
+    train_vols = build_vols(args.num_train_volumes, seed=0)
+    test_vols = build_vols(3, seed=1000)
 
     targs = {
         "dataset": "MNIST3D", "model": "ae_combined",
@@ -152,6 +179,7 @@ def main():
         rec = {
             "loss_mode": args.loss_mode, "lpips_mode": lpips_mode,
             "epochs": args.epochs, "depth": args.depth,
+            "phantom": args.phantom,
             "downsample_steps": ds,
             "train_seconds": round(dt, 1),
             "model": {k: round(float(model[k][0]), 5)
