@@ -64,18 +64,22 @@ def pixelate(img: np.ndarray, block: int = 8) -> np.ndarray:
 
 
 def dicom_series_to_nifti(dicom_dir: str, output_file: str) -> str:
-    """Convert a DICOM series directory into a NIfTI volume.
+    """Convert a DICOM series directory into a NIfTI volume
+    (reference kwatsch/create_nifti_from_dicom.py:13-284).
 
-    Requires pydicom (not bundled in this image — the function raises a
-    clear error when it's unavailable, mirroring the capability of
-    reference kwatsch/create_nifti_from_dicom.py).
+    Uses pydicom when importable; otherwise falls back to the built-in
+    dependency-free reader (utils/dicom.py — implicit/explicit little
+    endian, uncompressed PixelData).
     """
     try:
         import pydicom
-    except ImportError as e:
-        raise ImportError(
-            "dicom_series_to_nifti requires pydicom; install it or "
-            "convert the series with an external tool") from e
+    except ImportError:
+        from .dicom import read_dicom_series
+        from .nifti import write_nifti
+
+        vol, spacing = read_dicom_series(dicom_dir)
+        write_nifti(output_file, vol.astype(np.float32), spacing=spacing)
+        return output_file
 
     files = sorted(
         os.path.join(dicom_dir, f) for f in os.listdir(dicom_dir)
