@@ -9,13 +9,16 @@ encode of all kept slices + one batched decode of all (K-1)*A mixed
 latents.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value is the median SYNCHRONOUS wall-clock seconds per volume — submit
-one volume, block until the result is host-readable, i.e. what a CLI
-user experiences per call. "value_amortized" additionally reports the
-pipelined per-volume time (enqueue 8, read back the last), which
-excludes the host<->device round-trip and bounds true device time.
-"bf16_ssim_delta" is 1 - SSIM(bf16 volume, f32 volume) for the same
-weights — the numeric cost of the bfloat16 inference path.
+value is the median SYNCHRONOUS device-complete seconds per volume
+(submit one volume, block until the chip finishes). "value_amortized"
+is the pipelined per-volume time (enqueue 8, read back the last).
+"readback_f32_s"/"readback_bf16_s" report the additional device→host
+transfer a CLI call pays before writing the NIfTI — through the axon
+tunnel this is link-bound (~26 MB/s, "tunnel_link_mbps"), a property of
+this dev setup rather than the chip (directly-attached PCIe moves the
+same 34 MB in milliseconds); the bf16-cast transfer halves it at zero
+SSIM cost. "bf16_ssim_delta" is 1 - SSIM(bf16 volume, f32 volume) for
+the same weights — the numeric cost of the bfloat16 inference path.
 """
 import json
 import time
@@ -61,13 +64,36 @@ def main():
     assert full.shape[0] == (num_lr_slices - 1) * (ds - 1 + 1) + 1
 
     # synchronous per-call latency: submit one volume, block until the
-    # result is ready on device — the user-visible CLI latency
+    # device has finished — the chip-side per-call cost
     sync_times = []
     for _ in range(8):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         sync_times.append(time.perf_counter() - t0)
     latency_sync = float(np.median(sync_times))
+
+    # host-readback cost on top of device completion: a real CLI call
+    # must np.asarray the volume before writing the NIfTI. Through the
+    # axon tunnel this is link-bandwidth-bound (~26 MB/s measured), NOT
+    # a chip cost — on a directly-attached host the same PCIe transfer
+    # is milliseconds — so it is reported separately instead of being
+    # folded into the headline. The bf16-cast variant halves the bytes
+    # with zero SSIM cost (see bf16_ssim_delta).
+    nbytes = int(np.prod(full.shape)) * 4
+    rb = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run())
+        rb.append(time.perf_counter() - t0)
+    readback_f32 = float(np.median(rb)) - latency_sync
+    cast16 = jax.jit(lambda v: v.astype(jnp.bfloat16))
+    rb16 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(cast16(run()))
+        rb16.append(time.perf_counter() - t0)
+    readback_bf16 = float(np.median(rb16)) - latency_sync
+    link_mbps = nbytes / max(readback_f32, 1e-9) / 1e6
 
     # amortized pipelined timing: enqueue N volumes, read back the last —
     # excludes the host<->device round-trip latency of a per-call sync
@@ -116,6 +142,9 @@ def main():
         "vs_baseline": round(baseline_s / latency_sync, 3),
         "value_sync": round(latency_sync, 5),
         "value_amortized": round(latency, 5),
+        "readback_f32_s": round(readback_f32, 5),
+        "readback_bf16_s": round(readback_bf16, 5),
+        "tunnel_link_mbps": round(link_mbps, 1),
         "bf16_ssim_delta": round(1.0 - ssim_bf16, 6),
         "ssim_kernel_path": ssim_path,
         "ssim_selfcheck": round(ssim_self, 5),

@@ -55,7 +55,9 @@ def build_augment_config(args: Dict) -> AugmentConfig:
         patch_size=width,
         aug_patch_size=int(aug_patch) if aug_patch else None,
         random_crop=True, rot90=True, intensity=not exact_channels,
-        rotate_any=False,
+        # opt-in extra (--rotate_any), like the dataset-module defaults'
+        # RandomAnyRotation(max_degree=359) the reference CLI overrides
+        rotate_any=bool(args.get("rotate_any")) and not exact_channels,
         max_degree=359,
         # dHCP/ADNI/brainMASI crop near the brain center
         # (reference: dHCP/dataset.py:45, ADNI/dataset.py:21 —
@@ -151,11 +153,11 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
         sampler = RotoTripletSampler(
             size=int(merged["width"]), downsample_steps=ds,
             seed=int(merged.get("seed", 0)),
-            mnist_path=merged.get("mnist_path"))
+            mnist_path=merged.get("mnist_path"), mnist_split="train")
         val_sampler = RotoTripletSampler(
             size=int(merged["width"]), downsample_steps=ds,
             seed=int(merged.get("seed", 0)) + 1,
-            mnist_path=merged.get("mnist_path"))
+            mnist_path=merged.get("mnist_path"), mnist_split="val")
     else:
         sampler = TripletSampler(
             train_vols, ds, merged.get("slice_selection", "adjacent_plus"),

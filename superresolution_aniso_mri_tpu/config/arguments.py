@@ -81,6 +81,11 @@ def parse_args(argv=None):
                              "attached devices (params replicated, batch "
                              "sharded over the mesh; batch_size must be a "
                              "multiple of N)")
+    parser.add_argument("--rotate_any", action="store_true",
+                        help="opt-in any-angle (0-359) rotation "
+                             "augmentation (the reference CLIs compose "
+                             "rot90 only; this mirrors the dataset-"
+                             "module RandomAnyRotation extra)")
     parser.add_argument("--mnist_path", type=str, default=None,
                         help="local MNIST idx3-ubyte[.gz]/.npz file: use "
                              "real digits for MNIST3D/MNISTRoto instead "

@@ -156,13 +156,20 @@ class RotoTripletSampler:
 
     def __init__(self, num_images: int = 16, size: int = 32,
                  grad_step: float = 5.0, downsample_steps: int = 2,
-                 seed: int = 0, mnist_path: str | None = None):
+                 seed: int = 0, mnist_path: str | None = None,
+                 mnist_split: str = "train"):
         import os
 
         rs = np.random.RandomState(seed)
         mnist_path = mnist_path or os.environ.get("SR_MNIST_PATH")
         if mnist_path:
             digits = load_mnist_images(mnist_path)
+            # disjoint train/val pools, same convention as
+            # make_toy_dataset — without this the val sampler would draw
+            # trained digits and best-val selection would be optimistic
+            half = max(1, len(digits) // 2)
+            digits = (digits[:half] if mnist_split == "train"
+                      else digits[half:])
             picks = rs.choice(len(digits), size=min(num_images, len(digits)),
                               replace=False)
             self.images = [_fit_digit(digits[j], size) for j in picks]

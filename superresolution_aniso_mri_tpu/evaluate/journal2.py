@@ -67,8 +67,11 @@ def upsample_factor_page(model_results: Dict[int, Dict[str, Sequence[float]]],
         for method, per_k in (conventional or {}).items():
             cm = [float(np.nanmean(per_k[k][key])) for k in factors]
             ce = [float(np.nanstd(per_k[k][key])) for k in factors]
-            ax.errorbar(xs, cm, yerr=ce, fmt="s", capsize=6, label=method)
-            ax.plot(xs, cm, linestyle="--")
+            eb = ax.errorbar(xs, cm, yerr=ce, fmt="s", capsize=6,
+                             label=method)
+            # keep the dashed line in the SAME prop-cycle color as the
+            # markers (a bare plot() would consume the next color)
+            ax.plot(xs, cm, linestyle="--", c=eb.lines[0].get_color())
         ax.set_title(title)
         ax.set_xlabel("Upsampling factor (K)")
         ax.yaxis.grid(True)
@@ -121,15 +124,17 @@ def methods_comparison_page(reference_vol: np.ndarray,
     scale (reference: evaluate_qualitatively.py compare_methods_slices +
     get_diff_images)."""
     plt = _plt(save_path)
-    s = reference_vol.shape[0]
+    # method volumes may be shorter than the reference (e.g. tail-less
+    # synthesis) — restrict the default slice picks to the common range
+    s = min([reference_vol.shape[0]]
+            + [v.shape[0] for v in method_vols.values()])
     if slice_ids is None:
         slice_ids = np.linspace(1, s - 2, 4).astype(int)
     n_rows = 1 + len(method_vols) * (2 if with_diff_rows else 1)
     fig, axes = plt.subplots(n_rows, len(slice_ids), squeeze=False,
                              figsize=(2.4 * len(slice_ids), 2.4 * n_rows))
     diff_max = max(
-        float(np.abs(v[:s] - reference_vol[: v.shape[0]]
-                     [:min(s, v.shape[0])]).max())
+        float(np.abs(v[:s] - reference_vol[:s]).max())
         for v in method_vols.values()) if with_diff_rows else 1.0
 
     def _row(r, vol, label, cmap="gray", vmax=1.0):
@@ -144,8 +149,7 @@ def methods_comparison_page(reference_vol: np.ndarray,
         _row(r, vol, name)
         r += 1
         if with_diff_rows:
-            n = min(s, vol.shape[0])
-            diff = np.abs(vol[:n] - reference_vol[:n])
+            diff = np.abs(vol[:s] - reference_vol[:s])
             _row(r, diff, f"|Δ| {name}", cmap="magma",
                  vmax=max(diff_max, 1e-6))
             r += 1

@@ -52,16 +52,19 @@ def initialize_distributed(args: Optional[Dict] = None) -> bool:
     if _INITIALIZED:
         return True
     args = args or {}
-    if os.environ.get("SR_MULTIHOST") == "auto":
-        jax.distributed.initialize()
-        _INITIALIZED = True
-        return True
     coord = (args.get("coordinator_address")
              or os.environ.get("SR_COORDINATOR_ADDRESS"))
     nproc = args.get("num_processes") or os.environ.get("SR_NUM_PROCESSES")
     pid = args.get("process_id")
     if pid is None:
         pid = os.environ.get("SR_PROCESS_ID")
+    # explicit flags win over SR_MULTIHOST=auto — a pod wrapper
+    # exporting 'auto' must not silently override a locally specified
+    # coordinator (documented priority: args, then environment)
+    if not coord and os.environ.get("SR_MULTIHOST") == "auto":
+        jax.distributed.initialize()
+        _INITIALIZED = True
+        return True
     if not coord or not nproc or int(nproc) <= 1:
         return False
     if pid is None:

@@ -385,10 +385,14 @@ class Trainer:
         if self.mesh is not None and jax.process_count() > 1:
             # aux predictions come out batch-sharded across processes;
             # gather them replicated so the main process can read them
-            # for image dumps (host reads of non-addressable shards fail)
-            from ..parallel import replicated
-            rep = replicated(self.mesh)
-            aux = jax.jit(lambda t: t, out_shardings=rep)(aux)
+            # for image dumps (host reads of non-addressable shards
+            # fail). The jitted identity is cached — a fresh lambda per
+            # call would retrace/recompile the gather every epoch.
+            if getattr(self, "_gather_replicated", None) is None:
+                from ..parallel import replicated
+                self._gather_replicated = jax.jit(
+                    lambda t: t, out_shardings=replicated(self.mesh))
+            aux = self._gather_replicated(aux)
         for k, v in metrics.items():
             self.losses_test[k].append(float(v))
         self.test_predictions = aux

@@ -48,12 +48,51 @@ class DicomError(ValueError):
 
 
 def _skip_undefined_sequence(buf: bytes, pos: int) -> int:
-    """Advance past an undefined-length (0xFFFFFFFF) sequence: scan for
-    its Sequence Delimitation Item (FFFE,E0DD)."""
-    end = buf.find(b"\xfe\xff\xdd\xe0", pos)
-    if end < 0:
-        raise DicomError("unterminated undefined-length sequence")
-    return end + 8  # delimiter tag + 4-byte zero length
+    """Advance past an undefined-length (0xFFFFFFFF) sequence by walking
+    its item structure with a nesting depth counter — a plain scan for
+    the first (FFFE,E0DD) delimiter would stop at a NESTED sequence's
+    delimiter and resume parsing mid-sequence. Item/delimiter tags and
+    nested undefined-length values all carry explicit 4-byte lengths, so
+    depth-tracking needs no VR awareness."""
+    n = len(buf)
+    depth = 1
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        if (group, elem) == (0xFFFE, 0xE0DD):      # sequence delimiter
+            depth -= 1
+            pos += 8
+            if depth == 0:
+                return pos
+            continue
+        if (group, elem) in ((0xFFFE, 0xE000),      # item start
+                             (0xFFFE, 0xE00D)):     # item delimiter
+            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8
+            # defined-length items are skipped wholesale (any nested
+            # sequences live inside the skipped bytes); undefined-length
+            # items' contents are walked element-wise below
+            if (group, elem) == (0xFFFE, 0xE000) and length != 0xFFFFFFFF:
+                pos += length
+            continue
+        # a data element inside an undefined-length item: implicit OR
+        # explicit encodings both put a 4-byte length for the only
+        # shapes that can carry nested sequences; detect explicit long
+        # VRs, else fall back to the implicit layout
+        vr = buf[pos + 4:pos + 6]
+        if vr in _LONG_VRS:
+            length = struct.unpack_from("<I", buf, pos + 8)[0]
+            pos += 12
+        elif vr.isalpha() and vr.isupper():
+            length = struct.unpack_from("<H", buf, pos + 6)[0]
+            pos += 8
+        else:  # implicit VR
+            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8
+        if length == 0xFFFFFFFF:
+            depth += 1
+        else:
+            pos += length
+    raise DicomError("unterminated undefined-length sequence")
 
 
 def _parse_elements(buf: bytes, pos: int, explicit: bool,

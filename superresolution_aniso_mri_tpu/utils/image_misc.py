@@ -104,7 +104,18 @@ def dicom_series_to_nifti(dicom_dir: str, output_file: str) -> str:
         return (1, float(getattr(d, "InstanceNumber", 0)))
 
     slices.sort(key=_order)
-    vol = np.stack([s.pixel_array.astype(np.float32) for s in slices])
+
+    # pydicom does NOT auto-apply rescale; match the built-in reader so
+    # both paths emit identical voxel values
+    def _rescaled(d):
+        arr = d.pixel_array.astype(np.float32)
+        slope = float(getattr(d, "RescaleSlope", 1.0) or 1.0)
+        inter = float(getattr(d, "RescaleIntercept", 0.0) or 0.0)
+        if slope != 1.0 or inter != 0.0:
+            arr = arr * slope + inter
+        return arr
+
+    vol = np.stack([_rescaled(s) for s in slices])
     ps = [float(v) for v in getattr(slices[0], "PixelSpacing", (1.0, 1.0))]
     try:
         z0 = float(slices[0].ImagePositionPatient[2])

@@ -135,3 +135,36 @@ def test_dicom_series_to_nifti_builtin_fallback(tmp_path):
     arr, spacing, _ = read_nifti(out)
     assert arr.shape == (4, 5, 6)
     np.testing.assert_allclose(spacing, [3.0, 1.5, 1.5])
+
+
+def test_nested_undefined_length_sequence_skipped(tmp_path):
+    """An undefined-length sequence CONTAINING an undefined-length
+    sequence must be skipped to the OUTER delimiter — stopping at the
+    inner (FFFE,E0DD) would resume parsing mid-sequence."""
+    px = (np.arange(16, dtype=np.uint16).reshape(4, 4) * 3)
+    rows, cols = px.shape
+    undef = struct.pack("<I", 0xFFFFFFFF)
+
+    def sq_undefined(inner):
+        # explicit SQ, undefined length, one undefined-length item
+        return (struct.pack("<HH", 0x0008, 0x1140) + b"SQ\x00\x00" + undef
+                + struct.pack("<HH", 0xFFFE, 0xE000) + undef
+                + inner
+                + struct.pack("<HH", 0xFFFE, 0xE00D) + b"\x00" * 4
+                + struct.pack("<HH", 0xFFFE, 0xE0DD) + b"\x00" * 4)
+
+    inner_sq = sq_undefined(_elem_explicit(0x0008, 0x0060, b"CS", b"MR"))
+    body = sq_undefined(inner_sq)                      # nested!
+    body += _elem_explicit(0x0028, 0x0002, b"US", struct.pack("<H", 1))
+    body += _elem_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _elem_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _elem_explicit(0x0028, 0x0030, b"DS", b"1.0\\1.0 ")
+    body += _elem_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _elem_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
+    body += _elem_explicit(0x7FE0, 0x0010, b"OW", px.tobytes())
+    meta = _elem_explicit(0x0002, 0x0010, b"UI", EXPLICIT_LE)
+    p = str(tmp_path / "nested.dcm")
+    with open(p, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    d = read_dicom(p)
+    np.testing.assert_allclose(d["pixel_array"], px.astype(np.float32))

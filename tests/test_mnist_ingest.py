@@ -99,3 +99,21 @@ def test_get_datasets_routes_mnist_path(idx_file):
                                "limited_load": True, "mnist_path": p})
     assert len(train) == 4 and len(val) == 2
     assert train[0].image.shape == (17, 32, 32)
+
+
+def test_roto_sampler_split_pools_disjoint(idx_file):
+    """Train/val RotoTripletSampler digit pools must be disjoint halves
+    (val digits leaking into training would inflate best-val)."""
+    p, imgs = idx_file
+    tr = RotoTripletSampler(num_images=5, size=32, seed=0, mnist_path=p,
+                            mnist_split="train")
+    va = RotoTripletSampler(num_images=5, size=32, seed=1, mnist_path=p,
+                            mnist_split="val")
+    tr_pool = imgs[:5].astype(np.float32) / 255.0
+    va_pool = imgs[5:].astype(np.float32) / 255.0
+    for im in tr.images:
+        assert any(np.allclose(im[2:30, 2:30], d) for d in tr_pool)
+    for im in va.images:
+        inner = im[2:30, 2:30]
+        assert any(np.allclose(inner, d) for d in va_pool)
+        assert not any(np.allclose(inner, d) for d in tr_pool)

@@ -25,12 +25,27 @@ def test_notebook_valid(name):
 
 
 def test_notebooks_regenerate_cleanly(tmp_path):
-    """tools/make_notebooks.py reproduces the committed artifacts."""
+    """tools/make_notebooks.py reproduces the committed artifacts'
+    cell contents (generated into a scratch dir — cell ids are random
+    per nbformat, so compare sources; the repo copies stay untouched)."""
     env = dict(os.environ, PYTHONPATH=REPO)
-    r = subprocess.run([sys.executable, "tools/make_notebooks.py"],
+    r = subprocess.run([sys.executable, "tools/make_notebooks.py",
+                        "--out", str(tmp_path)],
                        cwd=REPO, env=env, capture_output=True, text=True,
                        timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
+
+    def cells(path):
+        with open(path) as f:
+            nb = json.load(f)
+        return [(c["cell_type"], "".join(c["source"]))
+                for c in nb["cells"]]
+
+    for name in NOTEBOOKS:
+        assert cells(os.path.join(NB_DIR, name)) == \
+            cells(str(tmp_path / name)), \
+            f"{name}: committed notebook drifted from the generator — " \
+            f"rerun tools/make_notebooks.py and commit"
 
 
 @pytest.mark.slow

@@ -251,9 +251,15 @@ print("LV volume curve (ml):", np.round(curves["LV"], 2))
 
 
 def main():
+    import argparse
+
     import nbformat
 
-    out_dir = os.path.join(REPO, "notebooks")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "notebooks"),
+                    help="destination directory (default: repo "
+                         "notebooks/)")
+    out_dir = os.path.expanduser(ap.parse_args().out)
     os.makedirs(out_dir, exist_ok=True)
     for name, nb in (("evaluate_MNIST", mnist_nb()),
                      ("evaluate_brain", brain_nb()),
