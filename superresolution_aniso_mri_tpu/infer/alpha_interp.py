@@ -58,13 +58,17 @@ def get_alpha_probe_features(feature_dict: Dict, batch_item: Dict
     train/evaluate the probe on garbage)."""
     if "alpha_features" in batch_item:
         return np.asarray(batch_item["alpha_features"], np.float32)
-    b = np.asarray(batch_item["alpha_from"]).shape[0]
-    if not any(k in batch_item for k in
-               ("slice_id_from", "slice_id_to", "num_slices")):
+    meta_keys = ("slice_id_from", "slice_id_to", "num_slices")
+    if not any(k in batch_item for k in meta_keys):
         raise KeyError(
             "batch carries neither 'alpha_features' nor raw slice "
             "metadata (slice_id_from/slice_id_to/num_slices) — probe "
             "features cannot be constructed")
+    # derive the batch size from whatever is present — the raw-metadata
+    # fallback must not require 'alpha_from'
+    size_src = next(k for k in ("alpha_from",) + meta_keys
+                    if k in batch_item)
+    b = np.asarray(batch_item[size_src]).shape[0]
     return np.concatenate([
         np.asarray(batch_item.get("slice_id_from",
                                   np.zeros(b)))[:, None],

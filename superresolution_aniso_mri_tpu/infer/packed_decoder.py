@@ -75,9 +75,19 @@ def _leaky(x: Array) -> Array:
     return jax.nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
 
 
-def _bn_eval(x: Array, params: Dict, stats: Dict, eps: float = 1e-5) -> Array:
-    inv = jax.lax.rsqrt(stats["var"] + eps)
-    return (x - stats["mean"]) * inv * params["scale"] + params["bias"]
+def _bn_eval(x: Array, params: Dict, stats: Dict, dt,
+             eps: float = 1e-5) -> Array:
+    """Eval-mode batch norm mirroring flax nn.BatchNorm(dtype=dt)
+    EXACTLY: promote every operand to the compute dtype first and use
+    flax's operation order (mul = rsqrt(var+eps)*scale; y = (x-mean)*mul
+    + bias) — computing in f32 would round differently for bf16 models
+    and break the packed path's bit-identical contract."""
+    mean = stats["mean"].astype(dt)
+    var = stats["var"].astype(dt)
+    scale = params["scale"].astype(dt)
+    bias = params["bias"].astype(dt)
+    mul = jax.lax.rsqrt(var + jnp.asarray(eps, dt)) * scale
+    return (x.astype(dt) - mean) * mul + bias
 
 
 def make_packed_decoder(model, cfg: AEConfig):
@@ -94,9 +104,9 @@ def make_packed_decoder(model, cfg: AEConfig):
         bstats = variables.get("batch_stats", {}).get("dec", {})
         x = z.astype(dt)
         for i, scale in enumerate(range(scales - 1, -1, -1)):
-            w1 = dec[f"Conv_{2 * i}"]["kernel"].astype(dt)
             b1 = dec[f"Conv_{2 * i}"]["bias"].astype(dt)
             if i == 0:
+                w1 = dec[f"Conv_{2 * i}"]["kernel"].astype(dt)
                 x = _leaky(_conv(x, w1, b1))
             else:
                 # conv1 consumes the previous scale's (virtual) 2x
@@ -115,9 +125,8 @@ def make_packed_decoder(model, cfg: AEConfig):
             x = _leaky(_conv(x, w2, b2))
             if cfg.use_batchnorm:
                 x = _bn_eval(x, dec[f"BatchNorm_{i}"],
-                             bstats[f"BatchNorm_{i}"]).astype(dt)
+                             bstats[f"BatchNorm_{i}"], dt)
         # final conv after the last upsample — packed
-        wf = dec[f"Conv_{2 * scales}"]["kernel"].astype(dt)
         bf = dec[f"Conv_{2 * scales}"]["bias"].astype(dt)
         pkf = pack_after_upsample_kernel(
             dec[f"Conv_{2 * scales}"]["kernel"].astype(jnp.float32)

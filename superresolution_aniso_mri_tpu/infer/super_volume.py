@@ -340,7 +340,21 @@ def create_super_volume(trainer, images, alpha_range=None,
             upsampled_labels = labels
         else:
             a_n1 = len(alpha_range) + 1
-            pos = np.arange(n_out, dtype=np.float64) / a_n1
+            # position of output slice j on the ORIGINAL label grid:
+            # kept slices are ds apart when downsampling happened
+            # (adjacent otherwise), with a_n interpolants between each
+            # pair; any verbatim tail slices map to the original tail
+            ds_eff = float(downsample_steps) if (
+                downsample_steps is not None) else 1.0
+            synth_len = (k_true - 1) * a_n1 + 1
+            pos_synth = np.arange(min(synth_len, n_out),
+                                  dtype=np.float64) * ds_eff / a_n1
+            pos = pos_synth
+            if n_out > synth_len:  # re-appended tail (remain slices)
+                pos = np.concatenate([
+                    pos_synth,
+                    np.arange(orig_num_slices - (n_out - synth_len),
+                              orig_num_slices, dtype=np.float64)])
             src = np.clip(np.floor(pos + 0.5).astype(np.int64), 0,
                           labels.shape[0] - 1)
             upsampled_labels = labels[src]

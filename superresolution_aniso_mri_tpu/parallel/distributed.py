@@ -65,8 +65,19 @@ def initialize_distributed(args: Optional[Dict] = None) -> bool:
         jax.distributed.initialize()
         _INITIALIZED = True
         return True
-    if not coord or not nproc or int(nproc) <= 1:
+    if not coord and not nproc:
         return False
+    if nproc is not None and int(nproc) <= 1 and not coord:
+        return False
+    # PARTIAL configs fail fast: silently proceeding single-process
+    # would let N hosts each think they are process 0 and race on the
+    # shared experiment directory
+    if bool(coord) != bool(nproc and int(nproc) > 1):
+        raise ValueError(
+            f"multi-host: incomplete configuration "
+            f"(coordinator_address={coord!r}, num_processes={nproc!r}) "
+            f"— set both (flags or SR_COORDINATOR_ADDRESS/"
+            f"SR_NUM_PROCESSES), or neither for single-process")
     if pid is None:
         raise ValueError(
             "multi-host: coordinator_address and num_processes are set "
@@ -99,24 +110,23 @@ def global_batch_from_host(sharding, batch: Dict) -> Dict:
     """Turn an identically-seeded host batch (full GLOBAL leading axis on
     every process) into global device arrays sharded over the mesh.
 
-    Each leaf's leading axis must be divisible by ``process_count()``;
-    this process contributes rows ``[pid*per, (pid+1)*per)`` — the
-    contiguous block owned by its local devices under a process-major
-    ``jax.devices()`` mesh ordering.
+    The full global array is handed to
+    ``jax.make_array_from_process_local_data``, which slices out this
+    process's addressable shards itself — correct for ANY mesh device
+    order, not just process-major-contiguous ones (probe-verified with a
+    reversed device order). Each leaf's leading axis must be divisible
+    by ``process_count()``.
     """
     import jax
 
-    pc, pi = jax.process_count(), jax.process_index()
+    pc = jax.process_count()
     out = {}
     for k, v in batch.items():
-        arr = np.asarray(v)
-        rows = arr.shape[0]
-        if rows % pc:
+        arr = np.ascontiguousarray(np.asarray(v))
+        if arr.shape[0] % pc:
             raise ValueError(
-                f"batch leaf {k!r}: leading axis {rows} not divisible by "
-                f"process_count {pc}")
-        per = rows // pc
+                f"batch leaf {k!r}: leading axis {arr.shape[0]} not "
+                f"divisible by process_count {pc}")
         out[k] = jax.make_array_from_process_local_data(
-            sharding, np.ascontiguousarray(arr[pi * per:(pi + 1) * per]),
-            global_shape=arr.shape)
+            sharding, arr, global_shape=arr.shape)
     return out

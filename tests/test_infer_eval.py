@@ -607,3 +607,37 @@ def test_odd_inplane_sizes_synthesize(trainer):
                    patient_id="odd0")]
     out = evaluate_volumes_batched(trainer, vols, downsample_steps=2)
     assert np.isfinite(out["odd0"]["ssim_synth"])
+
+
+def test_upsampled_labels_scale_with_downsample_grid(trainer):
+    """Label nearest-neighbour z-lookup must map output positions onto
+    the ORIGINAL label grid scaled by downsample_steps — review fix:
+    the unscaled mapping paired synthesized slices with labels from
+    half (ds/a_n1) the correct depth."""
+    vol = make_toy_dataset(1, 32, 9, seed=12)[0].image  # S=9
+    labels = np.repeat(np.arange(9, dtype=np.int32)[:, None, None],
+                       32, axis=1).repeat(32, axis=2)
+    res = create_super_volume(trainer, vol,
+                              alpha_range=[0.25, 0.5, 0.75],
+                              downsample_steps=2, use_original=True,
+                              labels=labels)
+    up_lbl = res["upsampled_labels"]
+    # kept = originals 0,2,..,8; outputs at original positions j/2
+    n_out = res["upsampled_image"].shape[0]
+    assert n_out == (5 - 1) * 4 + 1
+    expect = np.clip(np.floor(np.arange(n_out) / 2.0 + 0.5), 0, 8)
+    np.testing.assert_array_equal(up_lbl[:, 0, 0], expect.astype(np.int32))
+
+    # in-between mode with a verbatim tail: tail labels map to the
+    # original tail slices
+    vol10 = make_toy_dataset(1, 32, 10, seed=13)[0].image  # (10-1)%2=1
+    labels10 = np.repeat(np.arange(10, dtype=np.int32)[:, None, None],
+                         32, axis=1).repeat(32, axis=2)
+    res = create_super_volume(trainer, vol10, alpha_range=[0.5],
+                              downsample_steps=2,
+                              generate_inbetween_slices=True,
+                              use_original=True, labels=labels10)
+    up_lbl = res["upsampled_labels"]
+    assert res["upsampled_image"].shape[0] == 10
+    np.testing.assert_array_equal(up_lbl[:, 0, 0],
+                                  np.arange(10, dtype=np.int32))
