@@ -300,8 +300,14 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             trainer.reset_losses()
             trainer.end_epoch_processing()
     except KeyboardInterrupt:
-        fname = os.path.join(trainer.dir_models,
-                             f"{trainer.epoch}.models")
+        # save into the rolling checkpoint, NOT a numbered file: the
+        # reference writes '{epoch}.models' here
+        # (train_cardiac_aesr.py:198-201), but a numbered name means
+        # "epoch N completed" everywhere else — find_best sweeps would
+        # score mid-epoch partial weights (or a duplicate of the
+        # previous epoch) as a finished epoch. Stored epoch =
+        # trainer.epoch, so --auto_resume reruns the interrupted epoch.
+        fname = os.path.join(trainer.dir_models, "last.models")
         trainer.save_models(fname, trainer.epoch)
-        print(f"interrupted — saved {fname}")
+        print(f"interrupted — saved {fname} (epoch {trainer.epoch})")
     return trainer

@@ -81,6 +81,10 @@ def parse_args(argv=None):
                              "attached devices (params replicated, batch "
                              "sharded over the mesh; batch_size must be a "
                              "multiple of N)")
+    parser.add_argument("--use_lr_scheduler", action="store_true",
+                        help="cosine LR annealing over --lr_iter_max "
+                             "iterations (reference base_trainer.py:19-23)")
+    parser.add_argument("--lr_iter_max", type=int, default=None)
     parser.add_argument("--rotate_any", action="store_true",
                         help="opt-in any-angle (0-359) rotation "
                              "augmentation (the reference CLIs compose "

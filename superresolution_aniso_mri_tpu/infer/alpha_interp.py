@@ -102,5 +102,6 @@ def latent_space_interp_pred_alpha(trainer, img1, img2,
     z_cat = jnp.concatenate([z1, z2], axis=-1)
     alphas = trainer.predict_alpha(z_cat, features)
     z_mix = alpha_mix(alphas, z1, z2, trainer.num_alphas,
-                      int(trainer.args["latent"]))
+                      int(trainer.args["latent"]),
+                      getattr(trainer.loss_config, "alpha_scheme", ""))
     return trainer.decode(z_mix), np.asarray(alphas)

@@ -79,6 +79,9 @@ class LossConfig:
     # (reference: base_alpha_trainer.py:141-154 _determine_num_alphas;
     #  schemes at base_alpha_trainer.py:98-126)
     num_alphas: int = 32
+    # scheme name derived from the probe CLASS (trainer.alpha_mix_scheme)
+    # — dispatching on num_alphas alone collides for unusual latents
+    alpha_scheme: str = ""
     latent: int = 16
 
     @property
@@ -439,21 +442,32 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
 
 
 def alpha_mix(alpha: Array, z1: Array, z3: Array, num_alphas: int,
-              latent: int) -> Array:
+              latent: int, scheme: str = "") -> Array:
     """Apply a predicted-coefficient mixing scheme
     (reference: base_alpha_trainer.py:98-126 synthesize_batch_images).
 
-    num_alphas: 2 → scalar pair; ``latent`` (per-channel convex);
-    2*latent (two independent halves); latent_width² (spatial map).
+    ``scheme`` ('pair' | 'convex' | 'halves' | 'spatial', from the probe
+    class via trainer.alpha_mix_scheme) selects the mixing; the legacy
+    count-based dispatch remains as a fallback for callers without a
+    scheme but collides when unusual latent sizes make counts equal.
     """
     b = z1.shape[0]
-    if num_alphas == 2:
+    if not scheme:
+        if num_alphas == 2:
+            scheme = "pair"
+        elif num_alphas == latent:
+            scheme = "convex"
+        elif num_alphas == 2 * latent:
+            scheme = "halves"
+        else:
+            scheme = "spatial"
+    if scheme == "pair":
         return (alpha[:, 0, None, None, None] * z1
                 + alpha[:, 1, None, None, None] * z3)
-    if num_alphas == latent:
+    if scheme == "convex":
         a = alpha[:, None, None, :]
         return a * z1 + (1.0 - a) * z3
-    if num_alphas == 2 * latent:
+    if scheme == "halves":
         a1 = alpha[:, None, None, :latent]
         a3 = alpha[:, None, None, latent:]
         return a1 * z1 + a3 * z3
@@ -519,7 +533,8 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
         probe, params["probe"], batch_stats["probe"],
         lambda mdl, zz, ff: mdl(zz, ff, train=True), z_cat, feats,
         train=True)
-    z_mix = alpha_mix(alpha, z1, z3, cfg.num_alphas, cfg.latent)
+    z_mix = alpha_mix(alpha, z1, z3, cfg.num_alphas, cfg.latent,
+                      cfg.alpha_scheme)
 
     if variant == "alpha_combined" and dec_mix is not None:
         s_mix, new_bs_dm = _apply(dec_mix, params["decoder_mix"],
@@ -736,7 +751,7 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
                               lambda mdl, zz, ff: mdl(zz, ff, train=False),
                               z_cat, feats, train=False)
             z_mix = alpha_mix(alpha, z[:b], z[b:], cfg.num_alphas,
-                              cfg.latent)
+                              cfg.latent, cfg.alpha_scheme)
             aux_extra["pred_alphas"] = alpha
         else:
             z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
@@ -791,12 +806,16 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
         }
         if cfg.combined or cfg.image_mix_loss_func is not None:
             if family in ("multichannel", "multichannel_combined"):
-                ref_img = between[..., 0:1]
+                # the multichannel train loss is UNmasked (reference:
+                # sr_multi_channel/trainer_ae.py:388-414 — plain
+                # mse/perceptual on the image channel); the eval metric
+                # must score the same objective or best-model selection
+                # optimizes something training never saw
+                ref_img, mask = between[..., 0:1], None
             else:
-                ref_img = between
+                ref_img, mask = between, batch.get("loss_mask")
             loss_mix = _mix_image_loss(
-                cfg, lpips_params, ref_img, s_mix,
-                batch.get("loss_mask"),
+                cfg, lpips_params, ref_img, s_mix, mask,
                 sample_weight=batch.get("is_inbetween"))
             metrics["loss_ae_dist_extra"] = loss_mix
         return metrics, {"reconstruction": recon,

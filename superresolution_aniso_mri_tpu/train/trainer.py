@@ -50,6 +50,25 @@ def alpha_num_coefficients(alpha_class: str, latent: int,
     raise ValueError(f"unknown alpha_class {alpha_class!r}")
 
 
+def alpha_mix_scheme(alpha_class: str) -> str:
+    """Probe class → mixing scheme name. The scheme is a property of
+    the CLASS (reference dispatches on hardcoded 16/32/256 counts tied
+    to its standard configs, alpha_combined.py:119-128) — dispatching on
+    the coefficient COUNT alone silently picks the wrong scheme when
+    unusual latent sizes make counts collide (e.g. latent=2 makes the
+    scalar-pair and per-channel-convex counts equal)."""
+    if alpha_class in ("AlphaProbe", "AlphaProbev2"):
+        return "pair"
+    if alpha_class == "AlphaProbe16Convex":
+        return "convex"
+    if alpha_class in ("AlphaProbe16v1", "AlphaProbe16v2",
+                       "AlphaProbe16ExBN"):
+        return "halves"
+    if alpha_class.startswith("AlphaProbe256"):
+        return "spatial"
+    raise ValueError(f"unknown alpha_class {alpha_class!r}")
+
+
 def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
     model_name = args["model"]
     if args.get("dataset") == "ACDCLBL" and not model_name.startswith("alpha"):
@@ -65,6 +84,8 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
             num_alphas=alpha_num_coefficients(
                 args.get("alpha_class") or "AlphaProbe16v1",
                 int(args["latent"]), int(args["latent_width"])),
+            alpha_scheme=alpha_mix_scheme(
+                args.get("alpha_class") or "AlphaProbe16v1"),
             latent=int(args["latent"]),
         )
     return LossConfig(
@@ -133,8 +154,18 @@ class Trainer:
         self._rng, init_rng = jax.random.split(rng)
         w = self.model_config.width
         sample = jnp.zeros((2, w, w, self.model_config.colors), jnp.float32)
-        cosine_steps = (int(self.args["lr_iter_max"])
-                        if self.args.get("use_lr_scheduler") else None)
+        # cosine LR annealing (reference: base_trainer.py:19-23 —
+        # CosineAnnealingLR over lr_iter_max iterations when
+        # use_lr_scheduler is set)
+        cosine_steps = None
+        if self.args.get("use_lr_scheduler"):
+            lim = self.args.get("lr_iter_max")
+            if not lim:
+                raise ValueError(
+                    "--use_lr_scheduler needs --lr_iter_max (total "
+                    "iterations of the cosine anneal, reference "
+                    "base_trainer.py:21)")
+            cosine_steps = int(lim)
 
         if self.family == "acai":
             disc = Discriminator(self.model_config)
@@ -564,8 +595,13 @@ class Trainer:
             self.mean_losses_test[k] = [float(x) for x in v][:keep]
         if self.loss_iters:
             self._iters = int(self.loss_iters[-1])
+        # seed best-val from POST-threshold entries only — those are the
+        # values save_best_val_model actually compared at save time; a
+        # pre-threshold global minimum was never saved and must not
+        # freeze the ae.models/caisr.models aliases after a resume
+        thr = int(self.args.get("epoch_threshold", 100))
         for key in ("loss_ae_dist", "loss_ae_dist_extra"):
-            hist = self.mean_losses_test.get(key)
+            hist = self.mean_losses_test.get(key, [])[max(thr + 1, 0):]
             if hist:
                 self._best_val[key] = float(np.min(hist))
 
