@@ -68,12 +68,16 @@ def peak_rates(vol_curve: np.ndarray, frame_duration_s: float = 1.0
                 "peak_filling_frame": 0}
     dv = np.diff(vol_curve) / frame_duration_s
     # rates are magnitudes: a curve that only fills has no ejection
-    # phase (rate 0), not a negative "peak"
+    # phase (rate 0, frame -1 — a real frame index would point at the
+    # slowest opposite-phase frame, a meaningless location), and vice
+    # versa
+    ej = float(np.max(-dv))
+    fi = float(np.max(dv))
     return {
-        "peak_ejection_rate": float(max(np.max(-dv), 0.0)),
-        "peak_ejection_frame": int(np.argmax(-dv)),
-        "peak_filling_rate": float(max(np.max(dv), 0.0)),
-        "peak_filling_frame": int(np.argmax(dv)),
+        "peak_ejection_rate": max(ej, 0.0),
+        "peak_ejection_frame": int(np.argmax(-dv)) if ej > 0 else -1,
+        "peak_filling_rate": max(fi, 0.0),
+        "peak_filling_frame": int(np.argmax(dv)) if fi > 0 else -1,
     }
 
 

@@ -62,7 +62,8 @@ def save_3d_volume(image: np.ndarray, patient_id: str, output_dir: str,
                                patient_id)
         os.makedirs(lbl_dir, exist_ok=True)
         write_image(os.path.join(lbl_dir, fname),
-                    np.asarray(labels, np.int32), spacing=lbl_spacing)
+                    np.asarray(labels, np.int32), spacing=lbl_spacing,
+                    dtype=np.int32)
     return path
 
 
@@ -104,7 +105,8 @@ def save_4d_volume(volume4d: np.ndarray, patient_id: str, output_dir: str,
                                patient_id)
         os.makedirs(lbl_dir, exist_ok=True)
         write_image(os.path.join(lbl_dir, fname),
-                    np.asarray(labels4d, np.int32), spacing=lbl_spacing)
+                    np.asarray(labels4d, np.int32), spacing=lbl_spacing,
+                    dtype=np.int32)
     return path
 
 
@@ -224,7 +226,13 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
             new_spacing = np.array(vol.spacing, np.float64).copy()
             orig_sp = (original_spacing if original_spacing is not None
                        else getattr(vol, "original_spacing", None))
-            suffix = f"{interpol_method}_{downsample_steps}x"
+            # the model path embeds the trainer's model name so two
+            # different models evaluated into sibling dirs do not emit
+            # identically named files (reference filenames carry the
+            # method, create_HR_images.py:81-107)
+            suffix = (f"{model_name}_{downsample_steps}x"
+                      if interpol_method == "model"
+                      else f"{interpol_method}_{downsample_steps}x")
             # labels live on the same z-grid as the in-between-slices
             # output — save them alongside for downstream segmentation
             # eval (reference: create_HR_images.py:98-106, 312-315)

@@ -81,12 +81,21 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
                 f"{k}={history[k][-1]:.4f}" for k in METRICS_TRACKED))
 
     # NaN-robust argmax: an epoch whose metric is NaN must never be
-    # selected as "best"
+    # selected as "best"; a metric that is NaN at EVERY epoch reports
+    # epoch=None/value=nan instead of confidently naming the first
+    # epoch, and legitimate +inf values (exact reconstruction → PSNR)
+    # survive as inf instead of being clipped to finfo.max
     best = {}
     for k, v in history.items():
-        arr = np.nan_to_num(np.asarray(v, np.float64), nan=-np.inf)
-        best[k] = {"epoch": int(epoch_range[int(np.argmax(arr))]),
-                   "value": float(np.max(arr))}
+        vals = np.asarray(v, np.float64)
+        usable = ~np.isnan(vals)
+        if not usable.any():
+            best[k] = {"epoch": None, "value": float("nan")}
+            continue
+        cmp = np.where(usable, vals, -np.inf)
+        idx = int(np.argmax(cmp))
+        best[k] = {"epoch": int(epoch_range[idx]),
+                   "value": float(vals[idx])}
     out_file = os.path.join(exper_dir,
                             f"model_perf_ds{downsample_steps}.npz")
     np.savez(out_file, epochs=np.array(epoch_range),

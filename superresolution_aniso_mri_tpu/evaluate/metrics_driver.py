@@ -28,7 +28,11 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
     slices only, original grid slices excluded — reference
     metrics.py:29-45 determine_original_sliceids). For ``eval_axis != 0``
     the volume is re-sliced along that axis and all-black slices skipped
-    (reference: metrics.py:127-145).
+    (reference: metrics.py:127-145); there is no synthesized-only notion
+    on a long-axis view (every re-sliced plane mixes original and
+    synthesized rows), so the '_synth' entries equal the all-slice
+    values there — same semantics as the reference's long-axis calls
+    (which pass downsample_steps=None, making orig_slice_ids empty).
     """
     ref = np.asarray(reference, np.float32)
     up = np.asarray(upsampled, np.float32)
@@ -58,12 +62,21 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
 
     ref_j = jnp.asarray(ref)
     up_j = jnp.asarray(up)
-    # long-axis views can be thinner than the 7x7 window → win 5
-    # (reference: metrics.py:146-152 win_size=5 fallback)
-    win = 7 if min(ref.shape[1], ref.shape[2]) >= 8 else 5
+    # long-axis views can be thinner than the 7x7 window → shrink to an
+    # odd window that fits (reference: metrics.py:146-152 win_size=5
+    # fallback; re-sliced stacks can be thinner than 5 too)
+    m = min(ref.shape[1], ref.shape[2])
+    win = 7 if m >= 8 else min(5, m)
+    if win % 2 == 0:
+        win -= 1
+    win = max(win, 1)
     ssim_s = ssim_volume_fused(ref_j, up_j, data_range, win)  # pallas on TPU
     psnr_s = psnr_volume(ref_j, up_j, data_range)
     vif_s = vif_volume(ref_j, up_j)
+    # per-slice mse so the black-slice mask applies like every other
+    # metric in this dict (a plain global mean averaged black-vs-black
+    # planes in on long-axis views, deflating MSE inconsistently)
+    mse_s = np.mean((ref - up) ** 2, axis=(1, 2))
 
     out = {
         "ssim": float(masked_mean(ssim_s, all_mask)),
@@ -72,7 +85,8 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
         "ssim_synth": float(masked_mean(ssim_s, synth)),
         "psnr_synth": float(masked_mean(psnr_s, synth)),
         "vif_synth": float(masked_mean(vif_s, synth)),
-        "mse": float(np.mean((ref - up) ** 2)),
+        "mse": float(np.mean(mse_s[all_mask])) if all_mask.any()
+               else float("nan"),
     }
     if lpips_params is not None:
         d = lpips_distance(lpips_params, up_j[..., None], ref_j[..., None],

@@ -65,6 +65,14 @@ def compare_quantitative(reference_files: Iterable[str],
         if normalize:
             from ..data import rescale_intensities
             up = rescale_intensities(up, percs=(0, 100))
+        # degenerate single-frame 4D files (t=1 — a common NIfTI writer
+        # shape, incl. save_4d_volume for a 1-frame cine) score as 3D;
+        # without the squeeze a 3D/4D mixed pair conflated the t-axis
+        # with z and crashed the vmapped metrics on mismatched shapes
+        if ref.ndim == 4 and ref.shape[0] == 1 and up.ndim != 4:
+            ref = ref[0]
+        if up.ndim == 4 and up.shape[0] == 1 and ref.ndim != 4:
+            up = up[0]
         if float(ref.min()) < -1e-3 or float(ref.max()) > 1.0 + 1e-3:
             import warnings
             warnings.warn(
@@ -95,7 +103,10 @@ def compare_quantitative(reference_files: Iterable[str],
         for m in per_volume:
             for k, v in m.items():
                 flat.setdefault(k, []).append(v)
-        np.savez(output_file, **{k: np.array(v) for k, v in flat.items()})
+        # carry the volume ids so rows stay traceable on reload (same
+        # convention as create_hr_images.save_metrics)
+        np.savez(output_file, patient_ids=np.array(uids),
+                 **{k: np.array(v) for k, v in flat.items()})
     return result
 
 

@@ -224,10 +224,19 @@ def read_image(path: str):
 
 
 def write_image(path: str, arr: np.ndarray, spacing=None,
-                affine: Optional[np.ndarray] = None) -> None:
+                affine: Optional[np.ndarray] = None,
+                dtype=None) -> None:
+    """``dtype=None`` keeps write_nifti's float32 default for images;
+    pass an integer dtype for label maps so the on-disk header declares
+    integers (segmentation tooling validates that)."""
     if path.endswith((".nii", ".nii.gz")):
-        write_nifti(path, arr, spacing=spacing, affine=affine)
+        if dtype is None:
+            write_nifti(path, arr, spacing=spacing, affine=affine)
+        else:
+            write_nifti(path, arr, spacing=spacing, affine=affine,
+                        dtype=dtype)
     elif path.endswith(".mha"):
-        write_metaimage(path, arr, spacing=spacing)
+        write_metaimage(path, arr if dtype is None
+                        else np.asarray(arr, dtype), spacing=spacing)
     else:
         raise ValueError(f"unsupported image format: {path}")

@@ -324,7 +324,7 @@ def test_create_hr_images_4d_save(trainer, tmp_path):
                            output_dir=str(tmp_path), save_volumes=True)
     assert "pat4d" in res["per_volume"]
     path = os.path.join(tmp_path, "pat4d",
-                        "pat4d_4d_model_2x.nii.gz")
+                        "pat4d_4d_ae_combined_2x.nii.gz")  # model name in suffix
     assert os.path.isfile(path)
     arr, spacing, _ = read_image(path)
     assert arr.shape == (3, 9, 32, 32)
@@ -575,7 +575,7 @@ def test_create_hr_images_saves_labels_and_keeps_duplicate_ids(
                            output_dir=str(tmp_path), save_volumes=True)
     assert set(res["per_volume"]) == {"dup", "dup#2"}
     lbl_path = os.path.join(str(tmp_path) + "_labels", "dup",
-                            "dup_model_2x.nii.gz")
+                            "dup_ae_combined_2x.nii.gz")  # model name in suffix
     assert os.path.isfile(lbl_path)
 
 
