@@ -340,7 +340,8 @@ def load_acdc_volumes(split: str = "training",
             volumes.append(Volume(
                 image=frame.astype(np.float32), spacing=spacing.copy(),
                 patient_id=f"{pid}_f{t:02d}",
-                original_spacing=original_spacing.copy()))
+                original_spacing=original_spacing.copy(),
+                frame_id=t, num_frames=int(arr.shape[0])))
     return volumes
 
 

@@ -38,6 +38,12 @@ class Volume:
     # used by the eval driver's resample-back-to-original option
     # (reference: evaluate/create_HR_images.py:81-107)
     original_spacing: Optional[np.ndarray] = None
+    # cine position for per-frame Volumes (4-D cardiac loaders): feeds
+    # the alpha-probe feature rows (data/pairs.py alpha_features) so the
+    # normalized-frame feature matches what inference computes
+    # (infer/alpha_interp.py synthesize_cardiac_features)
+    frame_id: int = 0
+    num_frames: int = 1
 
     @property
     def num_slices(self) -> int:

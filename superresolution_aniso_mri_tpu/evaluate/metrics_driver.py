@@ -69,10 +69,15 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
     win = 7 if m >= 8 else min(5, m)
     if win % 2 == 0:
         win -= 1
-    win = max(win, 1)
-    ssim_s = ssim_volume_fused(ref_j, up_j, data_range, win)  # pallas on TPU
+    if win >= 3:
+        ssim_s = ssim_volume_fused(ref_j, up_j, data_range,
+                                   win)  # pallas on TPU
+    else:
+        # SSIM is undefined below a 3x3 window (cov_norm divides by
+        # n-1); NaN per-slice values drop out at aggregation
+        ssim_s = jnp.full((s,), jnp.nan, jnp.float32)
     psnr_s = psnr_volume(ref_j, up_j, data_range)
-    vif_s = vif_volume(ref_j, up_j)
+    vif_s = vif_volume(ref_j, up_j, data_range=data_range)
     # per-slice mse so the black-slice mask applies like every other
     # metric in this dict (a plain global mean averaged black-vs-black
     # planes in on long-axis views, deflating MSE inconsistently)
@@ -89,8 +94,11 @@ def compute_volume_metrics(reference: np.ndarray, upsampled: np.ndarray,
                else float("nan"),
     }
     if lpips_params is not None:
-        d = lpips_distance(lpips_params, up_j[..., None], ref_j[..., None],
-                           normalize=True)
+        # LPIPS expects [0,1] inputs (normalize=True maps to [-1,1]);
+        # scale other data ranges down first
+        sc = 1.0 / data_range if data_range != 1.0 else 1.0
+        d = lpips_distance(lpips_params, (up_j * sc)[..., None],
+                           (ref_j * sc)[..., None], normalize=True)
         out["lpips"] = float(masked_mean(d, all_mask))
         out["lpips_synth"] = float(masked_mean(d, synth))
     return out

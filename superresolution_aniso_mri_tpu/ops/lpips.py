@@ -129,6 +129,12 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
         candidates.append(path)
     env = os.environ.get("LPIPS_WEIGHTS")
     if env:
+        if not os.path.isfile(env):
+            # same contract as the path argument: an explicitly named
+            # weights file must never silently fall through to a
+            # different source
+            raise FileNotFoundError(
+                f"LPIPS_WEIGHTS points to a missing file: {env}")
         candidates.append(env)
     candidates.append(_FULL_NPZ)
     for cand in candidates:
