@@ -248,6 +248,12 @@ SrlImage* srl_read_nifti(const char* path) {
     count *= d;
     im->dims[ndim - 1 - i] = d;  // reversed → [z, y, x]
   }
+  // reject implausible offsets BEFORE the float→size_t cast: converting
+  // an out-of-range float to an integer type is undefined behavior
+  if (!(vox_offset >= 0.0f) || vox_offset > (float)buf.size()) {
+    set_err(im, path, "implausible NIfTI vox_offset");
+    return im;
+  }
   size_t offset = vox_offset >= 348.0f ? (size_t)(vox_offset + 0.5f) : 352;
   if (buf.size() < offset + (size_t)count * isz) {
     set_err(im, path, "truncated NIfTI payload");

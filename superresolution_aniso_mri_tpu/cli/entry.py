@@ -151,7 +151,10 @@ def find_best_model(argv=None):
         settings["limited_load"] = True
     if args.use_synthetic_data:
         settings["use_synthetic_data"] = True
-    ds = args.downsample_steps or int(settings.get("downsample_steps") or 2)
+    ds = (args.downsample_steps if args.downsample_steps is not None
+          else int(settings.get("downsample_steps") or 2))
+    if ds < 1:
+        raise SystemExit(f"--downsample_steps must be >= 1, got {ds}")
     # the validation volumes must be built for the SAME factor the sweep
     # scores (toy slice counts and brain LR simulation depend on it)
     settings["downsample_steps"] = ds

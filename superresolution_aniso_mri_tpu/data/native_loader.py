@@ -180,7 +180,17 @@ def gather_triplets(slices: Sequence[Sequence[np.ndarray]],
     ptrs = (ctypes.POINTER(ctypes.c_float) * (b * c))()
     keepalive = []
     for i, chans in enumerate(slices):
+        if len(chans) != c:
+            raise ValueError(
+                f"gather_triplets: item {i} has {len(chans)} channel "
+                f"planes, expected {c}")
         for j, plane in enumerate(chans):
+            if plane.shape != (h, w):
+                # the numpy fallback's np.stack would raise too — the
+                # native path must not silently read out of bounds
+                raise ValueError(
+                    f"gather_triplets: plane [{i}][{j}] has shape "
+                    f"{plane.shape}, expected {(h, w)}")
             if (plane.dtype != np.float32
                     or not plane.flags["C_CONTIGUOUS"]):
                 plane = np.ascontiguousarray(plane, np.float32)

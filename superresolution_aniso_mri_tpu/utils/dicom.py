@@ -47,13 +47,14 @@ class DicomError(ValueError):
     pass
 
 
-def _skip_undefined_sequence(buf: bytes, pos: int) -> int:
+def _skip_undefined_sequence(buf: bytes, pos: int, explicit: bool) -> int:
     """Advance past an undefined-length (0xFFFFFFFF) sequence by walking
     its item structure with a nesting depth counter — a plain scan for
     the first (FFFE,E0DD) delimiter would stop at a NESTED sequence's
-    delimiter and resume parsing mid-sequence. Item/delimiter tags and
-    nested undefined-length values all carry explicit 4-byte lengths, so
-    depth-tracking needs no VR awareness."""
+    delimiter and resume parsing mid-sequence. ``explicit`` selects the
+    element layout inside undefined-length items: VR-sniffing an
+    implicit file would misparse any element whose length field's low
+    bytes happen to be uppercase ASCII."""
     n = len(buf)
     depth = 1
     while pos + 8 <= n:
@@ -74,18 +75,16 @@ def _skip_undefined_sequence(buf: bytes, pos: int) -> int:
             if (group, elem) == (0xFFFE, 0xE000) and length != 0xFFFFFFFF:
                 pos += length
             continue
-        # a data element inside an undefined-length item: implicit OR
-        # explicit encodings both put a 4-byte length for the only
-        # shapes that can carry nested sequences; detect explicit long
-        # VRs, else fall back to the implicit layout
-        vr = buf[pos + 4:pos + 6]
-        if vr in _LONG_VRS:
-            length = struct.unpack_from("<I", buf, pos + 8)[0]
-            pos += 12
-        elif vr.isalpha() and vr.isupper():
-            length = struct.unpack_from("<H", buf, pos + 6)[0]
-            pos += 8
-        else:  # implicit VR
+        # a data element inside an undefined-length item
+        if explicit:
+            vr = buf[pos + 4:pos + 6]
+            if vr in _LONG_VRS:
+                length = struct.unpack_from("<I", buf, pos + 8)[0]
+                pos += 12
+            else:
+                length = struct.unpack_from("<H", buf, pos + 6)[0]
+                pos += 8
+        else:
             length = struct.unpack_from("<I", buf, pos + 4)[0]
             pos += 8
         if length == 0xFFFFFFFF:
@@ -129,7 +128,7 @@ def _parse_elements(buf: bytes, pos: int, explicit: bool,
                     "encapsulated (compressed) PixelData is not "
                     "supported by the built-in reader — install pydicom "
                     "or transcode the series to little-endian raw")
-            pos = _skip_undefined_sequence(buf, pos)
+            pos = _skip_undefined_sequence(buf, pos, explicit)
             continue
         value = buf[pos:pos + length]
         pos += length
@@ -158,13 +157,24 @@ def _us(raw) -> int:
 def read_dicom(path: str) -> Dict[str, Any]:
     """Parse one DICOM file → attribute dict with a ``pixel_array``.
 
-    Raises DicomError for non-DICOM files, compressed transfer
-    syntaxes, or missing PixelData.
+    Raises DicomError for non-DICOM, truncated, or corrupt files,
+    compressed transfer syntaxes, or missing PixelData — parsing
+    failures never leak struct/Value/Key errors, so series scans can
+    rely on catching DicomError alone.
     """
     with open(path, "rb") as f:
         buf = f.read()
     if len(buf) < 132 + 8 or buf[128:132] != b"DICM":
         raise DicomError(f"{path}: not a Part-10 DICOM file")
+    try:
+        return _read_dicom_body(path, buf)
+    except DicomError:
+        raise
+    except (struct.error, ValueError, KeyError, IndexError) as e:
+        raise DicomError(f"{path}: corrupt DICOM ({e!r})") from e
+
+
+def _read_dicom_body(path: str, buf: bytes) -> Dict[str, Any]:
     # file meta (group 0002) is ALWAYS explicit VR little endian
     meta = _parse_elements(buf, 132, explicit=True, stop_group=0x0002)
     ts_raw = None
@@ -270,7 +280,8 @@ def read_dicom_series(dicom_dir: str):
     vol = np.stack([s["pixel_array"] for s in slices])
     ps = slices[0].get("PixelSpacing", [1.0, 1.0])
     if len(slices) > 1 and all(
-            s.get("ImagePositionPatient") is not None for s in slices[:2]):
+            len(s.get("ImagePositionPatient") or []) >= 3
+            for s in slices[:2]):
         dz = abs(slices[1]["ImagePositionPatient"][2]
                  - slices[0]["ImagePositionPatient"][2]) or 1.0
     else:

@@ -83,6 +83,10 @@ def read_nifti(path: str):
     if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
         slope = scl_slope if scl_slope != 0.0 else 1.0
         arr = arr.astype(np.float32) * slope + scl_inter
+    elif not arr.flags.writeable:
+        # frombuffer views are read-only; the native reader always
+        # returns writable copies — keep the 'exact drop-in' parity
+        arr = arr.copy()
 
     spacing_xyz = [pixdim[i + 1] if pixdim[i + 1] > 0 else 1.0
                    for i in range(min(3, ndim))]
@@ -138,9 +142,10 @@ def write_nifti(path: str, arr: np.ndarray, spacing=None,
     struct.pack_into("<4f", hdr, 312, *affine[2])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + np.ascontiguousarray(arr).tobytes(order="C")
     with _open_maybe_gz(path, "wb") as f:
-        f.write(payload)
+        f.write(bytes(hdr))
+        # stream the voxel payload without materializing extra copies
+        f.write(memoryview(np.ascontiguousarray(arr)).cast("B"))
 
 
 _MET_TYPES = {
@@ -187,8 +192,10 @@ def read_metaimage(path: str):
         import zlib
         raw = zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=dtype, count=count).reshape(dim_size[::-1])
-    return (np.ascontiguousarray(arr),
-            np.array(spacing_xyz[::-1], np.float64), None)
+    arr = np.ascontiguousarray(arr)
+    if not arr.flags.writeable:
+        arr = arr.copy()
+    return arr, np.array(spacing_xyz[::-1], np.float64), None
 
 
 def write_metaimage(path: str, arr: np.ndarray, spacing=None) -> None:
