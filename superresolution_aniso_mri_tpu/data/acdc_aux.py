@@ -175,8 +175,10 @@ def acdc_sr_seg_fold(fold: int, root_dir: str, dataset: str = "validation",
     acdctestsr_validation_fold)."""
     if isinstance(patid, str):
         patid = int(patid.replace("patient", ""))
-    nums = get_acdc_fold_patient_ids(fold, dataset, limited_load,
-                                     max_limit_load=3)
+    # when a specific patient is requested, skip the limited_load
+    # truncation — truncating first made valid fold members look absent
+    nums = get_acdc_fold_patient_ids(
+        fold, dataset, limited_load and patid is None, max_limit_load=3)
     if patid is not None:
         nums = [n for n in nums if n == patid]
         if not nums:

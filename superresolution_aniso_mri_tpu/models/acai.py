@@ -154,11 +154,17 @@ class Decoder(nn.Module):
             if self.use_upsample:
                 x = _upsample2x(x)
             else:
+                # padding ((2,2),(2,2)) is the flax equivalent of torch
+                # ConvTranspose2d(k=4, s=2, p=1)'s OUTPUT shape 2n:
+                # flax pads the stride-dilated input directly, so the
+                # torch-style (1,1) yielded 2n-2 and the decoder never
+                # reproduced the input resolution (verified 16->30 vs
+                # 16->32)
                 x = nn.ConvTranspose(
                     k,
                     (4, 4),
                     strides=(2, 2),
-                    padding=((1, 1), (1, 1)),
+                    padding=((2, 2), (2, 2)),
                     dtype=dt,
                     param_dtype=jnp.float32,
                     kernel_init=acai_kernel_init,

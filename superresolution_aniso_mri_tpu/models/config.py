@@ -45,6 +45,17 @@ class AEConfig:
     # compute dtype for conv stacks; params are always float32.
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        # fail fast on non-power-of-2 width ratios: the docstring's
+        # shape-exact invariant (latent_width == width >> scales) is
+        # what alpha probes / VAE unflatten rely on — a rounded scales
+        # value would mis-shape latents far from the root cause
+        if self.width != (self.latent_width << self.scales):
+            raise ValueError(
+                f"width ({self.width}) must be latent_width "
+                f"({self.latent_width}) * a power of 2 — got ratio "
+                f"{self.width / self.latent_width:g}")
+
     @property
     def scales(self) -> int:
         return int(round(math.log2(self.width / self.latent_width)))
@@ -64,7 +75,9 @@ class AEConfig:
             colors=int(args.get("colors", 1)),
             use_batchnorm=bool(args.get("use_batchnorm", False)),
             use_sigmoid=bool(args.get("use_sigmoid", False)),
-            n_res_block=args.get("n_res_block", None),
+            n_res_block=(int(args["n_res_block"])
+                         if args.get("n_res_block") not in (None, "")
+                         else None),
             use_upsample=bool(args.get("use_upsample", True)),
             nclasses=int(args.get("nclasses", 4)),
             compute_dtype=str(args.get("compute_dtype", "float32")),

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import optax
-from flax import struct
 from flax.training import train_state
 
 

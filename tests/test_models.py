@@ -128,3 +128,28 @@ def test_alpha_probes(name, nout):
     variables = probe.init(jax.random.PRNGKey(0), z, feats)
     out = probe.apply(variables, z, feats)
     assert out.shape == (2, nout)
+
+
+def test_convtranspose_decoder_reproduces_resolution():
+    """use_upsample=False (ConvTranspose decoder): output must return to
+    the input resolution — review fix: torch-style padding (1,1) in flax
+    yields 2n-2 per stage (16->30 instead of 16->32)."""
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+
+    cfg = AEConfig(width=32, latent_width=8, depth=4, latent=4, colors=1,
+                   use_upsample=False, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    x = jnp.zeros((2, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 32, 32, 1)
+    # the decoder really is transposed-conv (params present)
+    assert any(k.startswith("ConvTranspose")
+               for k in variables["params"]["dec"])
+
+
+def test_aeconfig_rejects_non_power_of_two_ratio():
+    from superresolution_aniso_mri_tpu.models import AEConfig
+
+    with pytest.raises(ValueError, match="power of 2"):
+        AEConfig(width=96, latent_width=16, depth=4, latent=4)
