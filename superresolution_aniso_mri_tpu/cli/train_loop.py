@@ -233,9 +233,10 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # steps_per_dispatch > 1 scans N optimizer steps inside one
             # device program (amortizes the tunnel's per-program floor)
             spd = int(merged.get("steps_per_dispatch", 1) or 1)
+            prefetch = prefetch_epoch(sampler, batch_size, to_device)
             try:
                 buf = []
-                for batch in prefetch_epoch(sampler, batch_size, to_device):
+                for batch in prefetch:
                     last_batch = batch
                     if spd <= 1:
                         trainer.train(batch)
@@ -248,6 +249,10 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                 for batch in buf:  # remainder of the epoch
                     trainer.train(batch)
             finally:
+                # stop the worker even on interrupt/step failure — an
+                # abandoned iterator would leak the thread + queued
+                # device batches
+                prefetch.close()
                 prof.__exit__(None, None, None)
             rng, _ = jax.random.split(rng)
             # end-of-epoch validation over several batches so best-model

@@ -37,13 +37,16 @@ def compute_ppl(trainer, images: np.ndarray, num_pairs: int = 64,
 
     x1 = jnp.asarray(images[idx1], jnp.float32)[..., None]
     x2 = jnp.asarray(images[idx2], jnp.float32)[..., None]
-    z1 = trainer.encode(x1)
-    z2 = trainer.encode(x2)
+    # route through the SR model when one is loaded — the reference PPL
+    # decodes with use_sr_model=True (perceptual_path_length.py:102);
+    # _sr_params falls back to the AE when no SR checkpoint is loaded
+    z1 = trainer.encode(x1, use_sr_model=True)
+    z2 = trainer.encode(x2, use_sr_model=True)
     tt = jnp.asarray(t).reshape((-1,) + (1,) * (z1.ndim - 1))
     z_a = tt * z2 + (1 - tt) * z1
     z_b = (tt + epsilon) * z2 + (1 - (tt + epsilon)) * z1
-    img_a = trainer.decode(z_a)
-    img_b = trainer.decode(z_b)
+    img_a = trainer.decode(z_a, use_sr_model=True)
+    img_b = trainer.decode(z_b, use_sr_model=True)
     d = np.asarray(lpips_distance(lpips_params, img_a, img_b,
                                   normalize=True)) / (epsilon ** 2)
     lo, hi = np.percentile(d, [1, 99])

@@ -25,6 +25,19 @@ def score_segmentation(pred: np.ndarray, reference: np.ndarray,
                        structures: Optional[Dict[int, str]] = None
                        ) -> Dict[str, Dict[str, float]]:
     """Per-structure Dice / HD95 / ASSD between integer label volumes."""
+    pred = np.asarray(pred)
+    reference = np.asarray(reference)
+    # fail fast on shape mismatches: broadcastable ones (e.g. a leading
+    # singleton frame axis) would silently score a meaningless broadcast
+    # and non-broadcastable ones crash deep inside the distance metrics
+    if pred.shape == (1,) + reference.shape:
+        pred = pred[0]
+    if reference.shape == (1,) + pred.shape:
+        reference = reference[0]
+    if pred.shape != reference.shape:
+        raise ValueError(
+            f"score_segmentation: pred shape {pred.shape} != reference "
+            f"shape {reference.shape}")
     structures = structures or ACDC_STRUCTURES
     out: Dict[str, Dict[str, float]] = {}
     for lbl, name in structures.items():

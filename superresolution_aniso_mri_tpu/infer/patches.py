@@ -54,12 +54,20 @@ def reconstruct_in_patches(trainer, volume, patch: int = 32) -> np.ndarray:
 def interpolate_in_patches(trainer, img1, img2, alpha: float,
                            patch: int = 32) -> np.ndarray:
     """Latent interpolation of one slice pair, patch-tiled
-    (reference: kwatsch/img_interpolation.py:20-55)."""
+    (reference: kwatsch/img_interpolation.py:20-55
+    latent_space_interp_diff_patch_size, which routes through the SR
+    model when one is loaded).
+
+    Alpha convention: ``alpha`` weights ``img1`` — same orientation as
+    this package's latent_space_interp, and the MIRROR of the
+    reference helper (whose alpha weights img2); sweep 1-alpha to
+    reproduce reference notebooks verbatim."""
     a = jnp.asarray(img1, jnp.float32)[None]
     b = jnp.asarray(img2, jnp.float32)[None]
     h, w = a.shape[1:3]
     pa = extract_patches(a, patch)
     pb = extract_patches(b, patch)
-    z = alpha * trainer.encode(pa) + (1.0 - alpha) * trainer.encode(pb)
-    dec = trainer.decode(z)
+    z = (alpha * trainer.encode(pa, use_sr_model=True)
+         + (1.0 - alpha) * trainer.encode(pb, use_sr_model=True))
+    dec = trainer.decode(z, use_sr_model=True)
     return np.asarray(assemble_patches(dec[..., 0], 1, h, w, patch)[0])
