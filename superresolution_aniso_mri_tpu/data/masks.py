@@ -36,12 +36,17 @@ def make_loss_mask(labels: np.ndarray, dilation_iters: int = 5,
     return out
 
 
-def masks_for_volume(labels3d: np.ndarray, dilation_iters: int = 5
-                     ) -> np.ndarray:
+def masks_for_volume(labels3d: np.ndarray, dilation_iters: int = 5,
+                     include_labels=(1, 2, 3)) -> np.ndarray:
     """Per-slice loss masks for a [S, H, W] label volume; slices without
-    any structure get an all-ones mask (no loss suppression), matching
-    the reference's behaviour for unlabeled slices."""
-    masks = make_loss_mask(labels3d, dilation_iters)
-    empty = ~labels3d.reshape(labels3d.shape[0], -1).any(axis=1)
+    any INCLUDED structure get an all-ones mask (no loss suppression),
+    matching the reference's behaviour for unlabeled slices. The empty
+    test must use the included-foreground mask, not labels.any() — a
+    slice carrying only excluded labels would otherwise keep an all-zero
+    mask and silently suppress its entire loss."""
+    masks = make_loss_mask(labels3d, dilation_iters,
+                           include_labels=include_labels)
+    fg = np.isin(labels3d, include_labels)
+    empty = ~fg.reshape(labels3d.shape[0], -1).any(axis=1)
     masks[empty] = 1.0
     return masks

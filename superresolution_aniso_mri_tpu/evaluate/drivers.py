@@ -22,8 +22,8 @@ def evaluate_interpolation_performance(trainer, volumes: Iterable[Volume],
                                        **kwargs) -> Dict:
     """Thin wrapper used by the best-model sweep
     (reference: evaluate_interpolations.py:42-63)."""
-    return create_hr_images(trainer, volumes, downsample_steps,
-                            save_volumes=False, **kwargs)
+    kwargs.setdefault("save_volumes", False)
+    return create_hr_images(trainer, volumes, downsample_steps, **kwargs)
 
 
 def test_interpolation_with_rigid_transformations(

@@ -27,6 +27,13 @@ def evaluate_model_reconstruction(trainer, volumes: Iterable[Volume]
         depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
         chunk = _auto_decode_batch(bucket_size(s), h, w, depth)
         s_pad = bucket_size(s)
+        if chunk is not None:
+            # round the chunk down to a divisor of s_pad so every slice
+            # x[i:i+chunk] has the same shape — a ragged tail would
+            # compile one extra program per distinct remainder (~20 s
+            # each on the axon backend)
+            while s_pad % chunk:
+                chunk -= 1
         x = np.zeros((s_pad, h, w, 1), np.float32)
         x[:s, ..., 0] = img
         if chunk is None:
@@ -38,5 +45,8 @@ def evaluate_model_reconstruction(trainer, volumes: Iterable[Volume]
             recon = np.concatenate(parts, axis=0)
         per_volume.append(compute_volume_metrics(img, recon[:s]))
         ids.append(vol.patient_id)
+    if not per_volume:
+        raise ValueError("evaluate_model_reconstruction: no volumes to "
+                         "evaluate (empty dataset/split?)")
     return {"per_volume": dict(zip(ids, per_volume)),
             "aggregate": aggregate_metrics(per_volume)}

@@ -19,6 +19,8 @@ def make_grid(images: np.ndarray, nrow: int = 8, pad: int = 2,
     if imgs.ndim == 4:
         imgs = imgs[..., 0]
     n, h, w = imgs.shape
+    if n == 0:
+        raise ValueError("make_grid: empty image stack")
     ncol = min(nrow, n)
     nrows = int(np.ceil(n / ncol))
     grid = np.full((nrows * (h + pad) + pad, ncol * (w + pad) + pad),
@@ -83,11 +85,13 @@ def save_image_grid(grid: np.ndarray, filename: str) -> None:
     (reference: training_utils.py:9-14)."""
     from PIL import Image
 
+    was_integer = np.issubdtype(np.asarray(grid).dtype, np.integer)
     g = np.asarray(grid, np.float32)
-    # [0,1]-ish grids (allowing slight sigmoid-free overshoot) scale to
-    # 0..255; a hard max<=1.0 gate turned a single 1.02 pixel into an
-    # all-black PNG
-    if g.max() <= 2.0:
+    # [0,1]-ish FLOAT grids (allowing slight sigmoid-free overshoot)
+    # scale to 0..255; a hard max<=1.0 gate turned a single 1.02 pixel
+    # into an all-black PNG. Integer grids are already 0..255 — the
+    # heuristic must not blow a near-black uint8 image up to white.
+    if not was_integer and g.max() <= 2.0:
         g = np.clip(g, 0.0, 1.0) * 255.0
     g = np.clip(g, 0, 255).astype(np.uint8)
     os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)

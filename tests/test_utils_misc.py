@@ -2,6 +2,8 @@
 pallas SSIM kernel (interpret mode) and loss-curve plotting."""
 import os
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -75,3 +77,60 @@ def test_loss_curve_plot(tmp_path):
     out = str(tmp_path / "curves.png")
     show_loss_curves(iters, tr, te, save_path=out)
     assert os.path.isfile(out)
+
+
+def test_generate_batch_compare_grid_layout():
+    """Row layout: from, to (SAME items), true between, synthesized,
+    reconstruction — pinned so the (2B || B) alignment can't rot."""
+    from superresolution_aniso_mri_tpu.utils.grids import (
+        generate_batch_compare_grid,
+    )
+
+    b = 3
+    image = np.zeros((2 * 4, 8, 8), np.float32)
+    for i in range(4):
+        image[i] = 0.1 * (i + 1)          # from-slices
+        image[4 + i] = 0.5 + 0.1 * i      # to-slices
+    between = np.full((4, 8, 8), 0.25, np.float32)
+    synth = np.full((4, 8, 8), 0.35, np.float32)
+    recon = np.full((4, 8, 8), 0.45, np.float32)
+    grid = generate_batch_compare_grid(image, between, synth, recon,
+                                       max_items=b)
+    # 5 rows of b columns, 8x8 tiles with pad 2
+    assert grid.shape == (5 * 10 + 2, b * 10 + 2)
+    # row 1 column 0 must be the FIRST item's to-slice (0.5), not the
+    # last item's
+    np.testing.assert_allclose(grid[12:20, 2:10], 0.5)
+
+
+def test_make_grid_empty_raises():
+    from superresolution_aniso_mri_tpu.utils.grids import make_grid
+
+    with pytest.raises(ValueError, match="empty"):
+        make_grid(np.zeros((0, 4, 4), np.float32))
+
+
+def test_save_image_grid_integer_input_not_rescaled(tmp_path):
+    """A near-black uint8 grid must stay near-black (the [0,1] range
+    heuristic only applies to float inputs)."""
+    from PIL import Image
+    from superresolution_aniso_mri_tpu.utils.grids import save_image_grid
+
+    g = np.full((8, 8), 2, np.uint8)
+    p = str(tmp_path / "g.png")
+    save_image_grid(g, p)
+    out = np.asarray(Image.open(p))
+    assert out.max() == 2
+
+
+def test_masks_exclude_only_labels_get_all_ones(tmp_path):
+    """A slice carrying ONLY excluded labels must get the all-ones
+    fallback, not an all-zero loss mask."""
+    from superresolution_aniso_mri_tpu.data.masks import masks_for_volume
+
+    labels = np.zeros((2, 8, 8), np.int32)
+    labels[0, 2:4, 2:4] = 4      # excluded label only
+    labels[1, 2:4, 2:4] = 1      # included structure
+    masks = masks_for_volume(labels, dilation_iters=1)
+    np.testing.assert_allclose(masks[0], 1.0)
+    assert 0.0 < masks[1].mean() < 1.0
