@@ -96,6 +96,9 @@ def _oasis(name) -> DataConfig:
     return DataConfig(
         dataset=name, img_file_ext="t88_gfc.nii.gz",
         data_root_dir=root, image_dir=os.path.join(root, "nifti"),
+        # written by data.datasets.create_split_file; _split_patients
+        # falls back to the deterministic seeded split when absent
+        split_file=os.path.join(root, "train_test_split.yaml"),
     )
 
 
@@ -105,6 +108,7 @@ def _dhcp(name) -> DataConfig:
     return DataConfig(
         dataset=name, img_file_ext="t2w.nii.gz",
         data_root_dir=root, image_dir=root,
+        split_file=os.path.join(root, "train_test_split.yaml"),
     )
 
 
@@ -114,6 +118,7 @@ def _adni(name) -> DataConfig:
     return DataConfig(
         dataset=name, img_file_ext=".nii",
         data_root_dir=root, image_dir=root,
+        split_file=os.path.join(root, "train_test_split.yaml"),
     )
 
 

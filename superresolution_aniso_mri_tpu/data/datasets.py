@@ -121,10 +121,18 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
         # reference's val_set). A random re-split would leak curated
         # test patients into training.
         want_dir = ("training" if split == "training" else "test")
-        by_dir = [f for f in files
-                  if want_dir in {p.lower() for p in f.split(os.sep)}]
+
+        # only components BELOW the data root count — an ancestor
+        # directory named 'test'/'training' (e.g. /mnt/test/data) would
+        # otherwise match every file and leak splits into each other
+        def _parts_below_root(f):
+            rel = os.path.relpath(os.path.abspath(f),
+                                  os.path.abspath(root))
+            return {p.lower() for p in rel.split(os.sep)}
+
+        by_dir = [f for f in files if want_dir in _parts_below_root(f)]
         has_split_dirs = any(
-            d in {p.lower() for f in files for p in f.split(os.sep)}
+            d in _parts_below_root(f) for f in files
             for d in ("training", "test"))
         if by_dir:
             files = by_dir
@@ -321,8 +329,10 @@ def load_acdc_volumes(split: str = "training",
             arr = arr[None]
         if frame_limit:
             arr = arr[:frame_limit]
-        # per-patient bad-frame trimming is an ACDC-specific curation
-        bad_limit = acdc_frame_limit(pid) if dataset == "ACDC" else None
+        # per-patient bad-frame trimming is an ACDC curation — ACDCC
+        # reads the same all_cardiac_phases files and needs it too
+        bad_limit = (acdc_frame_limit(pid)
+                     if dataset in ("ACDC", "ACDCC") else None)
         if bad_limit is not None:
             arr = arr[:bad_limit]
         original_spacing = np.asarray(spacing, np.float64)[-3:]
@@ -432,12 +442,18 @@ def load_sunnybrook_volumes(src_path: Optional[str] = None,
         pid = base.replace(file_suffix, "")
         # anchored suffix swap on the BASENAME — a path component or
         # patient id containing 'ES' must not be rewritten
-        ed_name = base[: -len(file_suffix)] + file_suffix.replace("ES", "ED")
-        ed_path = os.path.join(os.path.dirname(fname), ed_name)
         phases = [("ES", fname)]
-        if os.path.isfile(ed_path):
-            phases.append(("ED", ed_path))
+        if "ES" in file_suffix:
+            ed_name = (base[: -len(file_suffix)]
+                       + file_suffix.replace("ES", "ED"))
+            ed_path = os.path.join(os.path.dirname(fname), ed_name)
         else:
+            # a suffix without 'ES' has no phase encoding — deriving an
+            # "ED companion" would re-load the SAME file mislabeled
+            ed_path = None
+        if ed_path and os.path.isfile(ed_path):
+            phases.append(("ED", ed_path))
+        elif ed_path:
             import warnings
             warnings.warn(f"sunnybrook: no ED companion for {base} — "
                           f"loading ES phase only", stacklevel=2)
@@ -498,9 +514,20 @@ def create_dhcp_dataset(src_path: str, out_path: str,
         from .transforms import pad_to_size
         cropped = pad_to_size(cropped, patch_size)
         pid = _patient_id_from_file("dHCP", path)
-        out = os.path.join(out_path, os.path.basename(path)
-                   if os.path.basename(path).endswith("t2w.nii.gz")
-                   else f"{pid}_t2w.nii.gz")
+        if os.path.basename(path).endswith("t2w.nii.gz"):
+            out = os.path.join(out_path, os.path.basename(path))
+        else:
+            out = os.path.join(out_path, f"{pid}_t2w.nii.gz")
+            if out in written or os.path.isfile(out):
+                # several sessions/files of the same subject must not
+                # silently overwrite each other — uniquify from the full
+                # source stem
+                stem = os.path.basename(path)
+                for ext in (".nii.gz", ".nii"):
+                    if stem.endswith(ext):
+                        stem = stem[: -len(ext)]
+                        break
+                out = os.path.join(out_path, f"{stem}_t2w.nii.gz")
         write_image(out, cropped, spacing=spacing)
         written.append(out)
     return written
@@ -554,14 +581,29 @@ def load_acdc_labeled_volumes(split: str = "training",
     volumes = []
     for pid, path in sel:
         arr, spacing, _ = read_image(path)
-        arr = rescale_intensities(arr.astype(np.float32), percs=(1, 99))
+        arr = arr.astype(np.float32)
+        spacing = np.asarray(spacing, np.float64)
         gt_path = path.replace(".nii.gz", "_gt.nii.gz")
         labels = None
         if os.path.isfile(gt_path):
             lbl, _, _ = read_image(gt_path)
             labels = lbl.astype(np.int32)
+        # in-plane resample to the shared 1.4mm grid like the plain ACDC
+        # pipeline (reference passes new_spacing=(1,1.4,1.4) to the
+        # labeled dataset too, train_cardiac_aesr.py:55-58); labels ride
+        # along with order-0 lookup
+        if cfg.voxel_spacing_resample is not None:
+            new_sp = np.asarray(cfg.voxel_spacing_resample, np.float64)
+            arr = apply_2d_zoom_3d(arr, spacing[-2:], new_sp)
+            if labels is not None:
+                labels = apply_2d_zoom_3d(labels, spacing[-2:], new_sp,
+                                          do_blur=False, order=0,
+                                          as_type=np.int32)
+            spacing = spacing.copy()
+            spacing[1:] = new_sp[-2:]
+        arr = rescale_intensities(arr, percs=(1, 99))
         volumes.append(Volume(
-            image=arr, spacing=np.asarray(spacing),
+            image=arr, spacing=spacing,
             patient_id=os.path.basename(path).replace(".nii.gz", ""),
             labels=labels))
     return volumes

@@ -27,6 +27,13 @@ def load_model_specs(path: str) -> Dict[str, Dict]:
     with open(os.path.expanduser(path)) as fp:
         specs = yaml.safe_load(fp) or {}
     for name, spec in specs.items():
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"{path}: registry entry {name!r} must be a mapping "
+                f"with a 'path' key (got {type(spec).__name__})")
+        if "path" not in spec:
+            raise ValueError(
+                f"{path}: registry entry {name!r} has no 'path'")
         spec.setdefault("checkpoint", "caisr")
         spec["path"] = os.path.expanduser(str(spec["path"]))
     return specs

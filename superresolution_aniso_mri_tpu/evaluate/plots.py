@@ -164,10 +164,15 @@ def interpolation_sequence_figure(slice_from: np.ndarray,
     axes[0, 0].set_title("from", fontsize=8)
     axes[0, -1].set_title("to", fontsize=8)
     if ground_truth is not None:
+        # tolerate a ground-truth count different from the interpolant
+        # count: clamp to the available columns and blank the rest
+        # (a longer ground_truth previously raised IndexError)
         gts = [slice_from] + [ground_truth[i] for i in
                               range(ground_truth.shape[0])] + [slice_to]
-        for i, s in enumerate(gts):
-            axes[1, i].imshow(s, cmap="gray", vmin=0, vmax=1)
+        for i in range(len(seq)):
+            if i < len(gts) - 1 or i == len(seq) - 1:
+                src = gts[i] if i < len(gts) - 1 else gts[-1]
+                axes[1, i].imshow(src, cmap="gray", vmin=0, vmax=1)
             axes[1, i].axis("off")
     fig.tight_layout()
     if save_path:
