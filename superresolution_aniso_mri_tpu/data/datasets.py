@@ -521,13 +521,19 @@ def create_dhcp_dataset(src_path: str, out_path: str,
             if out in written or os.path.isfile(out):
                 # several sessions/files of the same subject must not
                 # silently overwrite each other — uniquify from the full
-                # source stem
+                # source stem, then a counter (same-basename sessions
+                # would collide on the stem too)
                 stem = os.path.basename(path)
                 for ext in (".nii.gz", ".nii"):
                     if stem.endswith(ext):
                         stem = stem[: -len(ext)]
                         break
                 out = os.path.join(out_path, f"{stem}_t2w.nii.gz")
+                k = 2
+                while out in written or os.path.isfile(out):
+                    out = os.path.join(out_path,
+                                       f"{stem}_{k}_t2w.nii.gz")
+                    k += 1
         write_image(out, cropped, spacing=spacing)
         written.append(out)
     return written

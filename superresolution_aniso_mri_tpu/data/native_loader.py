@@ -177,6 +177,11 @@ def gather_triplets(slices: Sequence[Sequence[np.ndarray]],
     h, w = slices[0][0].shape
     if out is None:
         out = np.empty((b, h, w, c), np.float32)
+    elif (out.shape != (b, h, w, c) or out.dtype != np.float32
+          or not out.flags["C_CONTIGUOUS"]):
+        raise ValueError(
+            f"gather_triplets: out must be C-contiguous float32 "
+            f"{(b, h, w, c)}, got {out.dtype} {out.shape}")
     ptrs = (ctypes.POINTER(ctypes.c_float) * (b * c))()
     keepalive = []
     for i, chans in enumerate(slices):

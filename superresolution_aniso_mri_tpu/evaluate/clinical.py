@@ -63,9 +63,9 @@ def peak_rates(vol_curve: np.ndarray, frame_duration_s: float = 1.0
     if vol_curve.size < 2:
         # a single-frame curve has no rates; NaN keeps aggregates honest
         return {"peak_ejection_rate": float("nan"),
-                "peak_ejection_frame": 0,
+                "peak_ejection_frame": -1,
                 "peak_filling_rate": float("nan"),
-                "peak_filling_frame": 0}
+                "peak_filling_frame": -1}
     dv = np.diff(vol_curve) / frame_duration_s
     # rates are magnitudes: a curve that only fills has no ejection
     # phase (rate 0, frame -1 — a real frame index would point at the

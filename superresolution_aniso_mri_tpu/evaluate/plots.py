@@ -170,8 +170,13 @@ def interpolation_sequence_figure(slice_from: np.ndarray,
         gts = [slice_from] + [ground_truth[i] for i in
                               range(ground_truth.shape[0])] + [slice_to]
         for i in range(len(seq)):
-            if i < len(gts) - 1 or i == len(seq) - 1:
-                src = gts[i] if i < len(gts) - 1 else gts[-1]
+            if i == len(seq) - 1:
+                src = gts[-1]          # the to-slice, always last
+            elif i < len(gts) - 1:
+                src = gts[i]
+            else:
+                src = None             # fewer ground-truth frames: blank
+            if src is not None:
                 axes[1, i].imshow(src, cmap="gray", vmin=0, vmax=1)
             axes[1, i].axis("off")
     fig.tight_layout()

@@ -65,14 +65,17 @@ def initialize_distributed(args: Optional[Dict] = None) -> bool:
         jax.distributed.initialize()
         _INITIALIZED = True
         return True
-    if not coord and not nproc:
+    if nproc is not None and int(nproc) <= 1:
+        # an EXPLICIT num_processes<=1 is a valid single-process config
+        # (e.g. the N=1 instantiation of a multi-host launch template,
+        # coordinator flag and all)
         return False
-    if nproc is not None and int(nproc) <= 1 and not coord:
+    if not coord and not nproc:
         return False
     # PARTIAL configs fail fast: silently proceeding single-process
     # would let N hosts each think they are process 0 and race on the
     # shared experiment directory
-    if bool(coord) != bool(nproc and int(nproc) > 1):
+    if bool(coord) != bool(nproc):
         raise ValueError(
             f"multi-host: incomplete configuration "
             f"(coordinator_address={coord!r}, num_processes={nproc!r}) "
