@@ -291,9 +291,6 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     p = cfg.patch_size
 
     keys = jax.random.split(key, 9 * b).reshape(9, b, 2)
-    if cfg.elastic:
-        x = jax.vmap(lambda k, i: _elastic_one(k, i, cfg.elastic_alpha))(
-            keys[7], x)
     need_crop = x.shape[1] > p or x.shape[2] > p
     if cfg.crop_next_to_center and need_crop:
         x = jax.vmap(lambda k, i: _crop_next_to_center_one(
@@ -308,6 +305,11 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     # sigmoid(-gain*cutoff) gray
     if cfg.intensity:
         x = jax.vmap(_intensity_one)(keys[2], x)
+    # elastic joins the other bilinear warps AFTER intensity for the
+    # same zero-border reason (it zero-fills pulled-in pixels too)
+    if cfg.elastic:
+        x = jax.vmap(lambda k, i: _elastic_one(k, i, cfg.elastic_alpha))(
+            keys[7], x)
     if cfg.perspective:
         x = jax.vmap(_perspective_one)(keys[8], x)
     if cfg.rotate_any and cfg.max_degree > 0:

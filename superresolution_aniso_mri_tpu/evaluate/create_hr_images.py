@@ -161,19 +161,23 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
     model_name = (trainer.args.get("model", "model") if trainer is not None
                   else interpol_method)
 
-    def _synthesize(img3d):
+    def _synthesize(img3d, lbl3d=None):
         if interpol_method == "model":
             result = create_super_volume(
                 trainer, img3d, alpha_range=alpha_range,
                 downsample_steps=downsample_steps,
                 generate_inbetween_slices=True,
-                use_original=use_original)
-            return result["upsampled_image"], False
+                use_original=use_original, labels=lbl3d)
+            # upsampled_labels: model-decoded for the multichannel
+            # (ACDCLBL) family, ride-along otherwise (grid coincides in
+            # the in-between-slices mode, so they return unchanged)
+            return (result["upsampled_image"],
+                    result["upsampled_labels"], False)
         # clip like the reference (create_HR_images.py:328) — cubic /
         # lanczos taps can ring outside [0, 1]
         return np.clip(create_simple_interpolation(
             img3d, downsample_steps, method=interpol_method,
-            generate_inbetween_slices=True), 0.0, 1.0), True
+            generate_inbetween_slices=True), 0.0, 1.0), lbl3d, True
 
     for vol in volumes:
         hr = vol.image_hr if vol.image_hr is not None else vol.image
@@ -187,24 +191,35 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
         def _n_scored(s):
             return ((s - 1) // downsample_steps) * downsample_steps + 1
 
+        # input labels on the image grid (None when absent/mismatched);
+        # the multichannel encoder consumes them as its second channel
+        lbl_in = (np.asarray(vol.labels)
+                  if getattr(vol, "labels", None) is not None else None)
+        if lbl_in is not None and lbl_in.shape != img.shape:
+            lbl_in = None  # labels on a different grid (e.g. ED/ES only)
+
         if is_4d:
-            frames, conv = [], False
+            frames, up_lbls, conv = [], [], False
             frame_metrics = []
             for t in range(img.shape[0]):
-                up_t, conv = _synthesize(img[t])
+                up_t, uplbl_t, conv = _synthesize(
+                    img[t], None if lbl_in is None else lbl_in[t])
                 frames.append(up_t)
+                up_lbls.append(uplbl_t)
                 n = min(hr.shape[1], len(up_t), _n_scored(len(up_t)))
                 frame_metrics.append(compute_volume_metrics(
                     hr[t][:n], up_t[:n], downsample_steps=downsample_steps,
                     conv_interpol=conv, eval_axis=eval_axis,
                     lpips_params=lpips_params))
             upsampled = np.stack(frames, axis=0)
+            up_lbl = (np.stack(up_lbls, axis=0)
+                      if all(u is not None for u in up_lbls) else None)
             agg_samples.extend(frame_metrics)
             # per-patient report = mean over frames
             metrics = {k: float(np.mean([m[k] for m in frame_metrics]))
                        for k in frame_metrics[0]}
         else:
-            upsampled, conv = _synthesize(img)
+            upsampled, up_lbl, conv = _synthesize(img, lbl_in)
             n = min(len(hr), len(upsampled), _n_scored(len(upsampled)))
             metrics = compute_volume_metrics(
                 hr[:n], upsampled[:n], downsample_steps=downsample_steps,
@@ -235,9 +250,11 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                       else f"{interpol_method}_{downsample_steps}x")
             # labels live on the same z-grid as the in-between-slices
             # output — save them alongside for downstream segmentation
-            # eval (reference: create_HR_images.py:98-106, 312-315)
-            lbl = (np.asarray(vol.labels)
-                   if getattr(vol, "labels", None) is not None else None)
+            # eval (reference: create_HR_images.py:98-106, 312-315);
+            # multichannel models save their DECODED labels
+            lbl = up_lbl if up_lbl is not None else (
+                np.asarray(vol.labels)
+                if getattr(vol, "labels", None) is not None else None)
             if lbl is not None and lbl.shape != upsampled.shape:
                 lbl = None  # labels on a different grid (e.g. ED/ES only)
             if is_4d:

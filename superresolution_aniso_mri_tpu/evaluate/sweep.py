@@ -29,7 +29,7 @@ from ..ops import psnr_volume, ssim_volume, synth_slice_mask, vif_volume
 
 
 def make_sweep_evaluator(model, decode_batch: Optional[int] = None):
-    """evaluate(params, batch_stats, kept [B,K,H,W,1], hr [B,S,H,W],
+    """evaluate(params, batch_stats, kept [B,K,H,W,C], hr [B,S,H,W],
     alphas [A]) → per-slice metric stacks {'ssim','psnr','vif','sq'}
     each [B, min(S, (K-1)(A+1)+1)]."""
     core = make_synthesis_core(model, decode_batch)
@@ -93,6 +93,12 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
             f"len(alpha_range)={a_n} must be downsample_steps-1={ds - 1} "
             "so synthesized slices align with the HR grid")
 
+    # multichannel (ACDCLBL) encoders take an image+label input channel
+    # pair — ride the volume's labels along the kept grid (zeros when
+    # absent), mirroring create_super_volume
+    model_colors = int(getattr(getattr(trainer, "model_config", None),
+                               "colors", 1) or 1)
+
     groups: Dict[tuple, List] = {}
     frame_counts: Dict[str, int] = {}
     seen_ids: Dict[str, int] = {}
@@ -101,6 +107,10 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
             vol.image_hr if vol.image_hr is not None else vol.image,
             np.float32)
         img_full = np.asarray(vol.image, np.float32)
+        lbl_full = (np.asarray(vol.labels, np.float32)
+                    if getattr(vol, "labels", None) is not None else None)
+        if lbl_full is not None and lbl_full.shape != img_full.shape:
+            lbl_full = None  # labels on a different grid
         # uniquify duplicate patient ids (ED/ES frames loaded as
         # separate volumes) — same convention as create_hr_images
         pid = str(vol.patient_id)
@@ -110,15 +120,22 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
         # 4D cardiac volumes score frame-by-frame, averaged per patient
         # (same convention as create_hr_images)
         if img_full.ndim == 4:
-            frames = [(f"{pid}@{t}", img_full[t], hr_full[t])
+            frames = [(f"{pid}@{t}", img_full[t], hr_full[t],
+                       None if lbl_full is None else lbl_full[t])
                       for t in range(img_full.shape[0])]
             frame_counts[pid] = img_full.shape[0]
         else:
-            frames = [(pid, img_full, hr_full)]
-        for pid, img, hr in frames:
+            frames = [(pid, img_full, hr_full, lbl_full)]
+        for pid, img, hr, lbl in frames:
             s = img.shape[0]
             remain = (s - 1) % ds
             kept = (img[:-remain] if remain else img)[::ds]
+            if model_colors >= 2:
+                klb = ((lbl[:-remain] if remain else lbl)[::ds]
+                       if lbl is not None else np.zeros_like(kept))
+                kept = np.stack([kept, klb], axis=-1)   # [K, H, W, 2]
+            else:
+                kept = kept[..., None]                  # [K, H, W, 1]
             k_true = kept.shape[0]
             k_pad = bucket_size(k_true)
             n_out = (k_pad - 1) * (a_n + 1) + 1
@@ -143,8 +160,7 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
         max_b = max(1, int((1 << 31) // max(per_vol, 1)))
         for start in range(0, len(items), max_b):
             chunk = items[start:start + max_b]
-            kept_stack = jnp.asarray(
-                np.stack([it[1] for it in chunk])[..., None])
+            kept_stack = jnp.asarray(np.stack([it[1] for it in chunk]))
             hr_stack = jnp.asarray(np.stack([it[2] for it in chunk]))
             per_slice = evaluator(params, batch_stats, kept_stack,
                                   hr_stack, alphas)

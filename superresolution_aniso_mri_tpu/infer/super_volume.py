@@ -91,6 +91,14 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
     # conv latents are a space the decoder was never trained on
     # (reference: trainer_vae.py:112-149 exec_vae_bottleneck)
     is_vae = hasattr(model, "heads") and hasattr(model, "unflatten")
+    # multichannel (ACDCLBL) decode returns {'image','soft_probs'} —
+    # the reference's with_labels path decodes BOTH heads and carries
+    # pred_labels = argmax(soft_probs) through the interleave
+    # (generate_hr_volumes.py:91-101, sr_multi_channel/trainer_ae.py:117);
+    # here the label rides as output channel 1 so the core stays a
+    # single array program
+    from ..models.multi_channel import MultiChannelAE
+    is_multichannel = isinstance(model, MultiChannelAE)
 
     def core(variables, kept: Array, alphas: Array,
              use_original: bool = False,
@@ -117,6 +125,12 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         if packed and cfg is not None and packable(model, cfg, variables):
             packed_dec = make_packed_decoder(model, cfg)
             decode_fn = lambda zz: packed_dec(variables, zz)
+        elif is_multichannel:
+            def decode_fn(zz):
+                out = model.apply(variables, zz, method=model.decode)
+                lbl = jnp.argmax(out["soft_probs"], axis=-1)[..., None]
+                return jnp.concatenate(
+                    [out["image"], lbl.astype(out["image"].dtype)], axis=-1)
         else:
             decode_fn = lambda zz: model.apply(variables, zz,
                                                method=model.decode)
@@ -142,6 +156,9 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
         if use_original:
             dec = _chunked_call(decode_fn, z_flat, decode_batch)
+            # multichannel kept is already [image, label] — matches the
+            # 2-channel decode output (reference use_original keeps the
+            # input labels verbatim, evaluate/common.py:190-193)
             recon = kept
             interp = dec.reshape((k1, am) + dec.shape[1:])
         else:
@@ -156,9 +173,16 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         out = {"recon": recon, "interp": interp}
         if interleave:
             # full interleaved volume (+clamp) inside the same program —
-            # a single device execution end to end
-            out["volume"] = jnp.clip(interleave_volume(recon, interp),
-                                     0.0, 1.0)
+            # a single device execution end to end; the multichannel
+            # label channel holds class ids and must not be clamped
+            vol = interleave_volume(recon, interp)
+            if is_multichannel:
+                vol = jnp.concatenate(
+                    [jnp.clip(vol[..., :1], 0.0, 1.0), vol[..., 1:]],
+                    axis=-1)
+            else:
+                vol = jnp.clip(vol, 0.0, 1.0)
+            out["volume"] = vol
         return out
 
     return core
@@ -262,6 +286,28 @@ def create_super_volume(trainer, images, alpha_range=None,
         images = images[::downsample_steps]
 
     kept = jnp.asarray(images)[..., None]   # [K, H, W, 1]
+    # multichannel (ACDCLBL) encoders take image+label input channels —
+    # ride the provided labels along the same kept-slice grid (the
+    # reference cats labels as channel 2, generate_hr_volumes.py:28);
+    # zeros (with a warning) when labels are unavailable, e.g. the
+    # training-time volume previews
+    model_colors = int(getattr(getattr(trainer, "model_config", None),
+                               "colors", 1) or 1)
+    if model_colors >= 2:
+        if labels is not None:
+            lbl_in = np.asarray(labels, np.float32)
+            if downsample_steps is not None or generate_inbetween_slices:
+                if remain != 0:
+                    lbl_in = lbl_in[:-remain]
+                lbl_in = lbl_in[::downsample_steps]
+        else:
+            import warnings
+            warnings.warn(
+                "multichannel volume synthesis without labels: feeding "
+                "a zero label channel", stacklevel=2)
+            lbl_in = np.zeros(np.asarray(images).shape, np.float32)
+        kept = jnp.concatenate(
+            [kept, jnp.asarray(lbl_in, jnp.float32)[..., None]], axis=-1)
     k_true = kept.shape[0]
     a_n = int(len(alpha_range))
 
@@ -296,32 +342,53 @@ def create_super_volume(trainer, images, alpha_range=None,
         p_sr, bs_sr = params_sr
         out = synth(p_sr, bs_sr, kept, jnp.asarray(alpha_range),
                     use_original=True)
-        interp = out["interp"][:k_true - 1]
-        kept_true = kept[:k_true]
+        # image channel only (no-op for 1-channel models; a multichannel
+        # SR model's decode carries a label channel this combo drops)
+        interp = out["interp"][:k_true - 1, ..., :1]
+        kept_true = kept[:k_true, ..., :1]
         recon = kept_true if use_original else trainer.predict(kept_true)
         new_volume = interleave_volume(recon, interp)
     else:
         params, batch_stats = trainer._ae_params()
         if num_devices and num_devices > 1:
             # sharded path: recon+interp come back mesh-sharded; the
-            # interleave reshape runs outside the sharded program
+            # interleave reshape runs outside the sharded program (the
+            # multichannel label channel holds class ids — don't clamp)
             out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
                         use_original=use_original)
-            vol = jnp.clip(interleave_volume(out["recon"], out["interp"]),
-                           0.0, 1.0)
+            vol = interleave_volume(out["recon"], out["interp"])
+            if model_colors >= 2:
+                vol = jnp.concatenate(
+                    [jnp.clip(vol[..., :1], 0.0, 1.0), vol[..., 1:]],
+                    axis=-1)
+            else:
+                vol = jnp.clip(vol, 0.0, 1.0)
         else:
             out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
                         use_original=use_original, interleave=True)
             vol = out["volume"]
         # valid prefix of the padded interleaved volume
         new_volume = vol[:(k_true - 1) * (a_n + 1) + 1]
-    new_volume = np.asarray(new_volume)[..., 0]
+    new_volume = np.asarray(new_volume)
+    # decoded labels (multichannel): argmax(soft_probs) rides as output
+    # channel 1 through the same interleave — the reference's
+    # recon_labels/inter_label path (generate_hr_volumes.py:55-67)
+    dec_labels = (new_volume[..., 1]
+                  if model_colors >= 2 and new_volume.shape[-1] >= 2
+                  else None)
+    new_volume = new_volume[..., 0]
 
     if generate_inbetween_slices and remain != 0:
         # re-append the original tail slices verbatim
         # (reference: evaluate/common.py:220-231)
         new_volume = np.concatenate([new_volume, orig_images[-remain:]],
                                     axis=0)
+        if dec_labels is not None:
+            tail_lbl = (np.asarray(labels, np.float32)[-remain:]
+                        if labels is not None
+                        else np.zeros((remain,) + dec_labels.shape[1:],
+                                      dec_labels.dtype))
+            dec_labels = np.concatenate([dec_labels, tail_lbl], axis=0)
     new_volume = np.clip(new_volume, 0.0, 1.0)
 
     k1 = k_true - 1
@@ -333,7 +400,14 @@ def create_super_volume(trainer, images, alpha_range=None,
     # num_interpolations mode each synthesized position takes the
     # nearest original label slice
     upsampled_labels = None
-    if labels is not None:
+    if dec_labels is not None:
+        # multichannel: labels are DECODED by the model (reference
+        # pred_labels = argmax(soft_probs)); integer class ids. rint
+        # guards float round-trip noise from the interleave program.
+        out_dtype = (np.asarray(labels).dtype if labels is not None
+                     else np.int32)
+        upsampled_labels = np.rint(dec_labels).astype(out_dtype)
+    elif labels is not None:
         labels = np.asarray(labels)
         n_out = new_volume.shape[0]
         if n_out == labels.shape[0]:

@@ -506,7 +506,13 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
     b = x.shape[0] // 2
     feats = batch.get("alpha_features")
     if feats is None:
-        feats = jnp.zeros((b, 5), jnp.float32)
+        # fail at trace time, not silently: the probe trained on zeros
+        # would face REAL slice-geometry features at inference
+        # (infer/alpha_interp.get_alpha_probe_features raises for the
+        # same reason)
+        raise KeyError(
+            "alpha-family batches need 'alpha_features' [B, 5] "
+            "(TripletSampler emits them; see data/pairs.py)")
 
     # alpha_only keeps the loaded AE permanently in eval mode: running
     # BN averages, and its batch stats never advance
@@ -744,7 +750,10 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             b = x.shape[0] // 2
             feats = batch.get("alpha_features")
             if feats is None:
-                feats = jnp.zeros((b, 5), jnp.float32)
+                raise KeyError(
+                    "alpha-family validation batches need "
+                    "'alpha_features' [B, 5] (TripletSampler emits "
+                    "them; see data/pairs.py)")
             z_cat = jnp.concatenate([z[:b], z[b:]], axis=-1)
             alpha, _ = _apply(model["probe"], params["probe"],
                               batch_stats.get("probe", {}),

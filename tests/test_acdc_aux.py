@@ -348,3 +348,21 @@ def test_sr_seg_slices_carry_reference_labels(tmp_path):
     samples = load_acdc_sr_seg_slices(0, str(tmp_path), patid=pat)
     assert samples and samples[0]["reference"] is not None
     assert samples[0]["reference"].shape == samples[0]["image"].shape
+
+
+def test_elastic_runs_after_intensity_zero_border():
+    """Ordering invariant (round-3 review): elastic is a zero-fill
+    bilinear warp and must run AFTER intensity, so pulled-in border
+    pixels stay exactly 0 instead of being pushed through the sigmoid
+    intensity map (sigmoid(-gain*cutoff) > 0)."""
+    from superresolution_aniso_mri_tpu.data import AugmentConfig, augment_batch
+
+    cfg = AugmentConfig(patch_size=32, random_crop=False, rot90=False,
+                        intensity=True, elastic=True, elastic_alpha=20.0)
+    x = jnp.ones((4, 32, 32, 3), jnp.float32)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(0), x, cfg))
+    # intensity was applied (ones remapped below 1)…
+    assert out.max() < 1.0
+    # …and the elastic zero border survived it untouched
+    assert (out == 0.0).sum() > 0
+    assert out.min() == 0.0

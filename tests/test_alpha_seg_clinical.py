@@ -251,3 +251,17 @@ def test_latent_space_interp_pred_alpha():
     assert decoded.shape == (4, 32, 32, 1)
     assert alphas.shape == (4, 2 * 4)  # AlphaProbe16v1 → 2*latent
     assert np.isfinite(np.asarray(decoded)).all()
+
+
+def test_alpha_batch_without_features_raises():
+    """Round-3 review: a missing 'alpha_features' key must raise at
+    trace time (train AND validate), never silently train the probe on
+    zeros — inference feeds real slice-geometry features
+    (infer/alpha_interp.get_alpha_probe_features raises likewise)."""
+    t = Trainer(_alpha_args("alpha"))
+    batch = {k: v for k, v in _alpha_batch().items()
+             if k != "alpha_features"}
+    with pytest.raises(KeyError, match="alpha_features"):
+        t.train(batch)
+    with pytest.raises(KeyError, match="alpha_features"):
+        t.validate(batch)

@@ -1,0 +1,134 @@
+"""Multichannel (ACDCLBL) whole-volume synthesis & batched sweep.
+
+The reference's with_labels volume path feeds [image, label] as input
+channels and decodes BOTH heads — pred_labels = argmax(soft_probs) rides
+through the interleave (reference: generate_hr_volumes.py:28-101,
+sr_multi_channel/trainer_ae.py:117). Round-3 review found the entire
+volume/eval pipeline crashed for this family; these tests pin the fix.
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+from superresolution_aniso_mri_tpu.data.volume import Volume
+from superresolution_aniso_mri_tpu.evaluate.sweep import (
+    evaluate_volumes_batched,
+)
+from superresolution_aniso_mri_tpu.infer import create_super_volume
+from superresolution_aniso_mri_tpu.train import Trainer
+
+
+def _mc_args(tmpdir, **over):
+    args = {
+        "dataset": "ACDCLBL",
+        "model": "ae_combined",
+        "ae_class": "VanillaACAI",
+        "width": 32,
+        "latent_width": 16,
+        "depth": 8,
+        "latent": 8,
+        "colors": 2,
+        "nclasses": 3,
+        "lr": 1e-3,
+        "weight_decay": 0.0,
+        "batch_size": 4,
+        "epochs": 2,
+        "epoch_threshold": 0,
+        "use_batchnorm": False,
+        "use_sigmoid": True,
+        "use_laploss": False,
+        "use_percept_loss": False,
+        "image_mix_loss_func": "mse",
+        "downsample_steps": 2,
+        "seed": 42,
+        "output_dir": str(tmpdir),
+    }
+    args.update(over)
+    return args
+
+
+@pytest.fixture(scope="module")
+def mc_trainer(tmp_path_factory):
+    t = Trainer(_mc_args(tmp_path_factory.mktemp("mc")))
+    assert t.family == "multichannel_combined"
+    return t
+
+
+def test_multichannel_volume_synthesis_with_labels(mc_trainer):
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(10, 32, 32).astype(np.float32)      # tail: remain=1
+    lbls = rng.randint(0, 3, (10, 32, 32)).astype(np.int16)
+    out = create_super_volume(
+        mc_trainer, imgs, alpha_range=[0.5], downsample_steps=2,
+        generate_inbetween_slices=True, labels=lbls)
+    vol = out["upsampled_image"]
+    assert vol.shape == (10, 32, 32)
+    assert vol.min() >= 0.0 and vol.max() <= 1.0
+    up_lbl = out["upsampled_labels"]
+    # labels are DECODED class ids (argmax of soft_probs), not a
+    # nearest-neighbour copy of the input
+    assert up_lbl is not None and up_lbl.shape == (10, 32, 32)
+    assert up_lbl.dtype == lbls.dtype
+    uniq = np.unique(up_lbl)
+    assert uniq.min() >= 0 and uniq.max() <= 2
+    # the verbatim tail slice keeps the ORIGINAL labels (reference
+    # appends orig_labels[-remain:], evaluate/common.py:220-231)
+    np.testing.assert_array_equal(up_lbl[-1], lbls[-1])
+
+
+def test_multichannel_volume_synthesis_without_labels_warns(mc_trainer):
+    rng = np.random.RandomState(1)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    with pytest.warns(UserWarning, match="zero label channel"):
+        out = create_super_volume(
+            mc_trainer, imgs, alpha_range=[0.5], downsample_steps=2,
+            generate_inbetween_slices=True)
+    assert out["upsampled_image"].shape == (9, 32, 32)
+    assert np.isfinite(out["upsampled_image"]).all()
+
+
+def test_multichannel_use_original_keeps_input_slices(mc_trainer):
+    rng = np.random.RandomState(2)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 3, (9, 32, 32)).astype(np.float32)
+    out = create_super_volume(
+        mc_trainer, imgs, alpha_range=[0.5], downsample_steps=2,
+        generate_inbetween_slices=True, use_original=True, labels=lbls)
+    vol = out["upsampled_image"]
+    # kept grid positions are the ORIGINAL image slices
+    np.testing.assert_allclose(vol[::2], imgs[::2], atol=1e-6)
+    # kept grid label positions are the ORIGINAL labels
+    np.testing.assert_array_equal(out["upsampled_labels"][::2], lbls[::2])
+
+
+def test_multichannel_batched_sweep(mc_trainer):
+    rng = np.random.RandomState(3)
+    img = rng.rand(9, 32, 32).astype(np.float32)
+    lbl = rng.randint(0, 3, (9, 32, 32)).astype(np.float32)
+    vol = Volume(image=img, spacing=np.array([5.0, 1.0, 1.0]),
+                 patient_id="mc01", image_hr=img, labels=lbl)
+    res = evaluate_volumes_batched(mc_trainer, [vol], downsample_steps=2)
+    assert "mc01" in res
+    assert np.isfinite(res["mc01"]["ssim"])
+    # labels absent → zero channel, still finite
+    vol2 = Volume(image=img, spacing=np.array([5.0, 1.0, 1.0]),
+                  patient_id="mc02", image_hr=img)
+    res2 = evaluate_volumes_batched(mc_trainer, [vol2], downsample_steps=2)
+    assert np.isfinite(res2["mc02"]["ssim"])
+
+
+def test_singlechannel_labels_still_ride_along(tmp_path):
+    """Regression: 1-channel models keep the nearest-neighbour label
+    ride-along (grid coincides in in-between-slices mode → unchanged)."""
+    args = _mc_args(tmp_path, dataset="MNIST3D", colors=1, nclasses=4)
+    t = Trainer(args)
+    rng = np.random.RandomState(4)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 4, (9, 32, 32)).astype(np.int16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no multichannel warning here
+        out = create_super_volume(
+            t, imgs, alpha_range=[0.5], downsample_steps=2,
+            generate_inbetween_slices=True, labels=lbls)
+    np.testing.assert_array_equal(out["upsampled_labels"], lbls)
