@@ -202,10 +202,25 @@ class RotoTripletSampler:
         a_from = 1.0 - frac
         a_to = frac
         triplet = np.stack([s_from, s_to, s_between], axis=-1)
+        # real slice-geometry features for the alpha probes, on the
+        # virtual rotation grid: one "slice" per grad_step degrees, so a
+        # full turn has n = 360/grad_step positions and z-spacing is the
+        # angular step — the rotational analog of TripletSampler's
+        # [(s_from+1)/n, (s_to+1)/n, (frame+1)/n_frames, spacing, n]
+        # (reference: base_alpha_trainer.py:178-189 create_add_features;
+        # the reference's MNISTRoto batches carry mismatched key names
+        # and crash its alpha trainers — this path works instead)
+        n_virtual = 360.0 / self.grad_step
+        vid_from = theta / self.grad_step
+        feats = np.array([(vid_from + 1.0) / n_virtual,
+                          (vid_from + self.downsample_steps + 1.0)
+                          / n_virtual,
+                          1.0, self.grad_step, n_virtual], np.float32)
         return {"triplet": triplet.astype(np.float32),
                 "alpha_from": np.float32(a_from),
                 "alpha_to": np.float32(a_to),
                 "is_inbetween": np.float32(1.0),
+                "alpha_features": feats,
                 "patient_index": np.int32(0)}
 
     def sample_batch(self, batch_size: int):

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..infer.super_volume import bucket_size, make_synthesis_core
+from ..infer.super_volume import (bucket_size, make_kept_label_channel,
+                                  make_synthesis_core,
+                                  model_label_semantics)
 from ..ops import psnr_volume, ssim_volume, synth_slice_mask, vif_volume
 
 
@@ -93,11 +95,10 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
             f"len(alpha_range)={a_n} must be downsample_steps-1={ds - 1} "
             "so synthesized slices align with the HR grid")
 
-    # multichannel (ACDCLBL) encoders take an image+label input channel
-    # pair — ride the volume's labels along the kept grid (zeros when
-    # absent), mirroring create_super_volume
-    model_colors = int(getattr(getattr(trainer, "model_config", None),
-                               "colors", 1) or 1)
+    # colors>=2 encoders (ACDCLBL families) take an image+label input
+    # channel pair — ride the volume's labels along the kept grid (zeros
+    # when absent), via the SAME helper as create_super_volume
+    needs_label_channel, _ = model_label_semantics(trainer)
 
     groups: Dict[tuple, List] = {}
     frame_counts: Dict[str, int] = {}
@@ -130,9 +131,9 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
             s = img.shape[0]
             remain = (s - 1) % ds
             kept = (img[:-remain] if remain else img)[::ds]
-            if model_colors >= 2:
-                klb = ((lbl[:-remain] if remain else lbl)[::ds]
-                       if lbl is not None else np.zeros_like(kept))
+            if needs_label_channel:
+                klb = make_kept_label_channel(kept, lbl, ds, remain,
+                                              "evaluate_volumes_batched")
                 kept = np.stack([kept, klb], axis=-1)   # [K, H, W, 2]
             else:
                 kept = kept[..., None]                  # [K, H, W, 1]

@@ -43,6 +43,72 @@ def _chunked_call(fn, x: Array, chunk: Optional[int]):
     return out.reshape((-1,) + out.shape[2:])[:n]
 
 
+def model_label_semantics(trainer):
+    """(needs_label_channel, decodes_labels) for a trainer's primary
+    model — the two DISTINCT label questions the volume pipeline asks.
+
+    ``needs_label_channel``: the encoder stem takes [image, label] input
+    channels (``model_config.colors >= 2`` — ACDCLBL-family data). True
+    for BOTH the multichannel AE and a plain 2-channel AE (alpha
+    families on ACDCLBL).
+
+    ``decodes_labels``: the decode output's channel 1 carries argmax
+    class ids that should be returned as ``upsampled_labels``. True ONLY
+    for MultiChannelAE — the reference's with_labels path indexes
+    ``recon_dict['pred_labels']``, which only the multichannel trainer
+    returns (generate_hr_volumes.py:34-41; any other trainer crashes
+    there). A plain 2-channel AE's decode channel 1 is a
+    label-as-intensity reconstruction, NOT class ids — callers must fall
+    back to the input-label ride-along for it.
+    """
+    from ..models.multi_channel import MultiChannelAE
+
+    colors = int(getattr(getattr(trainer, "model_config", None),
+                         "colors", 1) or 1)
+    return colors >= 2, isinstance(trainer._ae_model(), MultiChannelAE)
+
+
+def make_kept_label_channel(kept_images: np.ndarray, labels,
+                            downsample_steps, remain: int,
+                            context: str) -> np.ndarray:
+    """Label plane on the kept-slice grid for ``colors >= 2`` encoders:
+    tail-strip + stride the full-grid ``labels`` exactly like the image
+    volume; zeros (with a warning) when labels are unavailable. Shared
+    by create_super_volume and the batched sweep so the two paths cannot
+    drift. Raises a clear error when the strided labels do not land on
+    the kept image grid (e.g. ED/ES-only labels against a full volume)."""
+    kept_images = np.asarray(kept_images)
+    if labels is None:
+        import warnings
+        warnings.warn(
+            f"multichannel volume synthesis without labels ({context}): "
+            "feeding a zero label channel", stacklevel=3)
+        return np.zeros(kept_images.shape, np.float32)
+    lbl = np.asarray(labels, np.float32)
+    if remain:
+        lbl = lbl[:-remain]
+    if downsample_steps is not None and int(downsample_steps) > 1:
+        lbl = lbl[::int(downsample_steps)]
+    if lbl.shape != kept_images.shape:
+        raise ValueError(
+            f"{context}: labels {np.asarray(labels).shape} do not lie on "
+            f"the image grid — strided to {lbl.shape} but the kept image "
+            f"grid is {kept_images.shape}; pass labels with one plane "
+            "per image slice (or None for a zero channel)")
+    return lbl
+
+
+def clip_with_label_channel(vol, decodes_labels: bool):
+    """[0,1]-clamp that exempts the decoded-label channel: class ids in
+    channel 1 must survive untouched for MultiChannelAE outputs. One
+    definition shared by the fused core and the host-side sharded
+    interleave so the two paths stay bit-identical."""
+    if decodes_labels:
+        return jnp.concatenate(
+            [jnp.clip(vol[..., :1], 0.0, 1.0), vol[..., 1:]], axis=-1)
+    return jnp.clip(vol, 0.0, 1.0)
+
+
 def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
                             packed: bool = False):
     """Build the jitted kernel for one model.
@@ -175,14 +241,8 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             # full interleaved volume (+clamp) inside the same program —
             # a single device execution end to end; the multichannel
             # label channel holds class ids and must not be clamped
-            vol = interleave_volume(recon, interp)
-            if is_multichannel:
-                vol = jnp.concatenate(
-                    [jnp.clip(vol[..., :1], 0.0, 1.0), vol[..., 1:]],
-                    axis=-1)
-            else:
-                vol = jnp.clip(vol, 0.0, 1.0)
-            out["volume"] = vol
+            out["volume"] = clip_with_label_channel(
+                interleave_volume(recon, interp), is_multichannel)
         return out
 
     return core
@@ -286,26 +346,18 @@ def create_super_volume(trainer, images, alpha_range=None,
         images = images[::downsample_steps]
 
     kept = jnp.asarray(images)[..., None]   # [K, H, W, 1]
-    # multichannel (ACDCLBL) encoders take image+label input channels —
-    # ride the provided labels along the same kept-slice grid (the
-    # reference cats labels as channel 2, generate_hr_volumes.py:28);
+    # colors>=2 encoders (ACDCLBL families) take image+label input
+    # channels — ride the provided labels along the same kept-slice grid
+    # (the reference cats labels as channel 2, generate_hr_volumes.py:28);
     # zeros (with a warning) when labels are unavailable, e.g. the
     # training-time volume previews
-    model_colors = int(getattr(getattr(trainer, "model_config", None),
-                               "colors", 1) or 1)
-    if model_colors >= 2:
-        if labels is not None:
-            lbl_in = np.asarray(labels, np.float32)
-            if downsample_steps is not None or generate_inbetween_slices:
-                if remain != 0:
-                    lbl_in = lbl_in[:-remain]
-                lbl_in = lbl_in[::downsample_steps]
-        else:
-            import warnings
-            warnings.warn(
-                "multichannel volume synthesis without labels: feeding "
-                "a zero label channel", stacklevel=2)
-            lbl_in = np.zeros(np.asarray(images).shape, np.float32)
+    needs_label_channel, decodes_labels = model_label_semantics(trainer)
+    if needs_label_channel:
+        lbl_in = make_kept_label_channel(
+            images, labels,
+            downsample_steps if (downsample_steps is not None
+                                 or generate_inbetween_slices) else None,
+            remain, "create_super_volume")
         kept = jnp.concatenate(
             [kept, jnp.asarray(lbl_in, jnp.float32)[..., None]], axis=-1)
     k_true = kept.shape[0]
@@ -345,8 +397,17 @@ def create_super_volume(trainer, images, alpha_range=None,
         # image channel only (no-op for 1-channel models; a multichannel
         # SR model's decode carries a label channel this combo drops)
         interp = out["interp"][:k_true - 1, ..., :1]
-        kept_true = kept[:k_true, ..., :1]
-        recon = kept_true if use_original else trainer.predict(kept_true)
+        kept_true = kept[:k_true]
+        if use_original:
+            recon = kept_true[..., :1]
+        else:
+            # predict needs the model's FULL input channels (a colors>=2
+            # stem rejects a 1-channel stack); multichannel decode
+            # returns {'image','soft_probs'} — keep the image head
+            pred = trainer.predict(kept_true)
+            if isinstance(pred, dict):
+                pred = pred["image"]
+            recon = jnp.asarray(pred)[..., :1]
         new_volume = interleave_volume(recon, interp)
     else:
         params, batch_stats = trainer._ae_params()
@@ -356,13 +417,9 @@ def create_super_volume(trainer, images, alpha_range=None,
             # multichannel label channel holds class ids — don't clamp)
             out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
                         use_original=use_original)
-            vol = interleave_volume(out["recon"], out["interp"])
-            if model_colors >= 2:
-                vol = jnp.concatenate(
-                    [jnp.clip(vol[..., :1], 0.0, 1.0), vol[..., 1:]],
-                    axis=-1)
-            else:
-                vol = jnp.clip(vol, 0.0, 1.0)
+            vol = clip_with_label_channel(
+                interleave_volume(out["recon"], out["interp"]),
+                decodes_labels)
         else:
             out = synth(params, batch_stats, kept, jnp.asarray(alpha_range),
                         use_original=use_original, interleave=True)
@@ -370,11 +427,15 @@ def create_super_volume(trainer, images, alpha_range=None,
         # valid prefix of the padded interleaved volume
         new_volume = vol[:(k_true - 1) * (a_n + 1) + 1]
     new_volume = np.asarray(new_volume)
-    # decoded labels (multichannel): argmax(soft_probs) rides as output
-    # channel 1 through the same interleave — the reference's
-    # recon_labels/inter_label path (generate_hr_volumes.py:55-67)
+    # decoded labels (MultiChannelAE only): argmax(soft_probs) rides as
+    # output channel 1 through the same interleave — the reference's
+    # recon_labels/inter_label path (generate_hr_volumes.py:55-67). A
+    # plain 2-channel AE's channel 1 is an intensity reconstruction, not
+    # class ids — those models fall through to the input-label
+    # ride-along below (the combo path also lands here: its interp was
+    # already stripped to the image channel).
     dec_labels = (new_volume[..., 1]
-                  if model_colors >= 2 and new_volume.shape[-1] >= 2
+                  if decodes_labels and new_volume.shape[-1] >= 2
                   else None)
     new_volume = new_volume[..., 0]
 

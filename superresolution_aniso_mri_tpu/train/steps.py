@@ -512,7 +512,8 @@ def _alpha_losses(models, cfg, lpips_params, params, batch_stats, batch,
         # same reason)
         raise KeyError(
             "alpha-family batches need 'alpha_features' [B, 5] "
-            "(TripletSampler emits them; see data/pairs.py)")
+            "(TripletSampler and RotoTripletSampler emit them; see "
+            "data/pairs.py and data/synthetic.py)")
 
     # alpha_only keeps the loaded AE permanently in eval mode: running
     # BN averages, and its batch stats never advance
@@ -752,8 +753,9 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             if feats is None:
                 raise KeyError(
                     "alpha-family validation batches need "
-                    "'alpha_features' [B, 5] (TripletSampler emits "
-                    "them; see data/pairs.py)")
+                    "'alpha_features' [B, 5] (TripletSampler and "
+                    "RotoTripletSampler emit them; see data/pairs.py "
+                    "and data/synthetic.py)")
             z_cat = jnp.concatenate([z[:b], z[b:]], axis=-1)
             alpha, _ = _apply(model["probe"], params["probe"],
                               batch_stats.get("probe", {}),

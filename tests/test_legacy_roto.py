@@ -69,3 +69,42 @@ def test_roto_sampler_feeds_training():
                  "alpha_from": jnp.asarray(raw["alpha_from"]),
                  "alpha_to": jnp.asarray(raw["alpha_to"])})
     assert np.isfinite(float(m["loss_ae"]))
+
+
+def test_roto_sampler_feeds_alpha_training():
+    """Review fix: RotoTripletSampler emits real slice-geometry
+    alpha_features (virtual rotation grid), so alpha families train on
+    MNISTRoto instead of hitting the missing-features KeyError. (The
+    reference's MNISTRoto batches carry mismatched key names and crash
+    its alpha trainers — data_roto.py:113 'slice_idx_from' vs
+    base_alpha_trainer.py:182 'slice_id_from'.)"""
+    s = RotoTripletSampler(num_images=2, size=32, downsample_steps=2,
+                           seed=2)
+    raw = s.sample_batch(4)
+    feats = raw["alpha_features"]
+    assert feats.shape == (4, 5) and np.isfinite(feats).all()
+    # grid semantics: normalized from/to ids a downsample_steps gap
+    # apart, spacing = grad_step, n = 360/grad_step
+    n_virtual = 360.0 / s.grad_step
+    np.testing.assert_allclose(
+        (feats[:, 1] - feats[:, 0]) * n_virtual, 2.0, atol=1e-4)
+    np.testing.assert_allclose(feats[:, 3], s.grad_step, atol=1e-6)
+    np.testing.assert_allclose(feats[:, 4], n_virtual, atol=1e-4)
+
+    t = Trainer({
+        "dataset": "MNISTRoto", "model": "alpha",
+        "ae_class": "VanillaACAI", "alpha_class": "AlphaProbe16v1",
+        "width": 32, "latent_width": 16, "depth": 8, "latent": 8,
+        "colors": 1, "lr": 1e-3, "weight_decay": 0.0, "batch_size": 4,
+        "epochs": 2, "epoch_threshold": -1, "use_batchnorm": False,
+        "use_sigmoid": True, "alpha_loss_func": "mse",
+        "downsample_steps": 2, "seed": 0, "output_dir": None,
+    })
+    image, between = prepare_batch_pairs(jnp.asarray(raw["triplet"]))
+    m = t.train({"image": image, "slice_between": between,
+                 "alpha_from": jnp.asarray(raw["alpha_from"]),
+                 "alpha_to": jnp.asarray(raw["alpha_to"]),
+                 "is_inbetween": jnp.asarray(raw["is_inbetween"]),
+                 "alpha_features": jnp.asarray(feats)})
+    assert any(k.startswith("loss") for k in m)
+    assert all(np.isfinite(float(v)) for v in m.values())

@@ -132,3 +132,62 @@ def test_singlechannel_labels_still_ride_along(tmp_path):
             t, imgs, alpha_range=[0.5], downsample_steps=2,
             generate_inbetween_slices=True, labels=lbls)
     np.testing.assert_array_equal(out["upsampled_labels"], lbls)
+
+
+def test_plain_2ch_alpha_model_labels_ride_along(tmp_path):
+    """Review fix: a plain 2-channel AE (alpha family on ACDCLBL) does
+    NOT decode labels — its decode channel 1 is an intensity
+    reconstruction, not class ids (the reference's with_labels path only
+    exists for the multichannel trainer, generate_hr_volumes.py:34-41).
+    upsampled_labels must be the input-label ride-along, classes intact."""
+    args = _mc_args(tmp_path, model="alpha", alpha_class="AlphaProbe16v1",
+                    alpha_loss_func="mse")
+    t = Trainer(args)
+    assert t.family == "alpha"
+    assert t.model_config.colors == 2
+    rng = np.random.RandomState(5)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 3, (9, 32, 32)).astype(np.int16)
+    out = create_super_volume(
+        t, imgs, alpha_range=[0.5], downsample_steps=2,
+        generate_inbetween_slices=True, labels=lbls)
+    assert out["upsampled_image"].shape == (9, 32, 32)
+    np.testing.assert_array_equal(out["upsampled_labels"], lbls)
+
+
+def test_multichannel_combo_path_runs(tmp_path):
+    """Review fix: the AE+SR combo path must feed predict the model's
+    FULL input channels and unwrap the multichannel decode dict — it
+    previously crashed with a stem shape error for this family."""
+    import os
+
+    t = Trainer(_mc_args(tmp_path))
+    t.prepare_run()
+    ckpt = os.path.join(t.dir_models, "caisr.models")
+    t.save_models(ckpt, 1)
+    t.load_caisr(ckpt)
+    assert t.params_sr is not None
+    rng = np.random.RandomState(6)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 3, (9, 32, 32)).astype(np.float32)
+    out = create_super_volume(
+        t, imgs, alpha_range=[0.5], downsample_steps=2,
+        generate_inbetween_slices=True, labels=lbls)
+    vol = out["upsampled_image"]
+    assert vol.shape == (9, 32, 32)
+    assert np.isfinite(vol).all()
+    # the combo drops the SR decode's label channel — labels ride along
+    np.testing.assert_array_equal(out["upsampled_labels"], lbls)
+
+
+def test_multichannel_mismatched_label_grid_raises(mc_trainer):
+    """Review fix: labels on a different grid (e.g. ED/ES-only planes)
+    must raise a clear error instead of a cryptic concat/shape failure
+    deep inside the jitted encoder."""
+    rng = np.random.RandomState(7)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 3, (2, 32, 32)).astype(np.float32)
+    with pytest.raises(ValueError, match="image grid"):
+        create_super_volume(
+            mc_trainer, imgs, alpha_range=[0.5], downsample_steps=2,
+            generate_inbetween_slices=True, labels=lbls)
