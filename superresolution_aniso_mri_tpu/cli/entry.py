@@ -45,11 +45,24 @@ def train_brain():
     return run_training(args_dict)
 
 
-def _load_image_paths(data_input_dir: str):
+def _split_image_ext(path: str):
+    base = os.path.basename(path)
+    for ext in (".nii.gz", ".nii", ".mha", ".mhd"):
+        if base.endswith(ext):
+            return base[: -len(ext)], ext
+    return base, ""
+
+
+def _load_image_paths(data_input_dir: str, label_suffix: str = ""):
     files = []
     for pat in ("*.nii", "*.nii.gz", "*.mha", "*.mhd"):
         files.extend(glob.glob(os.path.join(data_input_dir, pat)))
     files = sorted(set(files))
+    if label_suffix:
+        # label companions are inputs to their image volume, not volumes
+        # to densify themselves
+        files = [f for f in files
+                 if not _split_image_ext(f)[0].endswith(label_suffix)]
     if not files:
         raise SystemExit(f"no volumes found in {data_input_dir}")
     return files
@@ -76,6 +89,11 @@ def generate_hr_volumes(argv=None):
     parser.add_argument("--num_devices", type=int, default=1,
                         help="shard the slice axis over the first N "
                              "devices (multi-chip volume inference)")
+    parser.add_argument("--label_suffix", type=str, default="_gt",
+                        help="sibling '<name><suffix>.nii.gz' files are "
+                             "loaded as segmentation labels and ride "
+                             "through synthesis (decoded for "
+                             "multichannel models); '' disables")
     args = parser.parse_args(argv)
 
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
@@ -86,12 +104,31 @@ def generate_hr_volumes(argv=None):
 
     n = args.num_interpolations
     alpha_range = np.linspace(0, 1, n + 2)[1:-1]
-    for path in _load_image_paths(os.path.expanduser(args.data_input_dir)):
+    for path in _load_image_paths(os.path.expanduser(args.data_input_dir),
+                                  args.label_suffix):
         arr, spacing, affine = read_image(path)
         arr = arr.astype(np.float32)
+        # sibling label volume (ACDC-style '<name>_gt.nii.gz'): rides
+        # through synthesis — decoded by multichannel (ACDCLBL) models,
+        # nearest-slice ride-along otherwise. The reference CLI hardcodes
+        # labels=None (generate_hr_volumes.py:171) and cannot serve its
+        # multichannel models at all.
+        lbl_arr = None
+        if args.label_suffix:
+            stem, ext = _split_image_ext(path)
+            lbl_path = os.path.join(os.path.dirname(path),
+                                    f"{stem}{args.label_suffix}{ext}")
+            if os.path.isfile(lbl_path):
+                lbl_arr, _, _ = read_image(lbl_path)
+                if lbl_arr.shape != arr.shape:
+                    print(f"WARNING: ignoring {lbl_path} — shape "
+                          f"{lbl_arr.shape} != image {arr.shape}")
+                    lbl_arr = None
         frames = arr[None] if arr.ndim == 3 else arr
-        out_frames = []
-        for frame in frames:
+        lbl_frames = (None if lbl_arr is None
+                      else (lbl_arr[None] if lbl_arr.ndim == 3 else lbl_arr))
+        out_frames, out_lbl_frames = [], []
+        for fi, frame in enumerate(frames):
             # percentile-normalize if outside [0,1]
             # (reference: generate_hr_volumes.py:104-111,130-133)
             if frame.min() < 0 or frame.max() > 1:
@@ -101,17 +138,20 @@ def generate_hr_volumes(argv=None):
                                       use_original=True,
                                       downsample_steps=None,
                                       generate_inbetween_slices=False,
+                                      labels=(None if lbl_frames is None
+                                              else lbl_frames[fi]),
                                       num_devices=args.num_devices)
             out_frames.append(res["upsampled_image"])
+            out_lbl_frames.append(res["upsampled_labels"])
         out = (out_frames[0] if arr.ndim == 3
                else np.stack(out_frames, axis=0))
+        out_lbl = None
+        if all(u is not None for u in out_lbl_frames):
+            out_lbl = (out_lbl_frames[0] if arr.ndim == 3
+                       else np.stack(out_lbl_frames, axis=0))
         new_spacing = np.asarray(spacing, np.float64).copy()
         new_spacing[0] = new_spacing[0] / (n + 1)
-        base = os.path.basename(path)
-        for ext in (".nii.gz", ".nii", ".mha", ".mhd"):
-            if base.endswith(ext):
-                base = base[: -len(ext)]
-                break
+        base, _ = _split_image_ext(path)
         out_path = os.path.join(args.output_dir,
                                 f"{base}_ni{n:02d}.nii.gz")
         # keep the source orientation/translation, but rescale the
@@ -127,6 +167,15 @@ def generate_hr_volumes(argv=None):
         print(f"saved {out_path}  "
               f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
               f"z-spacing {new_spacing[0]:.3f}mm)")
+        if out_lbl is not None:
+            lbl_out_path = os.path.join(
+                args.output_dir,
+                f"{base}_ni{n:02d}{args.label_suffix}.nii.gz")
+            write_image(lbl_out_path,
+                        np.rint(out_lbl).astype(np.int16),
+                        spacing=new_spacing, affine=new_affine,
+                        dtype=np.int16)
+            print(f"saved {lbl_out_path}")
 
 
 def find_best_model(argv=None):

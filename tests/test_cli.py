@@ -83,6 +83,41 @@ def test_generate_hr_volumes_cli(trained_exper, tmp_path):
     np.testing.assert_allclose(arr[::3], vol.image, atol=1e-6)
 
 
+def test_generate_hr_volumes_cli_label_suffix(trained_exper, tmp_path):
+    """A sibling '<name>_gt' volume must ride through synthesis (nearest
+    lookup for a plain AE) and come back as an integer NIfTI, while the
+    _gt file itself is excluded from the densify list. The reference CLI
+    hardcodes labels=None (generate_hr_volumes.py:171)."""
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import write_nifti, read_nifti
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    vol = make_toy_dataset(1, 32, 7, seed=3)[0]
+    write_nifti(os.path.join(in_dir, "pat.nii.gz"), vol.image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+    rng = np.random.RandomState(0)
+    lbl = rng.randint(0, 4, size=vol.image.shape).astype(np.int16)
+    write_nifti(os.path.join(in_dir, "pat_gt.nii.gz"), lbl,
+                spacing=np.array([6.0, 1.0, 1.0]), dtype=np.int16)
+
+    r = _run([sys.executable, "generate_hr_volumes.py",
+              "--exper_dir", trained_exper, "--model_nbr", "0",
+              "--data_input_dir", in_dir, "--output_dir", out_dir,
+              "--num_interpolations", "2"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = sorted(f for f in os.listdir(out_dir) if f.endswith(".nii.gz"))
+    # exactly one image (pat_gt NOT densified as an image) + one label
+    assert outs == ["pat_ni02.nii.gz", "pat_ni02_gt.nii.gz"], outs
+    up_lbl, sp, _ = read_nifti(os.path.join(out_dir, outs[1]))
+    assert np.issubdtype(up_lbl.dtype, np.integer)
+    assert up_lbl.shape[0] == (7 - 1) * 3 + 1
+    np.testing.assert_allclose(sp[0], 2.0)
+    # original slice positions keep their labels verbatim
+    np.testing.assert_array_equal(up_lbl[::3], lbl)
+
+
 def test_find_best_model_cli(trained_exper):
     r = _run([sys.executable, "find_best_model.py",
               "--exper_dir", trained_exper, "--use_synthetic_data",

@@ -8,7 +8,7 @@ on dataset layouts shaped like the real thing (the reference layouts:
 datasets/common_brains.py:160-226, datasets/dHCP/dataset.py,
 datasets/ACDC/data4d_simple.py).
 
-  python tools/dress_rehearsal.py [--datasets OASIS dHCP ACDC] [--keep]
+  python tools/dress_rehearsal.py [--datasets OASIS dHCP ACDC ACDCLBL] [--keep]
 
 Runs on CPU; ~2-6 min per dataset on one core.
 """
@@ -113,6 +113,20 @@ def make_acdc_tree(data_root, n_patients=8, inplane=24, nsl=7, frames=3):
         write_nifti(os.path.join(pdir, f"{pid}_4d.nii.gz"),
                     vol4d.astype(np.float32),
                     spacing=np.array([10.0, 1.6, 1.6]))
+        # labeled ED/ES frames for the ACDCLBL multichannel pipeline
+        # (real layout: patientXXX_frameYY.nii.gz + _gt segmentation)
+        for fr in (1, frames):
+            img = _smooth3d(rng, (nsl, inplane, inplane)) * 400
+            # 4-class segmentation-shaped labels (BG/RV/MYO/LV) from
+            # intensity quartiles — spatially coherent like real masks
+            qs = np.percentile(img, (60, 80, 92))
+            lbl = np.digitize(img, qs).astype(np.int16)
+            write_nifti(os.path.join(pdir, f"{pid}_frame{fr:02d}.nii.gz"),
+                        img.astype(np.float32),
+                        spacing=np.array([10.0, 1.6, 1.6]))
+            write_nifti(os.path.join(pdir,
+                                     f"{pid}_frame{fr:02d}_gt.nii.gz"),
+                        lbl, spacing=np.array([10.0, 1.6, 1.6]))
     split = {"training": pids[:-2], "validation": pids[-2:-1],
              "test": pids[-1:]}
     with open(os.path.join(data_root, "ACDC",
@@ -135,7 +149,7 @@ def rehearse(dataset, data_root, work):
 
     cli = ("train_cardiac_aesr.py" if dataset.startswith("ACDC")
            else "train_brain_aesr.py")
-    ds = {"OASIS": 3, "dHCP": 2, "ACDC": 2}[dataset]
+    ds = {"OASIS": 3, "dHCP": 2, "ACDC": 2, "ACDCLBL": 2}[dataset]
     out = os.path.join(work, f"exper_{dataset}")
     print(f"[{dataset}] train ({cli})...", flush=True)
     _run([sys.executable, cli, "-d", dataset, "-m", "ae_combined",
@@ -164,6 +178,14 @@ def rehearse(dataset, data_root, work):
     elif dataset == "dHCP":
         src = glob.glob(os.path.join(data_root, "dHCP_cropped_256",
                                      f"*_{ds / 2:.1f}mm.nii.gz"))[0]
+    elif dataset == "ACDCLBL":
+        # labeled ED frame + its _gt companion: the CLI must pick the
+        # labels up, feed them through the multichannel model and save
+        # the decoded label volume alongside
+        src = glob.glob(os.path.join(data_root, "ACDC",
+                                     "all_cardiac_phases", "*",
+                                     "*_frame01.nii.gz"))[0]
+        shutil.copy2(src.replace(".nii.gz", "_gt.nii.gz"), in_dir)
     else:
         src = glob.glob(os.path.join(data_root, "ACDC",
                                      "all_cardiac_phases", "*",
@@ -174,8 +196,18 @@ def rehearse(dataset, data_root, work):
           "--model_nbr", "caisr", "--data_input_dir", in_dir,
           "--output_dir", hr_dir, "--num_interpolations", "1"],
          data_root, f"{dataset} generate_hr")
-    outs = glob.glob(os.path.join(hr_dir, "*.nii.gz"))
-    assert len(outs) == 1, f"expected 1 output volume, got {outs}"
+    outs = sorted(glob.glob(os.path.join(hr_dir, "*.nii.gz")))
+    if dataset == "ACDCLBL":
+        assert len(outs) == 2, f"expected image + _gt outputs, got {outs}"
+        lbl_out = [o for o in outs if o.endswith("_gt.nii.gz")]
+        assert len(lbl_out) == 1, f"no decoded label output in {outs}"
+        lbl_arr, _, _ = read_nifti(lbl_out[0])
+        assert np.issubdtype(lbl_arr.dtype, np.integer), lbl_arr.dtype
+        assert set(np.unique(lbl_arr)) <= set(range(4)), \
+            f"label classes {np.unique(lbl_arr)}"
+        outs = [o for o in outs if not o.endswith("_gt.nii.gz")]
+    else:
+        assert len(outs) == 1, f"expected 1 output volume, got {outs}"
     arr, spacing, _ = read_nifti(outs[0])
     src_arr, src_sp, _ = read_nifti(src)
     z = 0 if arr.ndim == 3 else 1
@@ -218,7 +250,7 @@ def rehearse(dataset, data_root, work):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--datasets", nargs="*",
-                   default=["OASIS", "dHCP", "ACDC"])
+                   default=["OASIS", "dHCP", "ACDC", "ACDCLBL"])
     p.add_argument("--keep", action="store_true",
                    help="keep the fabricated trees/experiments")
     args = p.parse_args()
@@ -228,7 +260,8 @@ def main():
     try:
         for d in args.datasets:
             {"OASIS": make_oasis_tree, "dHCP": make_dhcp_tree,
-             "ACDC": make_acdc_tree}[d](data_root)
+             "ACDC": make_acdc_tree,
+             "ACDCLBL": make_acdc_tree}[d](data_root)
             rehearse(d, data_root, work)
         print(f"dress rehearsal PASSED for {args.datasets}")
     finally:
