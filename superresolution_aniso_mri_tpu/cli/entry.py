@@ -53,19 +53,39 @@ def _split_image_ext(path: str):
     return base, ""
 
 
+_IMAGE_EXTS = (".nii.gz", ".nii", ".mha", ".mhd")
+
+
 def _load_image_paths(data_input_dir: str, label_suffix: str = ""):
     files = []
     for pat in ("*.nii", "*.nii.gz", "*.mha", "*.mhd"):
         files.extend(glob.glob(os.path.join(data_input_dir, pat)))
     files = sorted(set(files))
     if label_suffix:
-        # label companions are inputs to their image volume, not volumes
-        # to densify themselves
+        # a '<stem><suffix>' file is a label companion — an input to its
+        # image volume, not a volume to densify — but ONLY when that
+        # image sibling actually exists; a directory of volumes that
+        # merely happen to end in the suffix densifies as before
+        stems = {_split_image_ext(f)[0] for f in files}
         files = [f for f in files
-                 if not _split_image_ext(f)[0].endswith(label_suffix)]
+                 if not (_split_image_ext(f)[0].endswith(label_suffix)
+                         and _split_image_ext(f)[0][:-len(label_suffix)]
+                         in stems)]
     if not files:
         raise SystemExit(f"no volumes found in {data_input_dir}")
     return files
+
+
+def _find_label_companion(path: str, label_suffix: str):
+    """'<stem><suffix>.<ext>' sibling of an image volume, trying every
+    supported extension (the label file need not share the image's)."""
+    stem, _ = _split_image_ext(path)
+    for ext in _IMAGE_EXTS:
+        cand = os.path.join(os.path.dirname(path),
+                            f"{stem}{label_suffix}{ext}")
+        if os.path.isfile(cand):
+            return cand
+    return None
 
 
 def generate_hr_volumes(argv=None):
@@ -115,10 +135,8 @@ def generate_hr_volumes(argv=None):
         # multichannel models at all.
         lbl_arr = None
         if args.label_suffix:
-            stem, ext = _split_image_ext(path)
-            lbl_path = os.path.join(os.path.dirname(path),
-                                    f"{stem}{args.label_suffix}{ext}")
-            if os.path.isfile(lbl_path):
+            lbl_path = _find_label_companion(path, args.label_suffix)
+            if lbl_path is not None:
                 lbl_arr, _, _ = read_image(lbl_path)
                 if lbl_arr.shape != arr.shape:
                     print(f"WARNING: ignoring {lbl_path} — shape "
@@ -145,8 +163,13 @@ def generate_hr_volumes(argv=None):
             out_lbl_frames.append(res["upsampled_labels"])
         out = (out_frames[0] if arr.ndim == 3
                else np.stack(out_frames, axis=0))
+        # only emit a label output when INPUT labels existed — a
+        # multichannel model decodes (zero-conditioned) labels even
+        # without them, and saving those as '<suffix>' would fabricate
+        # a segmentation the user never provided
         out_lbl = None
-        if all(u is not None for u in out_lbl_frames):
+        if lbl_arr is not None and all(u is not None
+                                       for u in out_lbl_frames):
             out_lbl = (out_lbl_frames[0] if arr.ndim == 3
                        else np.stack(out_lbl_frames, axis=0))
         new_spacing = np.asarray(spacing, np.float64).copy()

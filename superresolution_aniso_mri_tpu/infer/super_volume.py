@@ -354,10 +354,8 @@ def create_super_volume(trainer, images, alpha_range=None,
     needs_label_channel, decodes_labels = model_label_semantics(trainer)
     if needs_label_channel:
         lbl_in = make_kept_label_channel(
-            images, labels,
-            downsample_steps if (downsample_steps is not None
-                                 or generate_inbetween_slices) else None,
-            remain, "create_super_volume")
+            images, labels, downsample_steps, remain,
+            "create_super_volume")
         kept = jnp.concatenate(
             [kept, jnp.asarray(lbl_in, jnp.float32)[..., None]], axis=-1)
     k_true = kept.shape[0]
@@ -394,20 +392,33 @@ def create_super_volume(trainer, images, alpha_range=None,
         p_sr, bs_sr = params_sr
         out = synth(p_sr, bs_sr, kept, jnp.asarray(alpha_range),
                     use_original=True)
-        # image channel only (no-op for 1-channel models; a multichannel
-        # SR model's decode carries a label channel this combo drops)
-        interp = out["interp"][:k_true - 1, ..., :1]
+        # a multichannel SR model's interp already carries decoded class
+        # ids in channel 1 — keep them so the combo serves model-decoded
+        # labels like the plain path (1-channel models keep 1 channel)
+        n_ch = 2 if (decodes_labels and out["interp"].shape[-1] >= 2) else 1
+        interp = out["interp"][:k_true - 1, ..., :n_ch]
         kept_true = kept[:k_true]
         if use_original:
-            recon = kept_true[..., :1]
+            # original slices keep their input image+label planes
+            recon = kept_true[..., :n_ch]
         else:
             # predict needs the model's FULL input channels (a colors>=2
             # stem rejects a 1-channel stack); multichannel decode
-            # returns {'image','soft_probs'} — keep the image head
+            # returns {'image','soft_probs'} — recon labels are the
+            # PRIMARY model's argmax, like the reference's recon_dict
+            # ['pred_labels'] (generate_hr_volumes.py:34-41)
             pred = trainer.predict(kept_true)
             if isinstance(pred, dict):
-                pred = pred["image"]
-            recon = jnp.asarray(pred)[..., :1]
+                img = jnp.asarray(pred["image"])[..., :1]
+                if n_ch == 2:
+                    ids = jnp.argmax(jnp.asarray(pred["soft_probs"]),
+                                     axis=-1)[..., None]
+                    recon = jnp.concatenate(
+                        [img, ids.astype(img.dtype)], axis=-1)
+                else:
+                    recon = img
+            else:
+                recon = jnp.asarray(pred)[..., :n_ch]
         new_volume = interleave_volume(recon, interp)
     else:
         params, batch_stats = trainer._ae_params()
@@ -432,8 +443,7 @@ def create_super_volume(trainer, images, alpha_range=None,
     # recon_labels/inter_label path (generate_hr_volumes.py:55-67). A
     # plain 2-channel AE's channel 1 is an intensity reconstruction, not
     # class ids — those models fall through to the input-label
-    # ride-along below (the combo path also lands here: its interp was
-    # already stripped to the image channel).
+    # ride-along below.
     dec_labels = (new_volume[..., 1]
                   if decodes_labels and new_volume.shape[-1] >= 2
                   else None)

@@ -118,6 +118,28 @@ def test_generate_hr_volumes_cli_label_suffix(trained_exper, tmp_path):
     np.testing.assert_array_equal(up_lbl[::3], lbl)
 
 
+def test_label_companion_helpers(tmp_path):
+    """Review fixes: a '<stem>_gt' file is only treated as a label
+    companion when its image sibling exists (a directory of volumes that
+    merely end in _gt densifies as before), and the companion lookup
+    tries every supported extension, not just the image's own."""
+    from superresolution_aniso_mri_tpu.cli.entry import (
+        _find_label_companion, _load_image_paths)
+
+    d = str(tmp_path)
+    for name in ("pat.nii", "pat_gt.nii.gz", "orphan_gt.nii.gz"):
+        open(os.path.join(d, name), "wb").close()
+    names = [os.path.basename(p) for p in _load_image_paths(d, "_gt")]
+    assert names == ["orphan_gt.nii.gz", "pat.nii"]
+    # cross-extension companion: pat.nii → pat_gt.nii.gz
+    comp = _find_label_companion(os.path.join(d, "pat.nii"), "_gt")
+    assert comp is not None and comp.endswith("pat_gt.nii.gz")
+    assert _find_label_companion(os.path.join(d, "orphan_gt.nii.gz"),
+                                 "_gt") is None
+    # suffix disabled: everything densifies
+    assert len(_load_image_paths(d, "")) == 3
+
+
 def test_find_best_model_cli(trained_exper):
     r = _run([sys.executable, "find_best_model.py",
               "--exper_dir", trained_exper, "--use_synthetic_data",

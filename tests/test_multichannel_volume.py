@@ -155,10 +155,7 @@ def test_plain_2ch_alpha_model_labels_ride_along(tmp_path):
     np.testing.assert_array_equal(out["upsampled_labels"], lbls)
 
 
-def test_multichannel_combo_path_runs(tmp_path):
-    """Review fix: the AE+SR combo path must feed predict the model's
-    FULL input channels and unwrap the multichannel decode dict — it
-    previously crashed with a stem shape error for this family."""
+def _combo_trainer(tmp_path):
     import os
 
     t = Trainer(_mc_args(tmp_path))
@@ -167,6 +164,38 @@ def test_multichannel_combo_path_runs(tmp_path):
     t.save_models(ckpt, 1)
     t.load_caisr(ckpt)
     assert t.params_sr is not None
+    return t
+
+
+def test_multichannel_combo_path_decodes_labels(tmp_path):
+    """Review fix (round 3): the AE+SR combo must serve MODEL-DECODED
+    labels like the plain multichannel path — it previously stripped the
+    SR decode's label channel and silently substituted the
+    nearest-input-label copy. In use_original mode kept grid positions
+    keep the input labels; synthesized positions carry decoded class
+    ids."""
+    t = _combo_trainer(tmp_path)
+    rng = np.random.RandomState(6)
+    imgs = rng.rand(9, 32, 32).astype(np.float32)
+    lbls = rng.randint(0, 3, (9, 32, 32)).astype(np.int16)
+    out = create_super_volume(
+        t, imgs, alpha_range=[0.5], downsample_steps=2,
+        generate_inbetween_slices=True, use_original=True, labels=lbls)
+    up = out["upsampled_labels"]
+    assert up.shape == (9, 32, 32) and up.dtype == lbls.dtype
+    # kept grid: original labels verbatim
+    np.testing.assert_array_equal(up[::2], lbls[::2])
+    # synthesized positions: valid class ids, and NOT the ride-along
+    # copy (random-weight decode differs from the input labels)
+    assert set(np.unique(up)) <= {0, 1, 2}
+    assert not np.array_equal(up, lbls)
+
+
+def test_multichannel_combo_path_runs(tmp_path):
+    """Review fix: the AE+SR combo path must feed predict the model's
+    FULL input channels and unwrap the multichannel decode dict — it
+    previously crashed with a stem shape error for this family."""
+    t = _combo_trainer(tmp_path)
     rng = np.random.RandomState(6)
     imgs = rng.rand(9, 32, 32).astype(np.float32)
     lbls = rng.randint(0, 3, (9, 32, 32)).astype(np.float32)
@@ -176,8 +205,8 @@ def test_multichannel_combo_path_runs(tmp_path):
     vol = out["upsampled_image"]
     assert vol.shape == (9, 32, 32)
     assert np.isfinite(vol).all()
-    # the combo drops the SR decode's label channel — labels ride along
-    np.testing.assert_array_equal(out["upsampled_labels"], lbls)
+    up = out["upsampled_labels"]
+    assert up is not None and set(np.unique(up)) <= {0.0, 1.0, 2.0}
 
 
 def test_multichannel_mismatched_label_grid_raises(mc_trainer):
