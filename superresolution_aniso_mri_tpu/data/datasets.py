@@ -87,6 +87,13 @@ def _split_patients(patient_ids: Sequence[str], split_file: Optional[str],
     perm = rs.permutation(len(ids))
     n_tr = int(len(ids) * ratios[0])
     n_va = int(len(ids) * ratios[1])
+    if len(ids) >= 3:
+        # small cohorts: int() flooring can zero out validation/test
+        # (e.g. 8 patients at 0.8/0.1/0.1 → 6/0/2), which crashes the
+        # val sampler far from the cause — guarantee one of each and
+        # give the remainder to training
+        n_va = max(n_va, 1)
+        n_tr = max(1, min(n_tr, len(ids) - n_va - 1))
     return {
         "training": [ids[i] for i in perm[:n_tr]],
         "validation": [ids[i] for i in perm[n_tr:n_tr + n_va]],

@@ -36,6 +36,11 @@ from .journal2 import (
     interpol_sequence_page, reconstruction_page, boxplot_page,
     cardiac_lax_page,
 )
+from .spie2021 import (
+    spie_boxplot_page, lax_view_pages, methods_grid_page,
+    interpol_example_page, presentation_slice_pages,
+    two_method_slice_compare,
+)
 
 __all__ = [
     "compute_volume_metrics", "aggregate_metrics", "create_hr_images",
@@ -59,4 +64,7 @@ __all__ = [
     "upsample_factor_page", "lambda_page", "methods_comparison_page",
     "interpol_sequence_page", "reconstruction_page", "boxplot_page",
     "cardiac_lax_page",
+    "spie_boxplot_page", "lax_view_pages", "methods_grid_page",
+    "interpol_example_page", "presentation_slice_pages",
+    "two_method_slice_compare",
 ]

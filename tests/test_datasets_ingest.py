@@ -131,6 +131,17 @@ def test_split_patients_yaml_and_fallback(tmp_path):
     assert split2["training"] == ["p0", "p1"]
 
 
+def test_split_patients_small_cohorts_never_empty():
+    """int() flooring must not zero out validation/test for small
+    cohorts (8 patients at 0.8/0.1/0.1 floored to 6/0/2 and crashed the
+    val sampler); every split is non-empty from 3 patients up."""
+    for n in (3, 4, 8, 24):
+        split = _split_patients([f"p{i}" for i in range(n)], None)
+        assert all(split[k] for k in ("training", "validation", "test")), \
+            (n, split)
+        assert sum(len(v) for v in split.values()) == n
+
+
 def test_acdc_default_split_puts_5mm_patients_in_test(tmp_path):
     """With no on-disk split file, the 12 native-5mm patients form the
     SR test split (reference: data.py:21-23, 163-195); ids strip the

@@ -157,6 +157,68 @@ def test_figure_zoo(tmp_path):
         assert os.path.isfile(p) and os.path.getsize(p) > 1000
 
 
+def test_spie2021_pages(tmp_path):
+    """SPIE-2021 per-paper layouts (evaluate/plots/spie2021/*,
+    compare_methods.py): every page renders and saves non-empty files;
+    the grid page returns the per-method RMSE book and the LAX pages
+    use the reference filename pattern."""
+    from superresolution_aniso_mri_tpu.evaluate.spie2021 import (
+        interpol_example_page, lax_view_pages, methods_grid_page,
+        presentation_slice_pages, spie_boxplot_page,
+        two_method_slice_compare,
+    )
+
+    rng = np.random.RandomState(1)
+    vol = rng.rand(8, 24, 24).astype(np.float32)
+
+    p = str(tmp_path / "spie_box.png")
+    labels = ["Linear", "B-spline", "Lanczos", "AE"]
+    vecs = {k: [rng.rand(6) for _ in labels]
+            for k in ("ssim", "psnr", "vif")}
+    spie_boxplot_page(vecs, labels, save_path=p)
+    assert os.path.getsize(p) > 1000
+
+    lax_dir = str(tmp_path / "lax")
+    method_dict = {
+        "reference": {"p01": {"image": vol, "spacing": (5.0, 1.0, 1.0)}},
+        "caisr": {"p01": {"image": vol, "spacing": (1.0, 1.0, 1.0)}},
+    }
+    cuts = lax_view_pages(method_dict, "p01", slice_id=10,
+                          num_interpolations=4, with_diff_image=True,
+                          fig_dir=lax_dir)
+    assert set(cuts) == {"reference", "caisr"}
+    assert cuts["caisr"].shape == (8, 24)
+    assert os.path.isfile(os.path.join(lax_dir,
+                                       "caisr_lax_pp01_s10_4x.png"))
+
+    p = str(tmp_path / "grid.png")
+    rmse = methods_grid_page({"original": vol, "caisr": vol + 0.01,
+                              "linear": vol}, slice_id1=2, slice_id2=5,
+                             save_path=p)
+    assert os.path.getsize(p) > 1000
+    assert abs(rmse["caisr"][2] - 0.01) < 1e-5
+    assert rmse["linear"][5] == 0.0
+
+    p = str(tmp_path / "interp.png")
+    interpol_example_page(vol[:5], vol[5:8], save_path=p)
+    assert os.path.getsize(p) > 1000
+
+    pres_dir = str(tmp_path / "pres")
+    written = presentation_slice_pages(
+        {"reference": vol, "caisr": vol, "linear": vol}, "p01",
+        slice_id=3, fig_dir=pres_dir)
+    names = sorted(os.path.basename(w) for w in written)
+    assert "reference_sax_pp01_s2.png" in names
+    assert "caisr_sax_diff_pp01_s3.png" in names
+    assert len(names) == 5   # 3 reference slices + 2 method diff pages
+
+    p = str(tmp_path / "two.png")
+    two_method_slice_compare(vol, vol + 0.02, vol, slice_range=[1, 4],
+                             m1_desc="caisr", m2_desc="linear",
+                             save_path=p)
+    assert os.path.getsize(p) > 1000
+
+
 def test_seg_colormap_and_overlay(tmp_path):
     from superresolution_aniso_mri_tpu.evaluate.plots import (
         SegColorMap, label_overlay_figure,

@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Production-pipeline quality benchmark on realistic-shaped data.
+
+Where tools/quality_check.py measures training quality through direct
+Trainer calls on phantoms, THIS tool proves the same result through the
+full production path a user actually runs — the OASIS ingest layout,
+the real training CLI, the epoch sweep and the evaluation driver:
+
+  1. fabricate an OASIS-shaped tree (root/OASIS/nifti/OAS1_xxxx_MR1/
+     *_t88_gfc[_<ds>mm].nii.gz) of TEXTURED rotated-anatomy volumes —
+     band-limited fine texture is what through-plane interpolation
+     blurs away, so it separates methods on VIF like real MRI does
+     (reference layout: datasets/common_brains.py:160-226,
+     datasets/OASIS/dataset.py; LR simulation = the reference's
+     thick-slice PSF, common_brains.py:37-44);
+  2. train ae_combined through train_brain_aesr.py (the child process
+     uses the default JAX platform — the TPU when attached; this
+     parent pins itself to CPU so exactly one process touches the chip);
+  3. sweep the numbered checkpoints with find_best_model.py --batched;
+  4. score the best-on-val model vs linear/bspline/lanczos on the
+     HELD-OUT TEST split with evaluate.create_hr_images and print the
+     side-by-side (the reference's notebook protocol,
+     notebooks/evaluate_brain.ipynb cells 6/9).
+
+  python tools/real_pipeline_quality.py --epochs 300 \
+      --loss_mode perceptual --json_out docs/quality_real_r3.jsonl
+"""
+import argparse
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LOSS_MODES = ("mse", "perceptual", "mse+ssim")
+
+
+def loss_mode_flags(mode: str):
+    """--loss_mode → training-CLI flags (the CLI's post-parse defaulting
+    mirrors the reference: ae_combined forces perceptual unless
+    image_mix_loss_func is given, kwatsch/arguments.py:67-76)."""
+    if mode == "mse":
+        return ["--image_mix_loss_func", "mse"]
+    if mode == "perceptual":
+        return ["--image_mix_loss_func", "perceptual"]
+    if mode == "mse+ssim":
+        return ["--image_mix_loss_func", "mse", "--use_ssim_loss"]
+    raise ValueError(f"unknown loss_mode {mode!r}")
+
+
+def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
+                             inplane: int, num_slices: int) -> None:
+    import scipy.ndimage
+
+    from superresolution_aniso_mri_tpu.data import simulate_thick_slices
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        _phantom2d, make_rotated_volume,
+    )
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    for i in range(n_patients):
+        rs = np.random.RandomState(10_000 + i)
+        base = _phantom2d(inplane, rs)
+        tex = scipy.ndimage.gaussian_filter(
+            rs.randn(inplane, inplane).astype(np.float32), 0.7)
+        base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
+        hr = make_rotated_volume(size=inplane, num_slices=num_slices,
+                                 seed=10_000 + i, base=base).image
+        pdir = os.path.join(data_root, "OASIS", "nifti",
+                            f"OAS1_{i:04d}_MR1")
+        os.makedirs(pdir, exist_ok=True)
+        write_nifti(os.path.join(pdir, f"OAS1_{i:04d}_MR1_t88_gfc.nii.gz"),
+                    hr, spacing=np.array([1.0, 1.0, 1.0]))
+        write_nifti(
+            os.path.join(pdir, f"OAS1_{i:04d}_MR1_t88_gfc_{ds}mm.nii.gz"),
+            simulate_thick_slices(hr, float(ds)),
+            spacing=np.array([1.0, 1.0, 1.0]))
+
+
+def _env(data_root):
+    return dict(
+        os.environ, SR_DATA_ROOT=data_root,
+        PYTHONPATH=os.pathsep.join(
+            p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
+
+
+def _run(cmd, data_root, what, log_path=None):
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO, env=_env(data_root),
+                       capture_output=True, text=True, timeout=7200)
+    if log_path:
+        with open(log_path, "w") as f:
+            f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
+    if r.returncode != 0:
+        raise SystemExit(
+            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
+            f"\n{r.stderr[-4000:]}")
+    print(f"[{what}] done in {time.time() - t0:.0f}s", flush=True)
+    return r
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--sweep_last", type=int, default=30,
+                   help="numbered checkpoints kept for the epoch sweep")
+    p.add_argument("--downsample_steps", type=int, default=3)
+    p.add_argument("--inplane", type=int, default=64)
+    p.add_argument("--num_slices", type=int, default=37)
+    p.add_argument("--n_patients", type=int, default=24)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--depth", type=int, default=24)
+    p.add_argument("--loss_mode", type=str, default="perceptual",
+                   choices=LOSS_MODES)
+    p.add_argument("--json_out", type=str, default=None)
+    p.add_argument("--keep", action="store_true")
+    args = p.parse_args()
+
+    # the parent never touches the TPU — fabrication is numpy/scipy and
+    # the final scoring runs on CPU; only the child CLIs use the chip
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    ds = args.downsample_steps
+    work = tempfile.mkdtemp(prefix="sr_rpq_")
+    data_root = os.path.join(work, "data")
+    exper_root = os.path.join(work, "exper")
+    try:
+        print(f"[fabricate] {args.n_patients} textured volumes "
+              f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
+              f"under {data_root}", flush=True)
+        make_textured_oasis_tree(data_root, ds, args.n_patients,
+                                 args.inplane, args.num_slices)
+
+        train_cmd = [
+            sys.executable, "train_brain_aesr.py", "-d", "OASIS",
+            "-m", "ae_combined", "--downsample_steps", str(ds),
+            "--width", str(args.inplane), "--latent_width",
+            str(args.inplane // 4), "--latent", "64",
+            "--depth", str(args.depth),
+            "--aug_patch_size", str(args.inplane),
+            "-b", str(args.batch_size), "--lr", "0.002",
+            "-e", str(args.epochs),
+            "--epoch_threshold", str(args.epochs - args.sweep_last),
+            "--ex_loss_weight1", "0.1",
+            "--volume_preview_interval", "0", "--seed", "7",
+            *loss_mode_flags(args.loss_mode),
+            "-o", exper_root, "-id", "rpq",
+        ]
+        print("[train] " + " ".join(train_cmd), flush=True)
+        _run(train_cmd, data_root, "train",
+             log_path=os.path.join(work, "train.log"))
+        exper = os.path.join(exper_root, "rpq")
+
+        r = _run([sys.executable, "find_best_model.py",
+                  "--exper_dir", exper, "--downsample_steps", str(ds),
+                  "--batched"], data_root, "find_best",
+                 log_path=os.path.join(work, "find_best.log"))
+        best_lines = [l for l in r.stdout.splitlines()
+                      if "best per metric" in l or "ssim" in l.lower()]
+        print("\n".join(best_lines[-6:]), flush=True)
+
+        # ------------------------------------------------------------------
+        # held-out test scoring, CPU, in-process
+        # ------------------------------------------------------------------
+        from superresolution_aniso_mri_tpu.data.datasets import (
+            load_brain_volumes,
+        )
+        from superresolution_aniso_mri_tpu.evaluate import create_hr_images
+        from superresolution_aniso_mri_tpu.train import get_trainer
+
+        os.environ["SR_DATA_ROOT"] = data_root
+        test_vols = load_brain_volumes("OASIS", ds, split="test",
+                                       include_hr_images=True)
+        assert test_vols, "empty test split"
+        print(f"[score] {len(test_vols)} held-out test volumes", flush=True)
+
+        trainer = get_trainer(exper, model_nbr="caisr", eval_mode=True)
+        rows = {"model (AESR)": create_hr_images(
+            trainer, test_vols, downsample_steps=ds)["aggregate"]}
+        for method in ("linear", "bspline", "lanczos"):
+            rows[method] = create_hr_images(
+                None, test_vols, downsample_steps=ds,
+                interpol_method=method)["aggregate"]
+
+        hdr = (f"{'method':>14} | {'SSIM synth':>12} | "
+               f"{'PSNR synth':>12} | {'VIF synth':>12}")
+        print("\n=== production-pipeline OASIS-shaped quality "
+              f"(ds={ds}, loss={args.loss_mode}) ===")
+        print(hdr)
+        print("-" * len(hdr))
+        for name, agg in rows.items():
+            print(f"{name:>14} | {agg['ssim_synth'][0]:12.4f} | "
+                  f"{agg['psnr_synth'][0]:12.3f} | "
+                  f"{agg['vif_synth'][0]:12.4f}")
+
+        model = rows["model (AESR)"]
+        conv = ("linear", "bspline", "lanczos")
+        wins = {}
+        for metric in ("ssim_synth", "psnr_synth", "vif_synth"):
+            best_conv = max(rows[m][metric][0] for m in conv)
+            wins[metric] = (float(model[metric][0]), float(best_conv))
+            tag = ("BEATS" if wins[metric][0] > wins[metric][1]
+                   else "does not beat")
+            print(f"{metric}: model {tag} best conventional "
+                  f"({wins[metric][0]:.4f} vs {wins[metric][1]:.4f})")
+        all_beat = all(m > c for m, c in wins.values())
+        print(f"\nmodel {'BEATS' if all_beat else 'does not beat'} "
+              f"conventional interpolation on ALL metrics "
+              f"(full production pipeline)")
+
+        if args.json_out:
+            rec = {
+                "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
+                "loss_mode": args.loss_mode,
+                "lpips_mode": trainer.args.get("lpips_mode"),
+                "epochs": args.epochs, "downsample_steps": ds,
+                "inplane": args.inplane, "num_slices": args.num_slices,
+                "n_patients": args.n_patients,
+                "model": {k: round(mv, 5)
+                          for k, (mv, _) in wins.items()},
+                "best_conventional": {k: round(cv, 5)
+                                      for k, (_, cv) in wins.items()},
+                "beats_all": bool(all_beat),
+            }
+            with open(args.json_out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"appended result to {args.json_out}")
+    finally:
+        if args.keep:
+            print(f"artifacts kept in {work}")
+        else:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
