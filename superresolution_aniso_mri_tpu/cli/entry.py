@@ -92,10 +92,7 @@ def generate_hr_volumes(argv=None):
     """Reference: generate_hr_volumes.py:159-209 — synthesize
     num_interpolations slices between every adjacent pair (originals
     kept verbatim), z-spacing divided by (n+1)."""
-    from ..data import rescale_intensities
-    from ..infer import create_super_volume
     from ..train import get_trainer
-    from ..utils import read_image, write_image
 
     parser = argparse.ArgumentParser(
         description="Synthesize in-between slices for anisotropic volumes")
@@ -122,83 +119,221 @@ def generate_hr_volumes(argv=None):
                           model_nbr=model_nbr, eval_mode=True)
     os.makedirs(args.output_dir, exist_ok=True)
 
-    n = args.num_interpolations
-    alpha_range = np.linspace(0, 1, n + 2)[1:-1]
     for path in _load_image_paths(os.path.expanduser(args.data_input_dir),
                                   args.label_suffix):
-        arr, spacing, affine = read_image(path)
-        arr = arr.astype(np.float32)
-        # sibling label volume (ACDC-style '<name>_gt.nii.gz'): rides
-        # through synthesis — decoded by multichannel (ACDCLBL) models,
-        # nearest-slice ride-along otherwise. The reference CLI hardcodes
-        # labels=None (generate_hr_volumes.py:171) and cannot serve its
-        # multichannel models at all.
-        lbl_arr = None
-        if args.label_suffix:
-            lbl_path = _find_label_companion(path, args.label_suffix)
-            if lbl_path is not None:
-                lbl_arr, _, _ = read_image(lbl_path)
-                if lbl_arr.shape != arr.shape:
-                    print(f"WARNING: ignoring {lbl_path} — shape "
-                          f"{lbl_arr.shape} != image {arr.shape}")
-                    lbl_arr = None
-        frames = arr[None] if arr.ndim == 3 else arr
-        lbl_frames = (None if lbl_arr is None
-                      else (lbl_arr[None] if lbl_arr.ndim == 3 else lbl_arr))
-        out_frames, out_lbl_frames = [], []
-        for fi, frame in enumerate(frames):
-            # percentile-normalize if outside [0,1]
-            # (reference: generate_hr_volumes.py:104-111,130-133)
-            if frame.min() < 0 or frame.max() > 1:
-                frame = rescale_intensities(frame, percs=(1, 99))
-            res = create_super_volume(trainer, frame,
-                                      alpha_range=alpha_range,
-                                      use_original=True,
-                                      downsample_steps=None,
-                                      generate_inbetween_slices=False,
-                                      labels=(None if lbl_frames is None
-                                              else lbl_frames[fi]),
-                                      num_devices=args.num_devices)
-            out_frames.append(res["upsampled_image"])
-            out_lbl_frames.append(res["upsampled_labels"])
-        out = (out_frames[0] if arr.ndim == 3
-               else np.stack(out_frames, axis=0))
-        # only emit a label output when INPUT labels existed — a
-        # multichannel model decodes (zero-conditioned) labels even
-        # without them, and saving those as '<suffix>' would fabricate
-        # a segmentation the user never provided
-        out_lbl = None
-        if lbl_arr is not None and all(u is not None
-                                       for u in out_lbl_frames):
-            out_lbl = (out_lbl_frames[0] if arr.ndim == 3
-                       else np.stack(out_lbl_frames, axis=0))
-        new_spacing = np.asarray(spacing, np.float64).copy()
-        new_spacing[0] = new_spacing[0] / (n + 1)
-        base, _ = _split_image_ext(path)
-        out_path = os.path.join(args.output_dir,
-                                f"{base}_ni{n:02d}.nii.gz")
-        # keep the source orientation/translation, but rescale the
-        # affine's z column to the densified slice spacing — write_nifti
-        # sets sform_code=1 and consumers prefer sform over pixdim, so a
-        # verbatim affine would render the volume stretched (n+1)x in z
-        new_affine = affine
-        if affine is not None:
-            new_affine = np.asarray(affine, np.float64).copy()
-            new_affine[:3, 2] *= new_spacing[0] / spacing[0]
-        write_image(out_path, out.astype(np.float32), spacing=new_spacing,
-                    affine=new_affine)
-        print(f"saved {out_path}  "
-              f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
-              f"z-spacing {new_spacing[0]:.3f}mm)")
-        if out_lbl is not None:
-            lbl_out_path = os.path.join(
-                args.output_dir,
-                f"{base}_ni{n:02d}{args.label_suffix}.nii.gz")
-            write_image(lbl_out_path,
-                        np.rint(out_lbl).astype(np.int16),
-                        spacing=new_spacing, affine=new_affine,
-                        dtype=np.int16)
-            print(f"saved {lbl_out_path}")
+        _densify_file(trainer, path, args.output_dir,
+                      args.num_interpolations, args.label_suffix,
+                      args.num_devices)
+
+
+def _densify_file(trainer, path: str, output_dir: str, n: int,
+                  label_suffix: str, num_devices: int = 1):
+    """Densify one on-disk volume: read (+ label companion), synthesize
+    ``n`` in-between slices per gap, write '<base>_niNN.nii.gz' (and the
+    label output when input labels existed). Returns the written paths.
+    Shared by the batch CLI and the serving daemon."""
+    from ..data.volume import rescale_intensities
+    from ..infer import create_super_volume
+    from ..utils import read_image, write_image
+
+    arr, spacing, affine = read_image(path)
+    arr = arr.astype(np.float32)
+    # sibling label volume (ACDC-style '<name>_gt.nii.gz'): rides
+    # through synthesis — decoded by multichannel (ACDCLBL) models,
+    # nearest-slice ride-along otherwise. The reference CLI hardcodes
+    # labels=None (generate_hr_volumes.py:171) and cannot serve its
+    # multichannel models at all.
+    lbl_arr = None
+    if label_suffix:
+        lbl_path = _find_label_companion(path, label_suffix)
+        if lbl_path is not None:
+            lbl_arr, _, _ = read_image(lbl_path)
+            if lbl_arr.shape != arr.shape:
+                print(f"WARNING: ignoring {lbl_path} — shape "
+                      f"{lbl_arr.shape} != image {arr.shape}")
+                lbl_arr = None
+    alpha_range = np.linspace(0, 1, n + 2)[1:-1]
+    frames = arr[None] if arr.ndim == 3 else arr
+    lbl_frames = (None if lbl_arr is None
+                  else (lbl_arr[None] if lbl_arr.ndim == 3 else lbl_arr))
+    out_frames, out_lbl_frames = [], []
+    for fi, frame in enumerate(frames):
+        # percentile-normalize if outside [0,1]
+        # (reference: generate_hr_volumes.py:104-111,130-133)
+        if frame.min() < 0 or frame.max() > 1:
+            frame = rescale_intensities(frame, percs=(1, 99))
+        res = create_super_volume(trainer, frame,
+                                  alpha_range=alpha_range,
+                                  use_original=True,
+                                  downsample_steps=None,
+                                  generate_inbetween_slices=False,
+                                  labels=(None if lbl_frames is None
+                                          else lbl_frames[fi]),
+                                  num_devices=num_devices)
+        out_frames.append(res["upsampled_image"])
+        out_lbl_frames.append(res["upsampled_labels"])
+    out = (out_frames[0] if arr.ndim == 3
+           else np.stack(out_frames, axis=0))
+    # only emit a label output when INPUT labels existed — a
+    # multichannel model decodes (zero-conditioned) labels even
+    # without them, and saving those as '<suffix>' would fabricate
+    # a segmentation the user never provided
+    out_lbl = None
+    if lbl_arr is not None and all(u is not None
+                                   for u in out_lbl_frames):
+        out_lbl = (out_lbl_frames[0] if arr.ndim == 3
+                   else np.stack(out_lbl_frames, axis=0))
+    new_spacing = np.asarray(spacing, np.float64).copy()
+    new_spacing[0] = new_spacing[0] / (n + 1)
+    base, _ = _split_image_ext(path)
+    out_path = os.path.join(output_dir, f"{base}_ni{n:02d}.nii.gz")
+    # keep the source orientation/translation, but rescale the
+    # affine's z column to the densified slice spacing — write_nifti
+    # sets sform_code=1 and consumers prefer sform over pixdim, so a
+    # verbatim affine would render the volume stretched (n+1)x in z
+    new_affine = affine
+    if affine is not None:
+        new_affine = np.asarray(affine, np.float64).copy()
+        new_affine[:3, 2] *= new_spacing[0] / spacing[0]
+    write_image(out_path, out.astype(np.float32), spacing=new_spacing,
+                affine=new_affine)
+    print(f"saved {out_path}  "
+          f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
+          f"z-spacing {new_spacing[0]:.3f}mm)", flush=True)
+    written = [out_path]
+    if out_lbl is not None:
+        lbl_out_path = os.path.join(
+            output_dir, f"{base}_ni{n:02d}{label_suffix}.nii.gz")
+        write_image(lbl_out_path,
+                    np.rint(out_lbl).astype(np.int16),
+                    spacing=new_spacing, affine=new_affine,
+                    dtype=np.int16)
+        print(f"saved {lbl_out_path}", flush=True)
+        written.append(lbl_out_path)
+    return written
+
+
+def _file_signature(path: str, label_suffix: str):
+    """Change-detection key for a volume: its own (mtime_ns, size) plus
+    the label companion's — so a label file that arrives AFTER its image
+    was served triggers a reprocess with labels."""
+    st = os.stat(path)
+    sig = [path, st.st_mtime_ns, st.st_size]
+    if label_suffix:
+        comp = _find_label_companion(path, label_suffix)
+        if comp is not None and os.path.isfile(comp):
+            cst = os.stat(comp)
+            sig += [comp, cst.st_mtime_ns, cst.st_size]
+    return tuple(sig)
+
+
+def serve_hr_volumes(argv=None):
+    """Directory-watching serving daemon: densify volumes as they land.
+
+    The reference has no serving story (generate_hr_volumes.py is a
+    one-shot batch script); this daemon keeps the compiled synthesizer
+    warm — the first volume pays the XLA compile, every following
+    volume of the same bucket shape runs at the pipelined per-volume
+    latency (bench.py 'value_amortized') — and picks up new or changed
+    files (including late-arriving label companions) on a poll loop.
+    A file is only processed once its stat is stable across two
+    consecutive polls (write-in-progress guard). ``--once`` drains the
+    current directory and exits (cron-style operation)."""
+    import json
+    import signal
+    import time
+
+    from ..train import get_trainer
+
+    parser = argparse.ArgumentParser(
+        description="Serve HR-volume synthesis over a watched directory")
+    parser.add_argument("--exper_dir", type=str, required=True)
+    parser.add_argument("--model_nbr", type=str, default="caisr")
+    parser.add_argument("--watch_dir", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, required=True)
+    parser.add_argument("--num_interpolations", type=int, default=1)
+    parser.add_argument("--num_devices", type=int, default=1)
+    parser.add_argument("--label_suffix", type=str, default="_gt")
+    parser.add_argument("--poll_seconds", type=float, default=2.0)
+    parser.add_argument("--once", action="store_true",
+                        help="drain the directory once, then exit")
+    parser.add_argument("--max_volumes", type=int, default=0,
+                        help="exit after N volumes (0 = run forever)")
+    parser.add_argument("--manifest", type=str, default=None,
+                        help="append one JSON line per served volume")
+    args = parser.parse_args(argv)
+
+    model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
+                 else args.model_nbr)
+    trainer = get_trainer(os.path.expanduser(args.exper_dir),
+                          model_nbr=model_nbr, eval_mode=True)
+    os.makedirs(args.output_dir, exist_ok=True)
+    watch = os.path.expanduser(args.watch_dir)
+
+    stop = {"flag": False}
+
+    def _stop(signum, frame):
+        stop["flag"] = True
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, _stop)
+        except ValueError:
+            pass                        # non-main thread (tests)
+
+    processed: dict = {}   # image path → signature already served
+    pending: dict = {}     # image path → signature seen last poll
+    served = 0
+    print(f"serving {watch} → {args.output_dir} "
+          f"(n={args.num_interpolations}, model={args.model_nbr})",
+          flush=True)
+    while not stop["flag"]:
+        try:
+            paths = _load_image_paths(watch, args.label_suffix)
+        except SystemExit:              # empty directory: keep watching
+            paths = []
+        for path in paths:
+            if stop["flag"]:
+                break
+            try:
+                sig = _file_signature(path, args.label_suffix)
+            except OSError:
+                continue                # vanished mid-scan
+            if processed.get(path) == sig:
+                continue
+            if not args.once and pending.get(path) != sig:
+                pending[path] = sig     # wait one poll for stability
+                continue
+            t0 = time.perf_counter()
+            try:
+                written = _densify_file(
+                    trainer, path, args.output_dir,
+                    args.num_interpolations, args.label_suffix,
+                    args.num_devices)
+            except Exception as exc:    # keep serving on bad volumes
+                print(f"ERROR serving {path}: {exc}", flush=True)
+                processed[path] = sig   # don't retry-loop a poison file
+                continue
+            dt = time.perf_counter() - t0
+            processed[path] = sig
+            pending.pop(path, None)
+            served += 1
+            print(f"served {os.path.basename(path)} in {dt:.2f}s "
+                  f"({served} total)", flush=True)
+            if args.manifest:
+                with open(args.manifest, "a") as f:
+                    f.write(json.dumps({
+                        "input": path, "outputs": written,
+                        "seconds": round(dt, 4),
+                        "unix_time": time.time()}) + "\n")
+            if args.max_volumes and served >= args.max_volumes:
+                stop["flag"] = True
+        if args.once:
+            break
+        if not stop["flag"]:
+            time.sleep(args.poll_seconds)
+    print(f"serve loop exit after {served} volumes", flush=True)
+    return served
 
 
 def find_best_model(argv=None):

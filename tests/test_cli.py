@@ -118,6 +118,83 @@ def test_generate_hr_volumes_cli_label_suffix(trained_exper, tmp_path):
     np.testing.assert_array_equal(up_lbl[::3], lbl)
 
 
+def test_serve_hr_volumes_once(trained_exper, tmp_path):
+    """The serving daemon in --once mode drains a directory: densifies
+    every volume (labels riding along), writes a JSONL manifest, exits.
+    (TPU-native extension — the reference has no serving story.)"""
+    import json
+
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    watch = str(tmp_path / "watch")
+    out_dir = str(tmp_path / "out")
+    manifest = str(tmp_path / "manifest.jsonl")
+    os.makedirs(watch)
+    vols = make_toy_dataset(2, 32, 7, seed=11)
+    write_nifti(os.path.join(watch, "a.nii.gz"), vols[0].image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+    write_nifti(os.path.join(watch, "b.nii.gz"), vols[1].image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+    lbl = np.random.RandomState(0).randint(
+        0, 3, size=vols[0].image.shape).astype(np.int16)
+    write_nifti(os.path.join(watch, "a_gt.nii.gz"), lbl,
+                spacing=np.array([6.0, 1.0, 1.0]), dtype=np.int16)
+
+    r = _run([sys.executable, "serve_hr_volumes.py",
+              "--exper_dir", trained_exper, "--model_nbr", "0",
+              "--watch_dir", watch, "--output_dir", out_dir,
+              "--num_interpolations", "1", "--once",
+              "--manifest", manifest])
+    assert r.returncode == 0, r.stderr[-3000:]
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["a_ni01.nii.gz", "a_ni01_gt.nii.gz",
+                    "b_ni01.nii.gz"], outs
+    lines = [json.loads(l) for l in open(manifest)]
+    assert len(lines) == 2                      # one entry per volume
+    assert all(l["seconds"] > 0 for l in lines)
+    assert "serve loop exit after 2 volumes" in r.stdout
+
+
+def test_serve_hr_volumes_poll_loop(trained_exper, tmp_path):
+    """Live mode: a volume dropped AFTER startup is picked up once its
+    stat is stable across two polls; --max_volumes bounds the run."""
+    import threading
+
+    from superresolution_aniso_mri_tpu.cli.entry import serve_hr_volumes
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    watch = str(tmp_path / "watch")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(watch)
+    vols = make_toy_dataset(2, 32, 7, seed=12)
+    write_nifti(os.path.join(watch, "first.nii.gz"), vols[0].image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+
+    result = {}
+
+    def _serve():
+        result["served"] = serve_hr_volumes([
+            "--exper_dir", trained_exper, "--model_nbr", "0",
+            "--watch_dir", watch, "--output_dir", out_dir,
+            "--num_interpolations", "1", "--poll_seconds", "0.2",
+            "--max_volumes", "2"])
+
+    th = threading.Thread(target=_serve, daemon=True)
+    th.start()
+    # drop the second volume while the daemon is live
+    import time
+    time.sleep(0.5)
+    write_nifti(os.path.join(watch, "second.nii.gz"), vols[1].image,
+                spacing=np.array([6.0, 1.0, 1.0]))
+    th.join(timeout=300)
+    assert not th.is_alive(), "serve loop did not stop at max_volumes"
+    assert result["served"] == 2
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["first_ni01.nii.gz", "second_ni01.nii.gz"], outs
+
+
 def test_label_companion_helpers(tmp_path):
     """Review fixes: a '<stem>_gt' file is only treated as a label
     companion when its image sibling exists (a directory of volumes that
