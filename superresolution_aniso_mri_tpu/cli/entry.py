@@ -263,12 +263,21 @@ def serve_hr_volumes(argv=None):
                         help="append one JSON line per served volume")
     args = parser.parse_args(argv)
 
+    watch = os.path.expanduser(args.watch_dir)
+    if not os.path.isdir(watch):
+        # fail fast: a typo'd watch dir would otherwise spin forever,
+        # silently serving nothing
+        raise SystemExit(f"watch_dir does not exist: {watch}")
+    if os.path.realpath(watch) == os.path.realpath(
+            os.path.expanduser(args.output_dir)):
+        # served outputs would be re-ingested next poll: an unbounded
+        # self-feeding densification loop
+        raise SystemExit("watch_dir and output_dir must differ")
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
                  else args.model_nbr)
     trainer = get_trainer(os.path.expanduser(args.exper_dir),
                           model_nbr=model_nbr, eval_mode=True)
     os.makedirs(args.output_dir, exist_ok=True)
-    watch = os.path.expanduser(args.watch_dir)
 
     stop = {"flag": False}
 

@@ -34,10 +34,11 @@ kernels in ops/metrics.py.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+from .journal2 import _finish
 from .plots import _plt
 
 # the SPIE color book: conventional interpolation = one hue at rising
@@ -81,23 +82,22 @@ def spie_boxplot_page(res_vectors: Dict[str, Sequence[Sequence[float]]],
         ax.yaxis.grid(True)
         ax.set_xticks(np.arange(1, len(m_labels) + 1))
         ax.set_xticklabels(m_labels, rotation=90, fontsize=14)
-    fig.tight_layout()
-    if save_path:
-        fig.savefig(save_path, dpi=120, bbox_inches="tight")
-        plt.close(fig)
-    return fig
+    return _finish(fig, plt, save_path, dpi=120)
 
 
 def _extract_lax_slice(img3d: np.ndarray, slice_id: int,
-                       sag_index: Optional[int]):
+                       x_crop: Optional[Tuple[int, int]]):
+    """(z, x) coronal cut at row ``slice_id``, optionally cropped to
+    the ``x_crop = (lo, hi)`` column window (the reference's
+    ``slice_info`` crop, long_axis_views.py:27-30)."""
     cut = img3d[:, slice_id]
-    return cut if sag_index is None else cut[:, sag_index]
+    return cut if x_crop is None else cut[:, x_crop[0]:x_crop[1]]
 
 
 def lax_view_pages(method_img_dict: Dict[str, Dict],
                    patient_id, slice_id: int, num_interpolations: int,
                    frame_id: Optional[int] = None,
-                   sag_index: Optional[int] = None,
+                   x_crop: Optional[Tuple[int, int]] = None,
                    with_diff_image: bool = False,
                    fig_dir: Optional[str] = None,
                    width: float = 5.0, height: float = 2.0
@@ -107,16 +107,17 @@ def lax_view_pages(method_img_dict: Dict[str, Dict],
     an optional reference-minus-method companion panel; saves under the
     reference's filename pattern when ``fig_dir`` is given. Returns the
     extracted LAX slices per method (the 'reference' entry must be
-    present when ``with_diff_image``)."""
+    present when ``with_diff_image``). Figures are always closed — the
+    extracted arrays are the return value; the pngs the artifact."""
     plt = _plt(fig_dir)
     out: Dict[str, np.ndarray] = {}
     ref_entry = method_img_dict.get("reference")
     ref_cut = None
     if ref_entry is not None:
         img = np.asarray(ref_entry[patient_id]["image"], np.float32)
-        ref_cut = _extract_lax_slice(
-            img if frame_id is None else img[frame_id], slice_id,
-            sag_index)
+        if frame_id is not None and img.ndim == 4:
+            img = img[frame_id]
+        ref_cut = _extract_lax_slice(img, slice_id, x_crop)
     for method, image_dict in method_img_dict.items():
         entry = image_dict[patient_id]
         img = np.asarray(entry["image"], np.float32)
@@ -126,10 +127,12 @@ def lax_view_pages(method_img_dict: Dict[str, Dict],
                              np.float64)
         if spacing.size > 3:      # 4-D spacing carries a leading t
             spacing = spacing[1:]
-        cut = _extract_lax_slice(img, slice_id, sag_index)
+        cut = _extract_lax_slice(img, slice_id, x_crop)
         out[method] = cut
-        extent = (0, img.shape[1] * spacing[1], 0,
-                  img.shape[0] * spacing[0])
+        # the displayed axes are (z, x): width from the CUT's x extent
+        # (after cropping) at the in-plane x spacing, height from z
+        extent = (0, cut.shape[1] * spacing[2], 0,
+                  cut.shape[0] * spacing[0])
         two_rows = with_diff_image and method != "reference" \
             and ref_cut is not None
         fig = plt.figure(figsize=(width, height * (2 if two_rows else 1)))
@@ -150,7 +153,7 @@ def lax_view_pages(method_img_dict: Dict[str, Dict],
             fname = (f"{method}_lax_p{patient_id}{frame_tag}"
                      f"_s{slice_id}_{num_interpolations}x.png")
             fig.savefig(os.path.join(fig_dir, fname), bbox_inches="tight")
-            plt.close(fig)
+        plt.close(fig)
     return out
 
 
@@ -206,10 +209,7 @@ def methods_grid_page(images_dict: Dict[str, np.ndarray], slice_id1: int,
             ax_d.imshow(diff, cmap="bwr", vmin=-0.5, vmax=0.5,
                         interpolation="nearest", aspect="equal")
             ax_d.set_xticks([]), ax_d.set_yticks([])
-    fig.tight_layout()
-    if save_path:
-        fig.savefig(save_path, bbox_inches="tight")
-        plt.close(fig)
+    _finish(fig, plt, save_path)
     return rmse
 
 
@@ -248,11 +248,7 @@ def interpol_example_page(interpol_grid: np.ndarray,
                   vmin=-1.0, vmax=1.0, interpolation="nearest",
                   aspect="equal")
         ax.set_xticks([]), ax.set_yticks([])
-    fig.tight_layout()
-    if save_path:
-        fig.savefig(save_path, bbox_inches="tight")
-        plt.close(fig)
-    return fig
+    return _finish(fig, plt, save_path)
 
 
 def presentation_slice_pages(images_dict: Dict[str, np.ndarray],
@@ -277,15 +273,21 @@ def presentation_slice_pages(images_dict: Dict[str, np.ndarray],
             os.makedirs(fig_dir, exist_ok=True)
             path = os.path.join(fig_dir, fname)
             fig.savefig(path, bbox_inches="tight")
-            plt.close(fig)
             written.append(path)
+        plt.close(fig)
 
     for meth, vol in images_dict.items():
         if meth == "reference":
+            arr = np.asarray(vol, np.float32)
+            n_slices = (arr[frame_id] if frame_id is not None
+                        and arr.ndim == 4 else arr).shape[axis]
             for off in (-1, 0, 1):
                 sid = slice_id + off
-                cut = _take_slice(np.asarray(vol, np.float32), sid, axis,
-                                  frame_id)
+                # skip out-of-volume neighbours at the edges (a negative
+                # index would silently wrap to the far end)
+                if not 0 <= sid < n_slices:
+                    continue
+                cut = _take_slice(arr, sid, axis, frame_id)
                 fig = plt.figure(figsize=(width, height))
                 plt.imshow(cut, cmap="gray", vmin=0, vmax=1,
                            interpolation="nearest")
@@ -348,8 +350,4 @@ def two_method_slice_compare(orig_vol: np.ndarray, m1_vol: np.ndarray,
                       interpolation="nearest")
             ax.set_title(title, fontsize=10)
             ax.axis("off")
-    fig.tight_layout()
-    if save_path:
-        fig.savefig(save_path, bbox_inches="tight")
-        plt.close(fig)
-    return fig
+    return _finish(fig, plt, save_path)

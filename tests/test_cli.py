@@ -195,6 +195,24 @@ def test_serve_hr_volumes_poll_loop(trained_exper, tmp_path):
     assert outs == ["first_ni01.nii.gz", "second_ni01.nii.gz"], outs
 
 
+def test_serve_hr_volumes_arg_guards(tmp_path):
+    """Fail fast on operational misconfigurations: a nonexistent watch
+    dir (typo → daemon would spin forever serving nothing) and
+    watch_dir == output_dir (self-feeding densification loop). Both
+    guards run before the checkpoint loads."""
+    from superresolution_aniso_mri_tpu.cli.entry import serve_hr_volumes
+
+    d = str(tmp_path / "watch")
+    os.makedirs(d)
+    with pytest.raises(SystemExit, match="does not exist"):
+        serve_hr_volumes(["--exper_dir", "unused",
+                          "--watch_dir", str(tmp_path / "nope"),
+                          "--output_dir", str(tmp_path / "out")])
+    with pytest.raises(SystemExit, match="must differ"):
+        serve_hr_volumes(["--exper_dir", "unused",
+                          "--watch_dir", d, "--output_dir", d])
+
+
 def test_label_companion_helpers(tmp_path):
     """Review fixes: a '<stem>_gt' file is only treated as a label
     companion when its image sibling exists (a directory of volumes that

@@ -190,6 +190,12 @@ def test_spie2021_pages(tmp_path):
     assert cuts["caisr"].shape == (8, 24)
     assert os.path.isfile(os.path.join(lax_dir,
                                        "caisr_lax_pp01_s10_4x.png"))
+    # x_crop = the reference's slice_info column window; figures close
+    cuts2 = lax_view_pages(method_dict, "p01", slice_id=10,
+                           num_interpolations=4, x_crop=(4, 20))
+    assert cuts2["caisr"].shape == (8, 16)
+    import matplotlib.pyplot as _mpl_plt
+    assert len(_mpl_plt.get_fignums()) == 0, "figure leak"
 
     p = str(tmp_path / "grid.png")
     rmse = methods_grid_page({"original": vol, "caisr": vol + 0.01,
@@ -211,6 +217,13 @@ def test_spie2021_pages(tmp_path):
     assert "reference_sax_pp01_s2.png" in names
     assert "caisr_sax_diff_pp01_s3.png" in names
     assert len(names) == 5   # 3 reference slices + 2 method diff pages
+    # edge slice: out-of-volume neighbours are skipped, not wrapped
+    written0 = presentation_slice_pages(
+        {"reference": vol, "caisr": vol}, "p02", slice_id=0,
+        fig_dir=pres_dir)
+    names0 = [os.path.basename(w) for w in written0]
+    assert not any("_s-1" in n for n in names0)
+    assert len(names0) == 3  # slices 0,1 + 1 method diff page
 
     p = str(tmp_path / "two.png")
     two_method_slice_compare(vol, vol + 0.02, vol, slice_range=[1, 4],

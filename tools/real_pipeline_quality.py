@@ -167,6 +167,14 @@ def main():
         best_lines = [l for l in r.stdout.splitlines()
                       if "best per metric" in l or "ssim" in l.lower()]
         print("\n".join(best_lines[-6:]), flush=True)
+        # model selection happens on the VAL sweep: score the epoch the
+        # sweep picked by synthesized-slice SSIM; fall back to the
+        # min-val-loss 'caisr' alias when the line isn't found
+        import re
+        m = re.search(r"ssim_synth: epoch (\d+)", r.stdout)
+        best_nbr = int(m.group(1)) if m else "caisr"
+        print(f"[score] using sweep-selected checkpoint: {best_nbr}",
+              flush=True)
 
         # ------------------------------------------------------------------
         # held-out test scoring, CPU, in-process
@@ -183,7 +191,7 @@ def main():
         assert test_vols, "empty test split"
         print(f"[score] {len(test_vols)} held-out test volumes", flush=True)
 
-        trainer = get_trainer(exper, model_nbr="caisr", eval_mode=True)
+        trainer = get_trainer(exper, model_nbr=best_nbr, eval_mode=True)
         rows = {"model (AESR)": create_hr_images(
             trainer, test_vols, downsample_steps=ds)["aggregate"]}
         for method in ("linear", "bspline", "lanczos"):
@@ -222,7 +230,8 @@ def main():
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
                 "loss_mode": args.loss_mode,
                 "lpips_mode": trainer.args.get("lpips_mode"),
-                "epochs": args.epochs, "downsample_steps": ds,
+                "epochs": args.epochs, "checkpoint": str(best_nbr),
+                "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
                 "n_patients": args.n_patients,
                 "model": {k: round(mv, 5)
