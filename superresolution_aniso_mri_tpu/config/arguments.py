@@ -106,6 +106,12 @@ def parse_args(argv=None):
                              "(also env SR_PROCESS_ID)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--use_batchnorm", type=int, default=None,
+                        choices=[0, 1],
+                        help="override the architecture default (the "
+                             "reference hardcodes BN on in net_config; "
+                             "0 trains without BN — an ablation knob "
+                             "for quality studies)")
     parser.add_argument("--use_synthetic_data", action="store_true",
                         help="use the procedural toy backend instead of "
                              "on-disk volumes (CI / smoke runs)")

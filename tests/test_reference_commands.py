@@ -46,6 +46,21 @@ def test_vae_command_routing():
     assert d["ae_class"] == "VAE2" and d["vae_beta"] == 1.0
 
 
+def test_use_batchnorm_override():
+    from superresolution_aniso_mri_tpu.config.net_config import (
+        NetworkConfig, merge_args_architecture,
+    )
+
+    # absent → the architecture default (BN on, reference net_config)
+    _, d = parse_args("-d OASIS -m ae_combined --downsample_steps 3".split())
+    arch = NetworkConfig("ae_combined", "OASIS").architecture
+    assert merge_args_architecture(d, arch)["use_batchnorm"] is True
+    # explicit 0 → overrides the default through the merge
+    _, d = parse_args("-d OASIS -m ae_combined --downsample_steps 3 "
+                      "--use_batchnorm 0".split())
+    assert merge_args_architecture(d, arch)["use_batchnorm"] == 0
+
+
 def test_downsample_steps_required():
     import pytest
     with pytest.raises(ValueError):

@@ -120,6 +120,10 @@ def main():
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--loss_mode", type=str, default="perceptual",
                    choices=LOSS_MODES)
+    p.add_argument("--use_batchnorm", type=int, default=None,
+                   choices=[0, 1],
+                   help="override the CLI's architecture default "
+                        "(reference hardcodes BN on; 0 = ablation)")
     p.add_argument("--json_out", type=str, default=None)
     p.add_argument("--keep", action="store_true")
     args = p.parse_args()
@@ -153,6 +157,8 @@ def main():
             "--ex_loss_weight1", "0.1",
             "--volume_preview_interval", "0", "--seed", "7",
             *loss_mode_flags(args.loss_mode),
+            *(["--use_batchnorm", str(args.use_batchnorm)]
+              if args.use_batchnorm is not None else []),
             "-o", exper_root, "-id", "rpq",
         ]
         print("[train] " + " ".join(train_cmd), flush=True)
@@ -200,15 +206,21 @@ def main():
                 interpol_method=method)["aggregate"]
 
         hdr = (f"{'method':>14} | {'SSIM synth':>12} | "
-               f"{'PSNR synth':>12} | {'VIF synth':>12}")
+               f"{'PSNR synth':>12} | {'VIF synth':>12} | "
+               f"{'SSIM all':>9} | {'PSNR all':>9}")
         print("\n=== production-pipeline OASIS-shaped quality "
               f"(ds={ds}, loss={args.loss_mode}) ===")
         print(hdr)
         print("-" * len(hdr))
+        # the all-slice columns include the ORIGINAL-grid slices (the
+        # model path reconstructs them through the AE, conventional
+        # copies them verbatim) — a large model synth-vs-all gap
+        # localizes failure to synthesis, a small one to AE recon
         for name, agg in rows.items():
             print(f"{name:>14} | {agg['ssim_synth'][0]:12.4f} | "
                   f"{agg['psnr_synth'][0]:12.3f} | "
-                  f"{agg['vif_synth'][0]:12.4f}")
+                  f"{agg['vif_synth'][0]:12.4f} | "
+                  f"{agg['ssim'][0]:9.4f} | {agg['psnr'][0]:9.3f}")
 
         model = rows["model (AESR)"]
         conv = ("linear", "bspline", "lanczos")
@@ -231,11 +243,15 @@ def main():
                 "loss_mode": args.loss_mode,
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
+                "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
                 "n_patients": args.n_patients,
                 "model": {k: round(mv, 5)
                           for k, (mv, _) in wins.items()},
+                "model_all_slices": {
+                    k: round(float(model[k][0]), 5)
+                    for k in ("ssim", "psnr", "vif")},
                 "best_conventional": {k: round(cv, 5)
                                       for k, (_, cv) in wins.items()},
                 "beats_all": bool(all_beat),
