@@ -60,6 +60,66 @@ def make_rotated_volume(size: int = 32, num_slices: int = 17,
                   patient_id=f"toy{seed:03d}")
 
 
+def make_anatomy3d_volume(size: int = 64, num_slices: int = 37,
+                          seed: int = 0,
+                          texture_amp: float = 0.5) -> Volume:
+    """A genuinely 3-D phantom: smooth ellipsoidal 'tissue' structures
+    whose boundaries DRIFT across slices, plus band-limited 3-D texture.
+
+    The rotating-base toys (make_rotated_volume) move every edge by the
+    same in-plane rotation, which through-plane linear blending handles
+    unusually well; real MRI anatomy instead presents edges that shift,
+    grow and vanish between slices — the regime where the reference's
+    latent-space synthesis beats conventional interpolation
+    (BASELINE.md dHCP numbers). This phantom reproduces that regime on
+    CPU: nested ellipsoids with per-structure z-drifting centres +
+    multiplicative texture correlated over ~2 slices in z."""
+    rs = np.random.RandomState(seed)
+    zz, yy, xx = np.mgrid[0:num_slices, 0:size, 0:size].astype(np.float32)
+    cz, c = (num_slices - 1) / 2.0, (size - 1) / 2.0
+    img = np.zeros((num_slices, size, size), np.float32)
+    # outer 'head' ellipsoid everything else lives inside
+    rz0 = rs.uniform(0.75, 0.95) * cz
+    r0 = rs.uniform(0.70, 0.88) * c
+    head = (((zz - cz) / rz0) ** 2 + ((yy - c) / r0) ** 2
+            + ((xx - c) / r0) ** 2)
+    img += 0.55 * np.clip(1.15 - head, 0.0, 1.0)
+    # interior structures: centres drift linearly in z (edges shift
+    # between slices instead of rotating rigidly); short z-extents mean
+    # structures grow/vanish within a few slices — the through-plane
+    # statistics linear blending handles worst
+    for _ in range(rs.randint(8, 14)):
+        base_cy, base_cx = rs.uniform(0.25, 0.75, size=2) * size
+        drift = rs.uniform(-1.5, 1.5, size=2)  # px per slice, in (y, x)
+        sy, sx = rs.uniform(size * 0.04, size * 0.14, size=2)
+        sz = rs.uniform(num_slices * 0.05, num_slices * 0.22)
+        zc = rs.uniform(0.15, 0.85) * num_slices
+        amp = rs.uniform(-0.7, 0.9)
+        cy = base_cy + drift[0] * (zz - zc)
+        cx = base_cx + drift[1] * (zz - zc)
+        q = (((zz - zc) / sz) ** 2 + ((yy - cy) / sy) ** 2
+             + ((xx - cx) / sx) ** 2)
+        # sigmoid-sharpened ellipsoid: near-flat interior, sharp
+        # tissue-like boundary (a gaussian falloff is too smooth to
+        # challenge linear blending)
+        img += amp / (1.0 + np.exp(np.minimum((q - 1.0) / 0.12, 60.0)))
+    img = scipy.ndimage.gaussian_filter(img, (0.4, 0.6, 0.6))
+    img = rescale_intensities(img, percs=(0, 100))
+    if texture_amp:
+        # band-limited 3-D texture: σ_z = 0.9 slices → real through-plane
+        # detail a 3-slice PSF suppresses but neighbours still predict
+        tex = scipy.ndimage.gaussian_filter(
+            rs.randn(num_slices, size, size).astype(np.float32),
+            (0.9, 0.7, 0.7))
+        tex /= max(float(tex.std()), 1e-6)
+        img = np.clip(img * (1.0 + texture_amp * 0.5 * tex), 0.0, 1.0)
+    # keep background air dark like real MRI
+    img *= np.clip(1.3 - head, 0.0, 1.0) ** 0.5
+    return Volume(image=np.clip(img, 0.0, 1.0).astype(np.float32),
+                  spacing=np.array([1.0, 1.0, 1.0]),
+                  patient_id=f"anat{seed:03d}")
+
+
 def make_toy_dataset(num_volumes: int = 4, size: int = 32,
                      num_slices: int = 17, seed: int = 0,
                      mnist_path: str | None = None,

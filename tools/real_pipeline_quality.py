@@ -57,23 +57,31 @@ def loss_mode_flags(mode: str):
 
 
 def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
-                             inplane: int, num_slices: int) -> None:
+                             inplane: int, num_slices: int,
+                             anatomy: str = "rotate") -> None:
     import scipy.ndimage
 
     from superresolution_aniso_mri_tpu.data import simulate_thick_slices
     from superresolution_aniso_mri_tpu.data.synthetic import (
-        _phantom2d, make_rotated_volume,
+        _phantom2d, make_anatomy3d_volume, make_rotated_volume,
     )
     from superresolution_aniso_mri_tpu.utils import write_nifti
 
     for i in range(n_patients):
         rs = np.random.RandomState(10_000 + i)
-        base = _phantom2d(inplane, rs)
-        tex = scipy.ndimage.gaussian_filter(
-            rs.randn(inplane, inplane).astype(np.float32), 0.7)
-        base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
-        hr = make_rotated_volume(size=inplane, num_slices=num_slices,
-                                 seed=10_000 + i, base=base).image
+        if anatomy == "anatomy3d":
+            # genuinely 3-D structures whose edges drift/vanish across
+            # slices — the regime where the reference's learned synthesis
+            # beats linear blending on real MRI (see make_anatomy3d_volume)
+            hr = make_anatomy3d_volume(size=inplane, num_slices=num_slices,
+                                       seed=10_000 + i).image
+        else:
+            base = _phantom2d(inplane, rs)
+            tex = scipy.ndimage.gaussian_filter(
+                rs.randn(inplane, inplane).astype(np.float32), 0.7)
+            base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
+            hr = make_rotated_volume(size=inplane, num_slices=num_slices,
+                                     seed=10_000 + i, base=base).image
         pdir = os.path.join(data_root, "OASIS", "nifti",
                             f"OAS1_{i:04d}_MR1")
         os.makedirs(pdir, exist_ok=True)
@@ -120,6 +128,12 @@ def main():
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--loss_mode", type=str, default="perceptual",
                    choices=LOSS_MODES)
+    p.add_argument("--anatomy", type=str, default="rotate",
+                   choices=["rotate", "anatomy3d"],
+                   help="fabricated-volume family: 'rotate' = textured "
+                        "rotating base (in-plane motion only), "
+                        "'anatomy3d' = drifting 3-D ellipsoid anatomy "
+                        "(closer to real MRI through-plane statistics)")
     p.add_argument("--use_batchnorm", type=int, default=None,
                    choices=[0, 1],
                    help="override the CLI's architecture default "
@@ -138,11 +152,12 @@ def main():
     data_root = os.path.join(work, "data")
     exper_root = os.path.join(work, "exper")
     try:
-        print(f"[fabricate] {args.n_patients} textured volumes "
+        print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
               f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
               f"under {data_root}", flush=True)
         make_textured_oasis_tree(data_root, ds, args.n_patients,
-                                 args.inplane, args.num_slices)
+                                 args.inplane, args.num_slices,
+                                 anatomy=args.anatomy)
 
         train_cmd = [
             sys.executable, "train_brain_aesr.py", "-d", "OASIS",
@@ -240,7 +255,7 @@ def main():
         if args.json_out:
             rec = {
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
-                "loss_mode": args.loss_mode,
+                "anatomy": args.anatomy, "loss_mode": args.loss_mode,
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),

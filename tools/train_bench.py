@@ -16,7 +16,12 @@ f32 and bf16, and reports a roofline account per config:
     (jit(...).lower().compile().cost_analysis());
   * achieved TFLOP/s and MFU — fraction of the v5e's 197 TFLOP/s bf16
     peak (f32 rows use the same denominator, so their MFU reads as
-    "fraction of bf16 peak", the honest cross-dtype comparison).
+    "fraction of bf16 peak", the honest cross-dtype comparison);
+  * attained HBM bandwidth — XLA cost-model bytes-accessed per step
+    over the pipelined step time, as a fraction of the v5e's 819 GB/s.
+    For these depth-24/32 conv stacks the arithmetic intensity is low
+    (tens of FLOPs/byte), so THIS — not MFU — is the roofline that says
+    whether the step is at speed-of-light.
 """
 import sys
 import time
@@ -30,20 +35,22 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak, bf16 MXU
+V5E_HBM_BW = 819e9            # TPU v5e HBM bandwidth, bytes/s
 
 
-def _flops_per_step(trainer, batch) -> float:
-    """XLA cost-model FLOPs for one optimisation step (0.0 if the
-    backend does not expose cost analysis)."""
+def _cost_per_step(trainer, batch):
+    """XLA cost-model (FLOPs, bytes accessed) for one optimisation step
+    ((0.0, 0.0) if the backend does not expose cost analysis)."""
     try:
         lowered = trainer.train_step.lower(
             trainer.state, batch, jax.random.PRNGKey(0), jnp.float32(0.05))
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def bench_config(name, width, latent_width, depth, latent, batch_pairs,
@@ -71,7 +78,7 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
         "alpha_from": jnp.full((batch_pairs,), 0.5),
         "alpha_to": jnp.full((batch_pairs,), 0.5),
     }
-    flops = _flops_per_step(t, batch)
+    flops, bytes_acc = _cost_per_step(t, batch)
 
     m = t.train(batch)  # compile
     float(m["loss_ae"])  # force completion via readback
@@ -96,14 +103,22 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
 
     tflops = flops / mean_step / 1e12 if flops else float("nan")
     mfu = tflops * 1e12 / V5E_PEAK_BF16_FLOPS if flops else float("nan")
+    gbps = bytes_acc / mean_step / 1e9 if bytes_acc else float("nan")
+    bw_frac = gbps * 1e9 / V5E_HBM_BW if bytes_acc else float("nan")
+    ai = flops / bytes_acc if bytes_acc else float("nan")
     print(f"{name:>28} [{compute_dtype:8}]: {mean_step * 1e3:8.3f} ms/step "
           f"pipelined ({batch_pairs / mean_step:7.1f} pairs/s) | "
           f"{sync_step * 1e3:8.3f} ms sync "
           f"(transport+dispatch {1e3 * (sync_step - mean_step):6.3f} ms) | "
           f"{flops / 1e9:7.2f} GFLOP -> {tflops:6.2f} TFLOP/s, "
-          f"MFU {100 * mfu:5.2f}% of bf16 peak")
+          f"MFU {100 * mfu:5.2f}% of bf16 peak | "
+          f"{bytes_acc / 1e6:7.1f} MB -> {gbps:6.1f} GB/s, "
+          f"{100 * bw_frac:5.1f}% of HBM BW "
+          f"(AI {ai:5.1f} FLOP/B)")
     return {"pipelined_s": mean_step, "sync_s": sync_step,
-            "flops": flops, "tflops": tflops, "mfu_vs_bf16_peak": mfu}
+            "flops": flops, "tflops": tflops, "mfu_vs_bf16_peak": mfu,
+            "bytes_accessed": bytes_acc, "gbps": gbps,
+            "hbm_bw_fraction": bw_frac}
 
 
 def main():
