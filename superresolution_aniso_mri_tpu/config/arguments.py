@@ -142,6 +142,10 @@ def parse_args(argv=None):
         args.aug_patch_size = 220
     if args.dataset == "dHCP" and args.aug_patch_size is None and args.width < 256:
         args.aug_patch_size = 256
+    # ACDCC/ARVC are deliberately NOT given the 180 default — the
+    # reference's post-parse defaulting covers only ACDC/ACDCLBL
+    # (reference: kwatsch/arguments.py:91-93); ACDCC volumes are
+    # pre-centered so full-frame padding is the intended geometry
     if args.dataset in ("ACDC", "ACDCLBL") and args.aug_patch_size is None:
         args.aug_patch_size = 180
     if args.output_dir is not None:

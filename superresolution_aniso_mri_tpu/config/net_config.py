@@ -32,6 +32,10 @@ class NetworkConfig:
         arch["use_sigmoid"] = True
         arch["max_grad_norm"] = 0
         arch["fine_tune"] = False
+        # shadowed in practice: the CLI default for --ex_loss_weight1 is
+        # 0.001 (non-None), so the merge always overrides this — kept
+        # because the reference's net_config carries the same dead value
+        # (reference: networks/net_config.py:32, kwatsch/arguments.py:56)
         arch["ex_loss_weight1"] = 0.5
         arch["ae_class"] = self.ae_class
 

@@ -44,7 +44,15 @@ def load_settings(fname: str) -> Dict[str, Any]:
 
 def apply_setting_defaults(args: Dict[str, Any]) -> Dict[str, Any]:
     """Backward-compat defaulting when rehydrating old experiments
-    (reference: get_trainer.py:61-64,115-117)."""
+    (reference: get_trainer.py:61-64,115-117).
+
+    use_sigmoid/use_batchnorm default FALSE here on purpose: the
+    reference's model layer applies exactly these fallbacks when the
+    keys are missing from a rehydrated args dict
+    (reference: networks/acai_multi_channel.py:74-77) — the
+    architecture-layer True defaults (net_config) apply only when a NEW
+    training merges them, and a post-merge settings.yaml always carries
+    the keys explicitly."""
     defaults = {
         "use_sigmoid": False,
         "use_batchnorm": False,

@@ -59,28 +59,31 @@ def initialize_distributed(args: Optional[Dict] = None) -> bool:
     if pid is None:
         pid = os.environ.get("SR_PROCESS_ID")
     # explicit flags win over SR_MULTIHOST=auto — a pod wrapper
-    # exporting 'auto' must not silently override a locally specified
-    # coordinator (documented priority: args, then environment)
-    if not coord and os.environ.get("SR_MULTIHOST") == "auto":
-        jax.distributed.initialize()
-        _INITIALIZED = True
-        return True
+    # exporting 'auto' must not override ANY explicitly given
+    # coordinator/num_processes/process_id (documented priority: args,
+    # then environment), so every explicit branch — including the
+    # single-process no-op and the partial-config fail-fast — is
+    # evaluated BEFORE the auto fallback
     if nproc is not None and int(nproc) <= 1:
         # an EXPLICIT num_processes<=1 is a valid single-process config
         # (e.g. the N=1 instantiation of a multi-host launch template,
         # coordinator flag and all)
         return False
-    if not coord and not nproc:
-        return False
     # PARTIAL configs fail fast: silently proceeding single-process
-    # would let N hosts each think they are process 0 and race on the
-    # shared experiment directory
+    # (or auto-initializing) would let N hosts each think they are
+    # process 0 and race on the shared experiment directory
     if bool(coord) != bool(nproc):
         raise ValueError(
             f"multi-host: incomplete configuration "
             f"(coordinator_address={coord!r}, num_processes={nproc!r}) "
             f"— set both (flags or SR_COORDINATOR_ADDRESS/"
             f"SR_NUM_PROCESSES), or neither for single-process")
+    if not coord and not nproc:
+        if os.environ.get("SR_MULTIHOST") == "auto":
+            jax.distributed.initialize()
+            _INITIALIZED = True
+            return True
+        return False
     if pid is None:
         raise ValueError(
             "multi-host: coordinator_address and num_processes are set "
@@ -123,13 +126,25 @@ def global_batch_from_host(sharding, batch: Dict) -> Dict:
     import jax
 
     pc = jax.process_count()
+    # the sharding splits the leading axis over the mesh axes named in
+    # the spec's first entry (e.g. just 'data' on a data x model mesh) —
+    # that product is the operative divisibility requirement; checking
+    # process_count alone would let e.g. a batch of 10 on a
+    # 2-proc x 4-device data mesh fail later with an opaque
+    # uneven-sharding error instead of this message
+    mesh = sharding.mesh
+    lead = sharding.spec[0] if len(sharding.spec) else None
+    lead_axes = (() if lead is None
+                 else (lead,) if isinstance(lead, str) else tuple(lead))
+    nshard = int(np.prod([mesh.shape[a] for a in lead_axes])) or 1
     out = {}
     for k, v in batch.items():
         arr = np.ascontiguousarray(np.asarray(v))
-        if arr.shape[0] % pc:
+        if arr.shape[0] % max(pc, 1) or arr.shape[0] % nshard:
             raise ValueError(
                 f"batch leaf {k!r}: leading axis {arr.shape[0]} not "
-                f"divisible by process_count {pc}")
+                f"divisible by the sharded axis size {nshard} "
+                f"(process_count {pc})")
         out[k] = jax.make_array_from_process_local_data(
             sharding, arr, global_shape=arr.shape)
     return out

@@ -72,8 +72,10 @@ def _make_sharded_step(model, loss_config, lpips_params, mesh: Mesh,
     """
     from ..train.steps import make_train_step
 
+    # donate=None → the RAW step, so the sharded jit below is the only
+    # jit layer (no nested-trace overhead, one donation story)
     base_step = make_train_step(model, loss_config, lpips_params,
-                                donate=False)
+                                donate=None)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
     cache: dict = {}
@@ -84,7 +86,7 @@ def _make_sharded_step(model, loss_config, lpips_params, mesh: Mesh,
             st_sh = state_sharding_fn(state)
             tree = {k: shard for k in keys}
             cache[keys] = jax.jit(
-                lambda st, b, r, ww: base_step(st, b, r, ww),
+                base_step,
                 in_shardings=(st_sh, tree, rep, rep),
                 out_shardings=(st_sh, rep),
                 # donate=True lets XLA update params/opt-state in place

@@ -656,6 +656,10 @@ def make_train_step(model, cfg: LossConfig, lpips_params=None,
     (reference: base_trainer.py:451-459) never recompiles.
     """
     one_step = _make_one_step(_make_loss_fn(model, cfg, lpips_params))
+    if donate is None:
+        # raw (unjitted) step — for callers that apply their own jit
+        # with sharding annotations (parallel/mesh._make_sharded_step)
+        return one_step
     return partial(jax.jit, donate_argnums=(0,) if donate else ())(one_step)
 
 

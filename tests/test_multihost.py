@@ -102,6 +102,17 @@ def test_initialize_noop_without_config():
         with pytest.raises(ValueError, match="process_id"):
             initialize_distributed({"coordinator_address": "x:1",
                                     "num_processes": 2})
+        # explicit flags beat SR_MULTIHOST=auto: an exported 'auto'
+        # must not auto-init when the caller explicitly asked for a
+        # single process, and a partial explicit config must still
+        # fail fast instead of silently auto-initializing
+        os.environ["SR_MULTIHOST"] = "auto"
+        try:
+            assert initialize_distributed({"num_processes": 1}) is False
+            with pytest.raises(ValueError, match="incomplete"):
+                initialize_distributed({"num_processes": 2})
+        finally:
+            os.environ.pop("SR_MULTIHOST", None)
     finally:
         for k, v in env_backup.items():
             if v is not None:
@@ -123,3 +134,16 @@ def test_global_batch_from_host_single_process():
     np.testing.assert_array_equal(np.asarray(out["x"]), batch["x"])
     with pytest.raises(ValueError, match="divisible"):
         global_batch_from_host(sh, {"x": np.zeros((3, 2))})
+    # the divisibility requirement is the SHARDED-axis size (4-device
+    # 'data' axis here), not just process_count (1): a batch of 6 rows
+    # must get the friendly error, not an opaque uneven-sharding one
+    with pytest.raises(ValueError, match="divisible"):
+        global_batch_from_host(sh, {"x": np.zeros((6, 2))})
+    # a 2-D mesh whose leading spec names only 'data' still shards
+    # correctly and checks against the data-axis size alone
+    from jax.sharding import Mesh
+    mesh2 = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                 ("data", "model"))
+    sh2 = NamedSharding(mesh2, P("data"))
+    out2 = global_batch_from_host(sh2, {"x": batch["x"]})
+    np.testing.assert_array_equal(np.asarray(out2["x"]), batch["x"])
