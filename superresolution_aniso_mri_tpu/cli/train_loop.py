@@ -206,6 +206,26 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
 
     profile_dir = merged.get("profile_dir")
     start_epoch = trainer.epoch
+    # stall watchdog (--step_timeout_s): a hung device backend (dead
+    # tunnel, preempted slice) blocks forever instead of raising — beat
+    # after every completed train/val step and exit 75 on silence so a
+    # supervisor can restart with --auto_resume (utils/watchdog.py)
+    watchdog = None
+    timeout_s = float(merged.get("step_timeout_s") or 0)
+    if timeout_s > 0:
+        from ..utils.watchdog import StepWatchdog
+
+        if timeout_s < 180 and verbose:
+            print(f"WARNING: --step_timeout_s {timeout_s:.0f} is below "
+                  f"the first-compile worst case (~180 s) — risk of "
+                  f"false stall fires")
+        watchdog = StepWatchdog(timeout_s, label=str(
+            merged.get("exper_id") or "train")).start()
+
+    def _beat():
+        if watchdog is not None:
+            watchdog.beat()
+
     try:
         import contextlib
 
@@ -240,14 +260,17 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                     last_batch = batch
                     if spd <= 1:
                         trainer.train(batch)
+                        _beat()
                         continue
                     buf.append(batch)
                     if len(buf) == spd:
                         trainer.train_many(jax.tree_util.tree_map(
                             lambda *xs: jnp.stack(xs), *buf))
+                        _beat()
                         buf = []
                 for batch in buf:  # remainder of the epoch
                     trainer.train(batch)
+                    _beat()
             finally:
                 # stop the worker even on interrupt/step failure — an
                 # abandoned iterator would leak the thread + queued
@@ -268,6 +291,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                     val_raw, val_cfg, k, with_mask=use_masks,
                     with_alpha_features=with_alpha_feats)
                 trainer.validate(val_batch)
+                _beat()
             trainer.show_loss_on_tensorboard("train")
             trainer.show_loss_on_tensorboard("test")
 
@@ -303,8 +327,13 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             if merged.get("log_tensorboard") and epoch % 10 == 0:
                 trainer.log_tb_histograms()
             trainer.reset_losses()
+            # checkpoint writes fetch params from the device — keep the
+            # watchdog armed (a hung fetch IS a stall) but beat after
             trainer.end_epoch_processing()
+            _beat()
     except KeyboardInterrupt:
+        if watchdog is not None:
+            watchdog.stop()
         # save into the rolling checkpoint, NOT a numbered file: the
         # reference writes '{epoch}.models' here
         # (train_cardiac_aesr.py:198-201), but a numbered name means
@@ -315,4 +344,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
         fname = os.path.join(trainer.dir_models, "last.models")
         trainer.save_models(fname, trainer.epoch)
         print(f"interrupted — saved {fname} (epoch {trainer.epoch})")
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
     return trainer

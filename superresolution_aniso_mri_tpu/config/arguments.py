@@ -71,6 +71,15 @@ def parse_args(argv=None):
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="record a jax.profiler trace of the first "
                              "epoch into this directory")
+    parser.add_argument("--step_timeout_s", type=float, default=0,
+                        help="stall watchdog: exit with status 75 "
+                             "(EX_TEMPFAIL) when no train/val step "
+                             "completes for this many seconds — a hung "
+                             "device backend never raises, it just "
+                             "blocks forever; pair with --auto_resume "
+                             "under a supervisor loop (0 disables; "
+                             "values below 180 s risk false fires on "
+                             "first-compile)")
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")

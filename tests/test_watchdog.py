@@ -1,0 +1,76 @@
+"""Stall-watchdog unit tests (utils/watchdog.py).
+
+The real on_stall path calls os._exit(75) — tests inject a recording
+callback instead and drive the timing with short windows.
+"""
+import time
+
+import pytest
+
+from superresolution_aniso_mri_tpu.utils.watchdog import (
+    STALL_EXIT_CODE, StepWatchdog,
+)
+
+
+def _make(timeout, fired):
+    return StepWatchdog(
+        timeout_s=timeout,
+        on_stall=lambda el, beats, label: fired.append((el, beats, label)),
+        poll_s=0.05, label="t")
+
+
+def test_beats_prevent_fire():
+    fired = []
+    wd = _make(0.5, fired).start()
+    try:
+        for _ in range(8):
+            time.sleep(0.1)
+            wd.beat()
+        assert fired == []
+    finally:
+        wd.stop()
+
+
+def test_stall_fires_once_with_diagnostics():
+    fired = []
+    wd = _make(0.3, fired).start()
+    try:
+        wd.beat()
+        wd.beat()
+        time.sleep(1.0)
+        assert len(fired) == 1
+        elapsed, beats, label = fired[0]
+        assert elapsed >= 0.3 and beats == 2 and label == "t"
+    finally:
+        wd.stop()
+
+
+def test_suspended_disarms_and_rearms():
+    fired = []
+    wd = _make(0.3, fired).start()
+    try:
+        with wd.suspended():
+            time.sleep(0.8)  # longer than timeout — must NOT fire
+        assert fired == []
+        time.sleep(0.8)  # re-armed with a fresh window — must fire now
+        assert len(fired) == 1
+    finally:
+        wd.stop()
+
+
+def test_stop_is_idempotent_and_quiet():
+    fired = []
+    wd = _make(0.3, fired).start()
+    wd.stop()
+    wd.stop()
+    time.sleep(0.5)
+    assert fired == []
+
+
+def test_rejects_nonpositive_timeout():
+    with pytest.raises(ValueError):
+        StepWatchdog(timeout_s=0)
+
+
+def test_exit_code_is_ex_tempfail():
+    assert STALL_EXIT_CODE == 75
