@@ -85,15 +85,21 @@ def main():
         t0 = time.perf_counter()
         np.asarray(run())
         rb.append(time.perf_counter() - t0)
-    readback_f32 = float(np.median(rb)) - latency_sync
+    # clamp at 0: on a directly-attached device the transfer can be
+    # smaller than run-to-run compute jitter between the two medians,
+    # and a negative "readback cost" (or an absurd bandwidth from
+    # dividing by its epsilon-clamp) would poison the JSON consumers
+    readback_f32 = max(0.0, float(np.median(rb)) - latency_sync)
     cast16 = jax.jit(lambda v: v.astype(jnp.bfloat16))
     rb16 = []
     for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(cast16(run()))
         rb16.append(time.perf_counter() - t0)
-    readback_bf16 = float(np.median(rb16)) - latency_sync
-    link_mbps = nbytes / max(readback_f32, 1e-9) / 1e6
+    readback_bf16 = max(0.0, float(np.median(rb16)) - latency_sync)
+    # bandwidth is only meaningful when the transfer dominates jitter
+    link_mbps = (nbytes / readback_f32 / 1e6
+                 if readback_f32 > 1e-4 else float("nan"))
 
     # amortized pipelined timing: enqueue N volumes, read back the last —
     # excludes the host<->device round-trip latency of a per-call sync

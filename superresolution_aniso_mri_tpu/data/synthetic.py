@@ -60,6 +60,30 @@ def make_rotated_volume(size: int = 32, num_slices: int = 17,
                   patient_id=f"toy{seed:03d}")
 
 
+def make_textured_rotated_volume(size: int = 64, num_slices: int = 19,
+                                 seed: int = 0,
+                                 texture_sigma: float = 0.7,
+                                 texture_amp: float = 0.6) -> Volume:
+    """Rotated phantom with band-limited multiplicative fine texture.
+
+    Real MRI carries such texture, and it is exactly what through-plane
+    interpolation blurs away — it separates methods on VIF, which
+    saturates on smooth phantoms. The recipe (gaussian-filtered noise,
+    sigma 0.7, amplitude 0.6, riding multiplicatively on the anatomy)
+    is load-bearing for the quality benchmarks; both
+    tools/quality_check.py and tools/real_pipeline_quality.py use THIS
+    helper so the two harnesses measure the same phantom family."""
+    rs = np.random.RandomState(seed)
+    base = _phantom2d(size, rs)
+    tex = scipy.ndimage.gaussian_filter(
+        rs.randn(size, size).astype(np.float32), texture_sigma)
+    base = np.clip(base * (1.0 + texture_amp * tex), 0.0, 1.0)
+    vol = make_rotated_volume(size=size, num_slices=num_slices, seed=seed,
+                              base=base)
+    return Volume(image=vol.image, spacing=vol.spacing,
+                  patient_id=f"tex{seed:03d}")
+
+
 def make_anatomy3d_volume(size: int = 64, num_slices: int = 37,
                           seed: int = 0,
                           texture_amp: float = 0.5) -> Volume:

@@ -1,0 +1,48 @@
+"""Shared subprocess plumbing for the tools/ harnesses.
+
+One copy of the env-merging and fail-with-log-tails logic so
+dress_rehearsal.py and real_pipeline_quality.py can't drift apart.
+"""
+import os
+import subprocess
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def child_env(data_root, force_cpu=False):
+    """Environment for a child CLI: SR_DATA_ROOT + repo on PYTHONPATH.
+
+    ``force_cpu=True`` additionally pins the child to the CPU backend
+    (dress rehearsals — many short trainings that must not queue on the
+    single tunneled chip); by default the child keeps the session's
+    platform (the TPU when attached).
+    """
+    env = dict(
+        os.environ, SR_DATA_ROOT=data_root,
+        PYTHONPATH=os.pathsep.join(
+            p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
+    if force_cpu:
+        env.update(JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    return env
+
+
+def run_child(cmd, data_root, what, log_path=None, timeout=7200,
+              force_cpu=False, verbose=True):
+    """Run a child CLI; on failure raise SystemExit with the output
+    tails (full output goes to ``log_path`` when given — callers should
+    put it somewhere that survives their cleanup)."""
+    t0 = time.time()
+    r = subprocess.run(cmd, cwd=REPO,
+                       env=child_env(data_root, force_cpu=force_cpu),
+                       capture_output=True, text=True, timeout=timeout)
+    if log_path:
+        with open(log_path, "w") as f:
+            f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
+    if r.returncode != 0:
+        raise SystemExit(
+            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
+            f"\n{r.stderr[-4000:]}")
+    if verbose:
+        print(f"[{what}] done in {time.time() - t0:.0f}s", flush=True)
+    return r

@@ -16,7 +16,6 @@ import argparse
 import glob
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 
@@ -26,23 +25,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _env(data_root):
-    return dict(
-        os.environ,
-        JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
-        SR_DATA_ROOT=data_root,
-        PYTHONPATH=os.pathsep.join(
-            p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
+from _subproc import run_child  # noqa: E402  (shared helper)
 
 
 def _run(cmd, data_root, what):
-    r = subprocess.run(cmd, cwd=REPO, env=_env(data_root),
-                       capture_output=True, text=True, timeout=1800)
-    if r.returncode != 0:
-        raise SystemExit(
-            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
-            f"\n{r.stderr[-4000:]}")
-    return r
+    # CPU-pinned children: many short trainings that must not queue on
+    # the single tunneled chip
+    return run_child(cmd, data_root, what, timeout=1800, force_cpu=True,
+                     verbose=False)
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +131,13 @@ def make_acdc_tree(data_root, n_patients=8, inplane=24, nsl=7, frames=3):
 TRAIN_COMMON = ["--width", "16", "--latent_width", "8", "--depth", "8",
                 "--latent", "8", "--lr", "0.002", "-e", "2", "-b", "4",
                 "--image_mix_loss_func", "mse", "--epoch_threshold", "-1",
-                "--volume_preview_interval", "0"]
+                "--volume_preview_interval", "0",
+                # pin the aug canvas to the fabricated 24px in-plane
+                # size: without this the CLI's real-dataset defaults
+                # (OASIS 220 / dHCP 256 / ACDC 180, arguments.py) pad
+                # the tiny volumes into mostly-blank canvases and the
+                # random 16-crop would train on ~4% anatomy
+                "--aug_patch_size", "24"]
 
 
 def rehearse(dataset, data_root, work):
@@ -258,10 +254,15 @@ def main():
     work = tempfile.mkdtemp(prefix="sr_dress_")
     data_root = os.path.join(work, "data")
     try:
+        built = set()
         for d in args.datasets:
-            {"OASIS": make_oasis_tree, "dHCP": make_dhcp_tree,
-             "ACDC": make_acdc_tree,
-             "ACDCLBL": make_acdc_tree}[d](data_root)
+            builder = {"OASIS": make_oasis_tree, "dHCP": make_dhcp_tree,
+                       "ACDC": make_acdc_tree,
+                       "ACDCLBL": make_acdc_tree}[d]
+            # ACDC and ACDCLBL share one fabricated tree — build once
+            if builder not in built:
+                builder(data_root)
+                built.add(builder)
             rehearse(d, data_root, work)
         print(f"dress rehearsal PASSED for {args.datasets}")
     finally:

@@ -24,10 +24,11 @@ Run on TPU (default) or CPU:
 """
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LOSS_MODES = ("mse", "perceptual", "perceptual+lap", "mse+ssim")
 
@@ -89,22 +90,12 @@ def main():
         if args.phantom == "smooth":
             return make_toy_dataset(n, size=w, num_slices=6 * ds + 1,
                                     seed=seed)
-        import scipy.ndimage
         from superresolution_aniso_mri_tpu.data.synthetic import (
-            _phantom2d, make_rotated_volume,
+            make_textured_rotated_volume,
         )
-        vols = []
-        for i in range(n):
-            rs = np.random.RandomState(seed + i)
-            base = _phantom2d(w, rs)
-            # band-limited multiplicative texture riding on the anatomy
-            tex = scipy.ndimage.gaussian_filter(
-                rs.randn(w, w).astype(np.float32), 0.7)
-            base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
-            vols.append(make_rotated_volume(size=w,
-                                            num_slices=6 * ds + 1,
-                                            seed=seed + i, base=base))
-        return vols
+        return [make_textured_rotated_volume(size=w, num_slices=6 * ds + 1,
+                                             seed=seed + i)
+                for i in range(n)]
 
     train_vols = build_vols(args.num_train_volumes, seed=0)
     test_vols = build_vols(3, seed=1000)
@@ -124,6 +115,11 @@ def main():
     lpips_mode = trainer.args.get("lpips_mode", "n/a")
     print(f"loss_mode={args.loss_mode}  lpips_mode={lpips_mode}")
     sampler = TripletSampler(train_vols, ds, "adjacent_plus", seed=3)
+    if len(sampler) < args.batch_size:
+        raise SystemExit(
+            f"batch_size {args.batch_size} exceeds the {len(sampler)} "
+            f"available triplets ({args.num_train_volumes} volumes) — "
+            f"drop-last would yield zero batches per epoch")
 
     t0 = time.time()
     steps = 0

@@ -30,10 +30,8 @@ import glob
 import json
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
-import time
 
 import numpy as np
 
@@ -59,16 +57,13 @@ def loss_mode_flags(mode: str):
 def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
                              inplane: int, num_slices: int,
                              anatomy: str = "rotate") -> None:
-    import scipy.ndimage
-
     from superresolution_aniso_mri_tpu.data import simulate_thick_slices
     from superresolution_aniso_mri_tpu.data.synthetic import (
-        _phantom2d, make_anatomy3d_volume, make_rotated_volume,
+        make_anatomy3d_volume, make_textured_rotated_volume,
     )
     from superresolution_aniso_mri_tpu.utils import write_nifti
 
     for i in range(n_patients):
-        rs = np.random.RandomState(10_000 + i)
         if anatomy == "anatomy3d":
             # genuinely 3-D structures whose edges drift/vanish across
             # slices — the regime where the reference's learned synthesis
@@ -76,12 +71,8 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
             hr = make_anatomy3d_volume(size=inplane, num_slices=num_slices,
                                        seed=10_000 + i).image
         else:
-            base = _phantom2d(inplane, rs)
-            tex = scipy.ndimage.gaussian_filter(
-                rs.randn(inplane, inplane).astype(np.float32), 0.7)
-            base = np.clip(base * (1.0 + 0.6 * tex), 0.0, 1.0)
-            hr = make_rotated_volume(size=inplane, num_slices=num_slices,
-                                     seed=10_000 + i, base=base).image
+            hr = make_textured_rotated_volume(
+                size=inplane, num_slices=num_slices, seed=10_000 + i).image
         pdir = os.path.join(data_root, "OASIS", "nifti",
                             f"OAS1_{i:04d}_MR1")
         os.makedirs(pdir, exist_ok=True)
@@ -93,26 +84,7 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
             spacing=np.array([1.0, 1.0, 1.0]))
 
 
-def _env(data_root):
-    return dict(
-        os.environ, SR_DATA_ROOT=data_root,
-        PYTHONPATH=os.pathsep.join(
-            p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
-
-
-def _run(cmd, data_root, what, log_path=None):
-    t0 = time.time()
-    r = subprocess.run(cmd, cwd=REPO, env=_env(data_root),
-                       capture_output=True, text=True, timeout=7200)
-    if log_path:
-        with open(log_path, "w") as f:
-            f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
-    if r.returncode != 0:
-        raise SystemExit(
-            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
-            f"\n{r.stderr[-4000:]}")
-    print(f"[{what}] done in {time.time() - t0:.0f}s", flush=True)
-    return r
+from _subproc import run_child as _run  # noqa: E402  (shared helper)
 
 
 def main():
@@ -138,6 +110,10 @@ def main():
                    choices=[0, 1],
                    help="override the CLI's architecture default "
                         "(reference hardcodes BN on; 0 = ablation)")
+    p.add_argument("--lr_schedule", action="store_true",
+                   help="cosine-anneal the LR over the whole run "
+                        "(--use_lr_scheduler with lr_iter_max = "
+                        "epochs x steps-per-epoch upper bound)")
     p.add_argument("--json_out", type=str, default=None)
     p.add_argument("--keep", action="store_true")
     args = p.parse_args()
@@ -174,6 +150,14 @@ def main():
             *loss_mode_flags(args.loss_mode),
             *(["--use_batchnorm", str(args.use_batchnorm)]
               if args.use_batchnorm is not None else []),
+            # steps-per-epoch UPPER bound (train split <= n_patients
+            # volumes of num_slices triplets): overestimating
+            # decay_steps only leaves the cosine tail slightly above 0
+            *(["--use_lr_scheduler", "--lr_iter_max",
+               str(args.epochs * max(1, (args.n_patients
+                                         * args.num_slices)
+                                     // args.batch_size))]
+              if args.lr_schedule else []),
             "-o", exper_root, "-id", "rpq",
         ]
         print("[train] " + " ".join(train_cmd), flush=True)
@@ -259,6 +243,7 @@ def main():
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
+                "lr_schedule": bool(args.lr_schedule),
                 "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
                 "n_patients": args.n_patients,
@@ -278,6 +263,15 @@ def main():
         if args.keep:
             print(f"artifacts kept in {work}")
         else:
+            # on failure, rescue the child-CLI logs BEFORE deleting the
+            # tree — train.log/find_best.log hold the full tracebacks
+            # the SystemExit message truncates
+            if sys.exc_info()[0] is not None:
+                rescue = tempfile.mkdtemp(prefix="sr_rpq_logs_")
+                for f in glob.glob(os.path.join(work, "*.log")):
+                    shutil.copy2(f, rescue)
+                print(f"FAILED — child logs preserved in {rescue}",
+                      file=sys.stderr)
             shutil.rmtree(work, ignore_errors=True)
 
 

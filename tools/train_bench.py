@@ -49,7 +49,14 @@ def _cost_per_step(trainer, batch):
             ca = ca[0] if ca else {}
         return (float(ca.get("flops", 0.0)),
                 float(ca.get("bytes accessed", 0.0)))
-    except Exception:
+    except Exception as exc:
+        # cost analysis is genuinely optional on some backends, but a
+        # real breakage (API drift, bad state) must not masquerade as
+        # "backend lacks cost analysis" — all-NaN roofline columns with
+        # no hint why are indistinguishable from that
+        print(f"WARNING: cost_analysis unavailable "
+              f"({type(exc).__name__}: {exc}) — roofline columns will "
+              f"be NaN", file=sys.stderr)
         return 0.0, 0.0
 
 
