@@ -110,6 +110,11 @@ def main():
                    choices=[0, 1],
                    help="override the CLI's architecture default "
                         "(reference hardcodes BN on; 0 = ablation)")
+    p.add_argument("--ex_loss_weight", type=float, default=0.001,
+                   help="synthesis-loss mix weight (the reference's "
+                        "OASIS recipe uses 0.001, README.md:46 — "
+                        "heavier weights steal capacity from the AE "
+                        "reconstruction that bounds production quality)")
     p.add_argument("--lr_schedule", action="store_true",
                    help="cosine-anneal the LR over the whole run "
                         "(--use_lr_scheduler with lr_iter_max = "
@@ -145,7 +150,7 @@ def main():
             "-b", str(args.batch_size), "--lr", "0.002",
             "-e", str(args.epochs),
             "--epoch_threshold", str(args.epochs - args.sweep_last),
-            "--ex_loss_weight1", "0.1",
+            "--ex_loss_weight1", str(args.ex_loss_weight),
             "--volume_preview_interval", "0", "--seed", "7",
             *loss_mode_flags(args.loss_mode),
             *(["--use_batchnorm", str(args.use_batchnorm)]
@@ -244,6 +249,7 @@ def main():
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
+                "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
                 "n_patients": args.n_patients,
