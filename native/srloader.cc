@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <exception>
+#include <new>
 #include <string>
 #include <thread>
 #include <vector>
@@ -192,7 +194,7 @@ static bool read_all(const char* path, std::vector<unsigned char>& buf) {
 // Decode one NIfTI-1 file into a fresh SrlImage. Mirrors
 // superresolution_aniso_mri_tpu/utils/nifti.py read_nifti exactly,
 // except the voxel payload always lands as float32.
-SrlImage* srl_read_nifti(const char* path) {
+static SrlImage* read_nifti_impl(const char* path) {
   SrlImage* im = new SrlImage();
   memset(im, 0, sizeof(SrlImage));
 
@@ -296,6 +298,32 @@ SrlImage* srl_read_nifti(const char* path) {
   return im;
 }
 
+// Exception firewall at the C ABI: a std::bad_alloc from new float[]
+// or read_all's buf.resize must NOT cross extern "C" into ctypes
+// (undefined behavior) nor escape srl_read_nifti_many's std::thread
+// lambda (guaranteed std::terminate → SIGABRT kills the whole trainer).
+// Failures become an err-tagged image the Python side raises as
+// IOError — matching the pure-Python reader's catchable MemoryError —
+// or, when even the 300-byte SrlImage can't be allocated, a nullptr
+// (the binding treats NULL as a decode failure too).
+SrlImage* srl_read_nifti(const char* path) {
+  try {
+    return read_nifti_impl(path);
+  } catch (const std::exception& e) {
+    SrlImage* im = new (std::nothrow) SrlImage();
+    if (!im) return nullptr;
+    memset(im, 0, sizeof(SrlImage));
+    set_err(im, path, e.what());
+    return im;
+  } catch (...) {
+    SrlImage* im = new (std::nothrow) SrlImage();
+    if (!im) return nullptr;
+    memset(im, 0, sizeof(SrlImage));
+    set_err(im, path, "unknown native decode error");
+    return im;
+  }
+}
+
 void srl_free_image(SrlImage* im) {
   if (!im) return;
   delete[] im->data;
@@ -316,8 +344,8 @@ int srl_read_nifti_many(const char** paths, int n, SrlImage** out,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      out[i] = srl_read_nifti(paths[i]);
-      if (out[i]->err[0]) failures.fetch_add(1);
+      out[i] = srl_read_nifti(paths[i]);  // never throws (see firewall)
+      if (!out[i] || out[i]->err[0]) failures.fetch_add(1);
     }
   };
   std::vector<std::thread> pool;

@@ -57,7 +57,10 @@ def _build() -> bool:
     and interrupted compiles never leave a corrupt .so behind."""
     src = os.path.join(_NATIVE_DIR, "srloader.cc")
     if not os.path.isfile(src):
-        return False
+        # source-stripped deployment: accept a prebuilt .so as-is
+        # instead of silently (and permanently) disabling the native
+        # runtime just because there is nothing to rebuild from
+        return os.path.isfile(_SO_PATH)
     if (os.path.isfile(_SO_PATH)
             and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
         return True
@@ -110,6 +113,10 @@ def available() -> bool:
 
 def _image_to_numpy(im) -> Tuple[np.ndarray, np.ndarray,
                                  Optional[np.ndarray]]:
+    if not im:
+        # the native firewall returns NULL only when it could not even
+        # allocate the error struct (extreme memory pressure)
+        raise IOError("native decode failed (out of memory)")
     c = im.contents
     if c.err:
         raise IOError(c.err.decode())
@@ -151,13 +158,22 @@ def read_nifti_many(paths: Sequence[str], nthreads: int = 0) -> List:
     c_out = (ctypes.POINTER(_SrlImage) * n)()
     lib.srl_read_nifti_many(c_paths, n, c_out, int(nthreads))
     results, first_err = [], None
-    for i in range(n):
-        try:
-            results.append(_image_to_numpy(c_out[i]))
-        except IOError as e:
-            first_err = first_err or e
-            results.append(None)
-        finally:
+    # free EVERY native buffer no matter what raises mid-loop — a
+    # MemoryError from the .copy() in _image_to_numpy must not leak the
+    # remaining volumes' float buffers (potentially GBs)
+    freed = 0
+    try:
+        for i in range(n):
+            try:
+                results.append(_image_to_numpy(c_out[i]))
+            except IOError as e:
+                first_err = first_err or e
+                results.append(None)
+            finally:
+                lib.srl_free_image(c_out[i])
+                freed = i + 1
+    finally:
+        for i in range(freed, n):
             lib.srl_free_image(c_out[i])
     if first_err is not None:
         raise first_err

@@ -31,29 +31,38 @@ class PrefetchIterator:
     def __init__(self, host_iter: Iterator, device_fn: Callable,
                  depth: int = 2):
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
-        self._exc: Optional[BaseException] = None
+        self._exc_box: list = []
         self._done = False
         self._stopped = threading.Event()
+
+        # the worker closes over the queue/event/exc-box DIRECTLY, not
+        # over self: a running thread is a GC root (threading._active),
+        # so a self-capturing closure would keep the iterator reachable
+        # forever and the __del__ backstop below could never fire for
+        # an abandoned (unclosed) iterator — the exact case it exists
+        # for. With only the small internals captured, dropping the
+        # last reference to the iterator lets __del__ stop the worker.
+        q, stopped, exc_box = self._queue, self._stopped, self._exc_box
 
         def worker():
             try:
                 for raw in host_iter:
                     item = device_fn(raw)
                     # bounded put that gives up when close() was called
-                    while not self._stopped.is_set():
+                    while not stopped.is_set():
                         try:
-                            self._queue.put(item, timeout=0.2)
+                            q.put(item, timeout=0.2)
                             break
                         except queue.Full:
                             continue
-                    if self._stopped.is_set():
+                    if stopped.is_set():
                         return
             except BaseException as e:  # surfaced on next()
-                self._exc = e
+                exc_box.append(e)
             finally:
-                while not self._stopped.is_set():
+                while not stopped.is_set():
                     try:
-                        self._queue.put(_STOP, timeout=0.2)
+                        q.put(_STOP, timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -70,23 +79,29 @@ class PrefetchIterator:
         item = self._queue.get()
         if item is _STOP:
             self._done = True
-            if self._exc is not None:
-                exc, self._exc = self._exc, None
-                raise exc
+            if self._exc_box:
+                raise self._exc_box.pop()
             raise StopIteration
         return item
+
+    def _drain(self) -> None:
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
 
     def close(self) -> None:
         """Stop the worker and release queued batches. Idempotent."""
         self._stopped.set()
         self._done = True
         # drain so a worker blocked in put() can observe the stop flag
-        try:
-            while True:
-                self._queue.get_nowait()
-        except queue.Empty:
-            pass
+        self._drain()
         self._thread.join(timeout=2.0)
+        # a put() that was blocked can have completed AFTER the first
+        # drain raised Empty — drain again post-join so no device batch
+        # stays pinned in the queue after close() returns
+        self._drain()
 
     def __del__(self):  # best-effort GC path
         try:

@@ -190,3 +190,45 @@ def test_prefetch_iterator():
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         next(it)
+
+
+def test_prefetch_abandoned_iterator_is_collectable():
+    """The worker must not close over self: a running thread is a GC
+    root, so a self-capturing closure would keep an abandoned iterator
+    alive forever and __del__ (which stops the worker) could never
+    fire."""
+    import gc
+    import weakref
+
+    from superresolution_aniso_mri_tpu.data.prefetch import (
+        PrefetchIterator,
+    )
+
+    def slow_iter():
+        for i in range(1000):
+            yield i
+
+    it = PrefetchIterator(slow_iter(), lambda x: x)
+    assert next(it) == 0  # worker alive, queue full, put() blocking
+    thread = it._thread
+    ref = weakref.ref(it)
+    del it
+    gc.collect()
+    assert ref() is None, "abandoned iterator must be collectable"
+    thread.join(timeout=5.0)
+    assert not thread.is_alive(), "__del__ must have stopped the worker"
+
+
+def test_prefetch_close_leaves_queue_empty():
+    """close() must not strand a device batch enqueued by a put() that
+    completed after the first drain (drain-after-join contract)."""
+    from superresolution_aniso_mri_tpu.data.prefetch import (
+        PrefetchIterator,
+    )
+
+    for _ in range(20):  # stress the put()-completes-after-drain race
+        it = PrefetchIterator(iter(range(100)), lambda x: x)
+        next(it)
+        it.close()
+        assert it._queue.qsize() == 0, "close() stranded a queued batch"
+        assert not it._thread.is_alive()
