@@ -261,6 +261,13 @@ def serve_hr_volumes(argv=None):
                         help="exit after N volumes (0 = run forever)")
     parser.add_argument("--manifest", type=str, default=None,
                         help="append one JSON line per served volume")
+    parser.add_argument("--synth_timeout_s", type=float, default=0,
+                        help="stall watchdog: exit 75 (EX_TEMPFAIL) if "
+                             "one volume's synthesis hangs this long "
+                             "(dead device backend never raises, it "
+                             "blocks) so a supervisor can restart the "
+                             "daemon; 0 disables. Must cover the "
+                             "first-volume XLA compile (~20-40 s/shape)")
     args = parser.parse_args(argv)
 
     watch = os.path.expanduser(args.watch_dir)
@@ -293,6 +300,16 @@ def serve_hr_volumes(argv=None):
     processed: dict = {}   # image path → signature already served
     pending: dict = {}     # image path → signature seen last poll
     served = 0
+    # armed only while a volume is in flight — idle directory polling
+    # must never fire it (utils/watchdog.py; exit 75 lets a supervisor
+    # restart the daemon when the device backend wedges mid-synthesis)
+    watchdog = None
+    if args.synth_timeout_s > 0:
+        from ..utils.watchdog import StepWatchdog
+
+        watchdog = StepWatchdog(args.synth_timeout_s,
+                                label="serve").start()
+        watchdog.pause()
     print(f"serving {watch} → {args.output_dir} "
           f"(n={args.num_interpolations}, model={args.model_nbr})",
           flush=True)
@@ -314,6 +331,8 @@ def serve_hr_volumes(argv=None):
                 pending[path] = sig     # wait one poll for stability
                 continue
             t0 = time.perf_counter()
+            if watchdog is not None:
+                watchdog.resume()
             try:
                 written = _densify_file(
                     trainer, path, args.output_dir,
@@ -323,6 +342,9 @@ def serve_hr_volumes(argv=None):
                 print(f"ERROR serving {path}: {exc}", flush=True)
                 processed[path] = sig   # don't retry-loop a poison file
                 continue
+            finally:
+                if watchdog is not None:
+                    watchdog.pause()
             dt = time.perf_counter() - t0
             processed[path] = sig
             pending.pop(path, None)
@@ -341,6 +363,8 @@ def serve_hr_volumes(argv=None):
             break
         if not stop["flag"]:
             time.sleep(args.poll_seconds)
+    if watchdog is not None:
+        watchdog.stop()
     print(f"serve loop exit after {served} volumes", flush=True)
     return served
 

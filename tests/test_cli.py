@@ -141,10 +141,13 @@ def test_serve_hr_volumes_once(trained_exper, tmp_path):
     write_nifti(os.path.join(watch, "a_gt.nii.gz"), lbl,
                 spacing=np.array([6.0, 1.0, 1.0]), dtype=np.int16)
 
+    # --synth_timeout_s arms the stall watchdog around each synthesis;
+    # a healthy run must complete without it firing
     r = _run([sys.executable, "serve_hr_volumes.py",
               "--exper_dir", trained_exper, "--model_nbr", "0",
               "--watch_dir", watch, "--output_dir", out_dir,
               "--num_interpolations", "1", "--once",
+              "--synth_timeout_s", "600",
               "--manifest", manifest])
     assert r.returncode == 0, r.stderr[-3000:]
     outs = sorted(os.listdir(out_dir))
