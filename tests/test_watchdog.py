@@ -74,3 +74,41 @@ def test_rejects_nonpositive_timeout():
 
 def test_exit_code_is_ex_tempfail():
     assert STALL_EXIT_CODE == 75
+
+
+def test_supervise_restarts_on_75_and_stops_on_0(tmp_path):
+    """tools/supervise.py: restart on stall-exit 75, stop on any other
+    status, abort on consecutive fast deaths."""
+    import sys
+    sys.path.insert(0, "tools")
+    from supervise import supervise
+
+    marker = tmp_path / "count"
+    marker.write_text("0")
+    # child exits 75 twice, then 0 — supervisor must restart twice
+    child = [sys.executable, "-c",
+             f"import sys,pathlib; p=pathlib.Path({str(marker)!r}); "
+             "n=int(p.read_text()); p.write_text(str(n+1)); "
+             "sys.exit(75 if n < 2 else 0)"]
+    msgs = []
+    rc = supervise(child, max_restarts=5, min_uptime_s=0.0,
+                   backoff_s=0.0, _print=msgs.append)
+    assert rc == 0
+    assert marker.read_text() == "3"
+    assert sum("restart" in m for m in msgs) >= 2
+
+    # a real error (exit 3) is not retried
+    marker.write_text("0")
+    child_err = [sys.executable, "-c",
+                 f"import sys,pathlib; p=pathlib.Path({str(marker)!r}); "
+                 "p.write_text(str(int(p.read_text())+1)); sys.exit(3)"]
+    rc = supervise(child_err, max_restarts=5, min_uptime_s=0.0,
+                   backoff_s=0.0, _print=msgs.append)
+    assert rc == 3
+    assert marker.read_text() == "1"
+
+    # consecutive sub-min_uptime stalls abort with 75
+    child_stall = [sys.executable, "-c", "import sys; sys.exit(75)"]
+    rc = supervise(child_stall, max_restarts=50, min_uptime_s=9999.0,
+                   backoff_s=0.0, _print=msgs.append)
+    assert rc == 75
