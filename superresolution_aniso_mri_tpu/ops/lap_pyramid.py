@@ -29,8 +29,9 @@ def _blur(x: Array, gain: float = 1.0) -> Array:
     c = x.shape[-1]
     kh = jnp.asarray(_K1D, x.dtype).reshape(5, 1, 1, 1)
     kw = jnp.asarray(_K1D, x.dtype).reshape(1, 5, 1, 1)
-    kh = jnp.tile(kh, (1, 1, 1, c)) if c > 1 else kh
-    kw = jnp.tile(kw, (1, 1, 1, c)) if c > 1 else kw
+    # tile to one filter per group (identity when c == 1)
+    kh = jnp.tile(kh, (1, 1, 1, c))
+    kw = jnp.tile(kw, (1, 1, 1, c))
     x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
     dn = jax.lax.conv_dimension_numbers(x.shape, (5, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",

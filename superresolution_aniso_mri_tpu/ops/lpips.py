@@ -75,23 +75,30 @@ def init_lpips_params(seed: int = 0, lin_init: str = "uniform") -> Dict[str, Any
     return {"convs": convs, "lins": lins}
 
 
+def _convs_lins_from(data) -> Dict[str, Any]:
+    """Build the full params pytree from an open npz (single source of
+    truth for the npz key format)."""
+    convs = [{"kernel": data[f"conv{i}_kernel"],
+              "bias": data[f"conv{i}_bias"]}
+             for i in range(len(_VGG_PLAN))]
+    return {"convs": convs, "lins": _lins_from(data)}
+
+
+def _lins_from(data) -> List[Dict[str, np.ndarray]]:
+    return [{"kernel": data[f"lin{i}_kernel"]}
+            for i in range(len(LPIPS_CHANNELS))]
+
+
 def load_lpips_params(path: str) -> Dict[str, Any]:
     """Load full parameters converted by tools/convert_lpips_weights.py."""
-    data = np.load(path)
-    convs = []
-    for i in range(len(_VGG_PLAN)):
-        convs.append({"kernel": data[f"conv{i}_kernel"], "bias": data[f"conv{i}_bias"]})
-    lins = []
-    for i in range(len(LPIPS_CHANNELS)):
-        lins.append({"kernel": data[f"lin{i}_kernel"]})
-    return {"convs": convs, "lins": lins}
+    with np.load(path) as data:
+        return _convs_lins_from(data)
 
 
 def load_lin_weights(path: str) -> List[Dict[str, np.ndarray]]:
     """Load only the learned 1x1 'lin' weights (lin{k}_kernel arrays)."""
-    data = np.load(path)
-    return [{"kernel": data[f"lin{i}_kernel"]}
-            for i in range(len(LPIPS_CHANNELS))]
+    with np.load(path) as data:
+        return _lins_from(data)
 
 
 _WEIGHTS_DIR = os.path.normpath(os.path.join(
@@ -115,11 +122,23 @@ def lpips_weights_info() -> Dict[str, Any]:
     return dict(_last_info)
 
 
+def _warn_lin_fallback() -> None:
+    warnings.warn(
+        "LPIPS: using learned lin weights over deterministic RANDOM "
+        "VGG features (no converted VGG16 backbone found). This is a "
+        "usable perceptual signal but NOT true LPIPS; convert "
+        "torchvision VGG16 via tools/convert_lpips_weights.py for "
+        "exact reference parity.", stacklevel=3)
+
+
 def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any]:
     """Resolve LPIPS parameters: full converted npz (arg, $LPIPS_WEIGHTS,
     or weights/lpips_vgg.npz) → shipped learned lin weights over random
     VGG features → fully random. Fallbacks warn explicitly; the selected
-    mode is queryable via :func:`lpips_weights_info`."""
+    mode is queryable via :func:`lpips_weights_info`.
+
+    An explicit ``path`` argument shadows ``$LPIPS_WEIGHTS`` entirely —
+    a stale env var must not abort a call that names valid weights."""
     if path and not os.path.isfile(path):
         # an explicitly requested weights file must never silently fall
         # through to a different source
@@ -127,53 +146,39 @@ def get_lpips_params(path: Optional[str] = None, seed: int = 0) -> Dict[str, Any
     candidates = []
     if path:
         candidates.append(path)
-    env = os.environ.get("LPIPS_WEIGHTS")
-    if env:
-        if not os.path.isfile(env):
-            # same contract as the path argument: an explicitly named
-            # weights file must never silently fall through to a
-            # different source
-            raise FileNotFoundError(
-                f"LPIPS_WEIGHTS points to a missing file: {env}")
-        candidates.append(env)
+    else:
+        env = os.environ.get("LPIPS_WEIGHTS")
+        if env:
+            if not os.path.isfile(env):
+                # same contract as the path argument: an explicitly
+                # named weights file must never silently fall through
+                # to a different source
+                raise FileNotFoundError(
+                    f"LPIPS_WEIGHTS points to a missing file: {env}")
+            candidates.append(env)
     candidates.append(_FULL_NPZ)
     for cand in candidates:
         if cand and os.path.isfile(cand):
             with np.load(cand) as data:
                 if "conv0_kernel" in data:
-                    convs = [{"kernel": data[f"conv{i}_kernel"],
-                              "bias": data[f"conv{i}_bias"]}
-                             for i in range(len(_VGG_PLAN))]
-                    lins = [{"kernel": data[f"lin{i}_kernel"]}
-                            for i in range(len(LPIPS_CHANNELS))]
+                    params = _convs_lins_from(data)
                     _last_info.update(mode="converted", path=cand)
-                    return _device(({"convs": convs, "lins": lins}))
+                    return _device(params)
                 if "lin0_kernel" not in data:
                     raise ValueError(
                         f"{cand}: not an LPIPS weights npz (expected "
                         f"conv0_kernel/... or lin0_kernel/... arrays)")
                 # lin-only npz: learned lins over random VGG features
                 params = init_lpips_params(seed=seed)
-                params["lins"] = [{"kernel": data[f"lin{i}_kernel"]}
-                                  for i in range(len(LPIPS_CHANNELS))]
+                params["lins"] = _lins_from(data)
             _last_info.update(mode="lin_converted_vgg_random", path=cand)
-            warnings.warn(
-                "LPIPS: using learned lin weights over deterministic RANDOM "
-                "VGG features (no converted VGG16 backbone found). This is a "
-                "usable perceptual signal but NOT true LPIPS; convert "
-                "torchvision VGG16 via tools/convert_lpips_weights.py for "
-                "exact reference parity.", stacklevel=2)
+            _warn_lin_fallback()
             return _device(params)
     if os.path.isfile(_LIN_NPZ):
         params = init_lpips_params(seed=seed)
         params["lins"] = load_lin_weights(_LIN_NPZ)
         _last_info.update(mode="lin_converted_vgg_random", path=_LIN_NPZ)
-        warnings.warn(
-            "LPIPS: using learned lin weights over deterministic RANDOM VGG "
-            "features (no converted VGG16 backbone found). This is a usable "
-            "perceptual signal but NOT true LPIPS; convert torchvision VGG16 "
-            "via tools/convert_lpips_weights.py for exact reference parity.",
-            stacklevel=2)
+        _warn_lin_fallback()
         return _device(params)
     _last_info.update(mode="random", path=None)
     warnings.warn(

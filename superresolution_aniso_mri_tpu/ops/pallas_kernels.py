@@ -3,9 +3,11 @@
 The XLA SSIM path (ops/metrics.py) issues 5 separable convolutions per
 image pair — each re-streams the slices through VMEM. This fused kernel
 loads each slice pair into VMEM ONCE and computes all five windowed
-moments with integral-image (cumulative-sum) arithmetic on the VPU, the
-SSIM map, and the scalar reduction, in a single pass. One grid step per
-slice; the driver vmap-equivalent is the pallas grid.
+moments with separable shifted-add box filters on the VPU (win static
+slice-adds per axis — cumulative sums do not lower on TPU pallas, see
+_window_sum_2d), the SSIM map, and the scalar reduction, in a single
+pass. One grid step per slice; the driver vmap-equivalent is the
+pallas grid.
 
 Used by evaluate.metrics_driver via ``ssim_volume_fused`` (falls back to
 the XLA implementation off-TPU).
@@ -97,8 +99,14 @@ def ssim_volume_pallas(ref: Array, dist: Array, data_range: float = 1.0,
 
 def ssim_volume_fused(ref: Array, dist: Array, data_range: float = 1.0,
                       win_size: int = 7) -> Array:
-    """SSIM per slice: pallas on TPU, XLA convolution path elsewhere."""
-    if jax.default_backend() == "tpu":
+    """SSIM per slice: pallas on TPU, XLA convolution path elsewhere.
+
+    The pallas kernel bakes ``data_range`` in as a compile-time constant
+    (one compile per distinct value); a TRACED data_range (a caller
+    jitting over it) routes to the XLA path on every backend instead of
+    crashing at the float() concretization only on TPU."""
+    if (jax.default_backend() == "tpu"
+            and not isinstance(data_range, jax.core.Tracer)):
         return ssim_volume_pallas(ref, dist, data_range=float(data_range),
                                   win_size=win_size)
     from .metrics import ssim_volume
