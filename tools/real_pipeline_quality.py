@@ -98,6 +98,10 @@ def main():
     p.add_argument("--n_patients", type=int, default=24)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--depth", type=int, default=24)
+    p.add_argument("--latent", type=int, default=64,
+                   help="latent channels (reference OASIS recipe: 128, "
+                        "README.md:46; 64 keeps CPU benchmark runs "
+                        "affordable)")
     p.add_argument("--loss_mode", type=str, default="perceptual",
                    choices=LOSS_MODES)
     p.add_argument("--anatomy", type=str, default="rotate",
@@ -144,7 +148,7 @@ def main():
             sys.executable, "train_brain_aesr.py", "-d", "OASIS",
             "-m", "ae_combined", "--downsample_steps", str(ds),
             "--width", str(args.inplane), "--latent_width",
-            str(args.inplane // 4), "--latent", "64",
+            str(args.inplane // 4), "--latent", str(args.latent),
             "--depth", str(args.depth),
             "--aug_patch_size", str(args.inplane),
             "-b", str(args.batch_size), "--lr", "0.002",
