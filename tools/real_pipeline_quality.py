@@ -102,6 +102,12 @@ def main():
                    help="latent channels (reference OASIS recipe: 128, "
                         "README.md:46; 64 keeps CPU benchmark runs "
                         "affordable)")
+    p.add_argument("--model", type=str, default="ae_combined",
+                   choices=["ae_combined", "ae"],
+                   help="trainer family: the reference's dHCP tables "
+                        "show plain 'ae' (no synthesis loss) beating "
+                        "ae_combined on SSIM at some factors "
+                        "(BASELINE.md)")
     p.add_argument("--loss_mode", type=str, default="perceptual",
                    choices=LOSS_MODES)
     p.add_argument("--anatomy", type=str, default="rotate",
@@ -146,7 +152,7 @@ def main():
 
         train_cmd = [
             sys.executable, "train_brain_aesr.py", "-d", "OASIS",
-            "-m", "ae_combined", "--downsample_steps", str(ds),
+            "-m", args.model, "--downsample_steps", str(ds),
             "--width", str(args.inplane), "--latent_width",
             str(args.inplane // 4), "--latent", str(args.latent),
             "--depth", str(args.depth),
@@ -249,6 +255,7 @@ def main():
             rec = {
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
                 "anatomy": args.anatomy, "loss_mode": args.loss_mode,
+                "model": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
