@@ -31,6 +31,10 @@ def save_checkpoint(path: str, state, epoch: int,
     if extra:
         payload.update({k: serialization.to_state_dict(v)
                         for k, v in extra.items()})
+    # ONE batched device→host fetch for the whole tree: per-leaf
+    # np.asarray would pay a synchronous round-trip per parameter —
+    # hundreds of transfers per checkpoint through a tunneled chip
+    payload = jax.device_get(payload)
     blob = serialization.msgpack_serialize(
         jax.tree_util.tree_map(np.asarray, payload))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

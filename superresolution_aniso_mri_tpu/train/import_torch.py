@@ -40,7 +40,9 @@ def is_torch_checkpoint(path: str) -> bool:
     torch>=1.6 — or a legacy pickle stream), not an SRTPU msgpack."""
     with open(path, "rb") as f:
         head = f.read(8)
-    return head[:2] == b"PK" or head[:2] == b"\x80\x02" or head[:1] == b"\x80"
+    # PK = zip archive (torch >= 1.6); 0x80 = pickle PROTO opcode of any
+    # legacy torch.save stream (protocol >= 2)
+    return head[:2] == b"PK" or head[:1] == b"\x80"
 
 
 def _load_torch_pickle(path: str) -> Dict[str, Any]:
@@ -66,8 +68,13 @@ def _split_sides(sd) -> Dict[str, Dict[str, np.ndarray]]:
 
 
 def _torch_layers(entries: Dict[str, np.ndarray]):
-    """Classify a Sequential side's index-keyed entries into ordered conv
-    and BN layer lists. Convs carry a 4-D weight; BNs carry running_mean."""
+    """Classify a Sequential side's index-keyed entries into ordered
+    conv, BN and ResBlock layer lists. Convs carry a 4-D ``weight``; BNs
+    carry ``running_mean``; ResBlocks carry NESTED ``conv.N.weight``
+    keys (reference: networks/acai_vanilla.py:20-35 — an inner
+    Sequential of ReLU/Conv3x3/ReLU/Conv1x1). Anything else is a loud
+    NotImplementedError — silently skipping an unrecognized submodule
+    would import a checkpoint that leaves those weights at random init."""
     by_idx: Dict[str, Dict[str, np.ndarray]] = {}
     order: List[str] = []
     for rest, arr in entries.items():
@@ -76,18 +83,31 @@ def _torch_layers(entries: Dict[str, np.ndarray]):
             by_idx[idx] = {}
             order.append(idx)
         by_idx[idx][leaf] = arr
-    convs, bns = [], []
+    convs, bns, res = [], [], []
     for idx in order:
         leaves = by_idx[idx]
         if "running_mean" in leaves:
             bns.append((idx, leaves))
         elif "weight" in leaves and leaves["weight"].ndim == 4:
             convs.append((idx, leaves))
-        elif "weight" in leaves:
+        elif all("." in k for k in leaves) and any(
+                k.endswith(".weight") for k in leaves):
+            # nested Sequential → ResBlock: gather its sub-convs in
+            # index order ('conv.1.weight', 'conv.3.weight' → two convs)
+            sub: Dict[int, Dict[str, np.ndarray]] = {}
+            for k, arr in leaves.items():
+                parts = k.split(".")
+                if len(parts) != 3 or parts[0] != "conv":
+                    raise NotImplementedError(
+                        f"unsupported nested torch submodule at index "
+                        f"{idx} (key {k!r} — not a reference ResBlock)")
+                sub.setdefault(int(parts[1]), {})[parts[2]] = arr
+            res.append((idx, [sub[i] for i in sorted(sub)]))
+        else:
             raise NotImplementedError(
                 f"unsupported torch layer at index {idx} "
-                f"(weight ndim {leaves['weight'].ndim})")
-    return convs, bns
+                f"(leaves: {sorted(leaves)})")
+    return convs, bns, res
 
 
 _NUM_RE = re.compile(r"_(\d+)$")
@@ -115,29 +135,61 @@ def _flax_bn_order(tree: Dict[str, Any]) -> List[str]:
     return sorted(names, key=lambda n: int(_NUM_RE.search(n).group(1)))
 
 
+def _flax_res_order(tree: Dict[str, Any]) -> List[str]:
+    names = [k for k in tree if k.startswith("ResBlock")]
+    return sorted(names, key=lambda n: int(_NUM_RE.search(n).group(1)))
+
+
+def _conv_entry(side: str, where: str, leaves: Dict[str, np.ndarray],
+                model_conv: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """One torch conv → flax {'kernel','bias'} with layout transpose and
+    shape/bias validation."""
+    if "bias" not in leaves:
+        raise ValueError(
+            f"{side}.{where}: torch conv has no bias — the flax models "
+            f"always use biased convs, so this checkpoint comes from a "
+            f"different architecture variant")
+    kernel = np.transpose(leaves["weight"], (2, 3, 1, 0))  # OIHW→HWIO
+    want = tuple(model_conv["kernel"].shape)  # no device transfer
+    if kernel.shape != want:
+        raise ValueError(
+            f"{side}.{where}: kernel shape {kernel.shape} != "
+            f"model's {want}")
+    return {"kernel": kernel.astype(np.float32),
+            "bias": leaves["bias"].astype(np.float32)}
+
+
 def _map_side(side: str, entries: Dict[str, np.ndarray],
               params_side: Dict[str, Any],
               stats_side: Dict[str, Any]) -> Tuple[Dict, Dict]:
-    convs, bns = _torch_layers(entries)
+    convs, bns, res = _torch_layers(entries)
     conv_names = _flax_conv_order(params_side)
     bn_names = _flax_bn_order(params_side)
-    if len(convs) != len(conv_names) or len(bns) != len(bn_names):
+    res_names = _flax_res_order(params_side)
+    if (len(convs) != len(conv_names) or len(bns) != len(bn_names)
+            or len(res) != len(res_names)):
         raise ValueError(
-            f"{side}: torch has {len(convs)} convs / {len(bns)} BNs but "
-            f"the flax model has {len(conv_names)} / {len(bn_names)} — "
-            f"architecture flags (width/latent_width/depth/use_batchnorm) "
-            f"do not match the checkpoint")
+            f"{side}: torch has {len(convs)} convs / {len(bns)} BNs / "
+            f"{len(res)} ResBlocks but the flax model has "
+            f"{len(conv_names)} / {len(bn_names)} / {len(res_names)} — "
+            f"architecture flags (width/latent_width/depth/use_batchnorm/"
+            f"n_res_block) do not match the checkpoint")
     new_p = dict(params_side)
     new_s = dict(stats_side)
     for (idx, leaves), name in zip(convs, conv_names):
-        kernel = np.transpose(leaves["weight"], (2, 3, 1, 0))  # OIHW→HWIO
-        want = np.asarray(params_side[name]["kernel"]).shape
-        if kernel.shape != want:
+        new_p[name] = _conv_entry(side, idx, leaves, params_side[name])
+    for (idx, subconvs), name in zip(res, res_names):
+        blk = params_side[name]
+        sub_names = _flax_conv_order(blk)
+        if len(subconvs) != len(sub_names):
             raise ValueError(
-                f"{side}.{idx} → {name}: kernel shape {kernel.shape} != "
-                f"model's {want}")
-        new_p[name] = {"kernel": kernel.astype(np.float32),
-                       "bias": leaves["bias"].astype(np.float32)}
+                f"{side}.{idx} → {name}: torch ResBlock has "
+                f"{len(subconvs)} convs, flax has {len(sub_names)}")
+        new_blk = dict(blk)
+        for leaves, sub in zip(subconvs, sub_names):
+            new_blk[sub] = _conv_entry(side, f"{idx}.{sub}", leaves,
+                                       blk[sub])
+        new_p[name] = new_blk
     for (idx, leaves), name in zip(bns, bn_names):
         new_p[name] = {"scale": leaves["weight"].astype(np.float32),
                        "bias": leaves["bias"].astype(np.float32)}
@@ -164,7 +216,24 @@ def torch_state_to_flax(torch_sd, params, batch_stats):
         raise ValueError(
             f"torch checkpoint has submodules {sorted(unknown)} with no "
             f"flax counterpart (model sides: {sorted(ae_params)}) — wrong "
-            f"ae_class for this checkpoint?")
+            f"ae_class for this checkpoint? (note: MultiChannelAE/"
+            f"ACDCLBL reference checkpoints are not importable — the "
+            f"decoder head structure differs)")
+    # reverse coverage: every flax side that owns conv weights must be
+    # fed by the checkpoint — a partial artifact (e.g. encoder-only)
+    # would otherwise 'load' and predict with a random decoder
+    def _has_convs(tree):
+        return any(isinstance(v, dict)
+                   and ("kernel" in v or _has_convs(v))
+                   for v in tree.values())
+
+    missing = sorted(s for s in ae_params
+                     if s not in sides and _has_convs(ae_params[s]))
+    if missing:
+        raise ValueError(
+            f"torch checkpoint is missing submodules {missing} that the "
+            f"flax model requires (checkpoint sides: {sorted(sides)}) — "
+            f"partial/encoder-only artifact?")
     new_params = dict(ae_params)
     new_stats = dict(ae_stats)
     for side, entries in sides.items():

@@ -460,9 +460,10 @@ class Trainer:
         from .import_torch import is_torch_checkpoint, torch_state_to_flax
 
         if is_torch_checkpoint(fname):
-            import torch
-            raw_t = torch.load(fname, map_location="cpu",
-                               weights_only=False)
+            # shared loader: validates the reference .models structure
+            # and raises an explanatory error on foreign torch pickles
+            from .import_torch import _load_torch_pickle
+            raw_t = _load_torch_pickle(fname)
             p, bs = self._ae_params()
             self.params_sr = torch_state_to_flax(
                 raw_t["model_dict_ae"], p, bs or {})

@@ -18,8 +18,27 @@ from superresolution_aniso_mri_tpu.train import Trainer  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+class _TorchResBlock(tnn.Module):
+    """Twin of the reference ResBlock (networks/acai_vanilla.py:20-35):
+    Sequential(ReLU, Conv3x3->channel, ReLU, Conv1x1->in_channel) under
+    attribute 'conv', residual add."""
+
+    def __init__(self, in_channel, channel=128):
+        super().__init__()
+        self.conv = tnn.Sequential(
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(in_channel, channel, 3, padding=1),
+            tnn.ReLU(inplace=True),
+            tnn.Conv2d(channel, in_channel, 1),
+        )
+
+    def forward(self, x):
+        return x + self.conv(x)
+
+
 def _torch_vanilla_acai(width=32, latent_width=16, depth=8, latent=8,
-                        colors=1, use_batchnorm=True, seed=0):
+                        colors=1, use_batchnorm=True, seed=0,
+                        n_res_block=None):
     """Torch twin of models/acai.py VanillaACAI (same layer recipe the
     reference's Encoder/Decoder generators emit, with the framework's
     shape-exact VALID 1x1 stem)."""
@@ -37,11 +56,19 @@ def _torch_vanilla_acai(width=32, latent_width=16, depth=8, latent=8,
             enc += [tnn.BatchNorm2d(k)]
         enc += [tnn.AvgPool2d(2)]
         kp = k
+    if n_res_block:
+        # reference placement: after the pool loop, before head convs
+        enc += [_TorchResBlock(kp) for _ in range(n_res_block)]
+        enc += [tnn.ReLU(inplace=True)]
     k = depth << scales
     enc += [tnn.Conv2d(kp, k, 3, padding=1), tnn.LeakyReLU(0.01),
             tnn.Conv2d(k, latent, 3, padding=1)]
 
     dec = []
+    if n_res_block:
+        # reference placement: res blocks FIRST in the decoder
+        dec += [_TorchResBlock(latent) for _ in range(n_res_block)]
+        dec += [tnn.ReLU(inplace=True)]
     kp = latent
     for s in range(scales - 1, -1, -1):
         k = depth << s
@@ -127,6 +154,39 @@ def test_import_into_wrapped_family(ref_ckpt, tmp_path):
     np.testing.assert_allclose(out_jax,
                                out_t.numpy().transpose(0, 2, 3, 1),
                                atol=5e-3)
+
+
+def test_import_res_block_parity(tmp_path):
+    """n_res_block checkpoints must import the nested ResBlock convs
+    (they used to be silently skipped, leaving random res weights)."""
+    model = _torch_vanilla_acai(n_res_block=1, seed=5)
+    path = str(tmp_path / "7.models")
+    _save_reference_ckpt(model, path, epoch=7)
+    t = Trainer(_toy_args("ae_combined", tmp_path, use_batchnorm=True,
+                          n_res_block=1))
+    t.load(path)
+    x = np.random.RandomState(6).rand(2, 32, 32, 1).astype(np.float32)
+    out_jax = np.asarray(t.predict(x))
+    model.eval()
+    with torch.no_grad():
+        out_t = model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(out_jax,
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-3)
+
+
+def test_import_partial_checkpoint_raises(ref_ckpt, tmp_path):
+    """An encoder-only torch artifact must fail loudly instead of
+    'loading' with a random decoder."""
+    model, _ = ref_ckpt
+    sd = {k: v for k, v in model.state_dict().items()
+          if k.startswith("enc.")}
+    path = str(tmp_path / "partial.models")
+    torch.save({"model_dict_ae": sd, "optimizer_dict_ae": {},
+                "epoch": 1}, path)
+    t = Trainer(_toy_args("ae_combined", tmp_path, use_batchnorm=True))
+    with pytest.raises(ValueError, match="missing submodules"):
+        t.load(path)
 
 
 def test_import_shape_mismatch_raises(ref_ckpt, tmp_path):
