@@ -315,6 +315,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                 save_image_grid(grid, os.path.join(
                     trainer.dir_images, f"val_recons_e{epoch:03d}.png"))
                 trainer.log_tb_image("val/reconstructions", grid)
+                _beat()  # grid fetch completed — real device progress
 
             # synthesized-volume previews: super-resolve a held-out val
             # volume and dump the original-vs-synth compare grid — the
@@ -323,6 +324,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # evaluate/evaluate_image.py:82-107)
             if main_proc:
                 _generate_volume_previews(trainer, val_vols, merged, epoch)
+                _beat()  # whole-volume synthesis is slow but IS progress
 
             if merged.get("log_tensorboard") and epoch % 10 == 0:
                 trainer.log_tb_histograms()

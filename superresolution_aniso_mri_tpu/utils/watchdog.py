@@ -94,6 +94,8 @@ class StepWatchdog:
     def start(self) -> "StepWatchdog":
         if self._thread is not None:
             raise RuntimeError("watchdog already started")
+        self._stop.clear()  # allow stop() → start() reuse
+        self._fired = False
         with self._lock:
             self._last_beat = time.monotonic()
             self._armed = True

@@ -67,6 +67,22 @@ def test_stop_is_idempotent_and_quiet():
     assert fired == []
 
 
+def test_stop_then_start_rearms():
+    """stop() → start() must yield a LIVE monitor again (the _stop event
+    is cleared on start; a stale set event would make the new thread
+    exit instantly and silently never guard)."""
+    fired = []
+    wd = _make(0.3, fired)
+    wd.start()
+    wd.stop()
+    wd.start()
+    try:
+        time.sleep(0.8)  # no beats — the restarted monitor must fire
+        assert len(fired) == 1
+    finally:
+        wd.stop()
+
+
 def test_rejects_nonpositive_timeout():
     with pytest.raises(ValueError):
         StepWatchdog(timeout_s=0)

@@ -81,6 +81,7 @@ def main():
         raise SystemExit(f"no *.models files under {src}/models")
 
     dst = os.path.expanduser(args.output_dir) if args.output_dir else src
+    same_dir = os.path.abspath(dst) == os.path.abspath(src)
     os.makedirs(os.path.join(dst, "models"), exist_ok=True)
     n_done = 0
     for name in names:
@@ -96,7 +97,7 @@ def main():
         print(f"converted {name} (epoch {epoch})")
         n_done += 1
 
-    if dst != src:
+    if not same_dir:
         save_experiment_settings(settings,
                                  os.path.join(dst, "settings.yaml"))
         for aux in ("loss_iters.npz", "losses_train.npz",

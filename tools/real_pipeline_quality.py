@@ -176,8 +176,14 @@ def main():
             "-o", exper_root, "-id", "rpq",
         ]
         print("[train] " + " ".join(train_cmd), flush=True)
+        # long CPU benchmark runs legitimately exceed run_child's 2 h
+        # default (300 ep / 12 patients ≈ 85 min single-core; scale
+        # linearly with steps and leave 4x headroom, floor 2 h)
+        steps = args.epochs * max(1, (args.n_patients * args.num_slices)
+                                  // args.batch_size)
         _run(train_cmd, data_root, "train",
-             log_path=os.path.join(work, "train.log"))
+             log_path=os.path.join(work, "train.log"),
+             timeout=max(7200, int(steps * 4.0)))
         exper = os.path.join(exper_root, "rpq")
 
         r = _run([sys.executable, "find_best_model.py",
@@ -255,7 +261,7 @@ def main():
             rec = {
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
                 "anatomy": args.anatomy, "loss_mode": args.loss_mode,
-                "model": args.model,
+                "model_family": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
