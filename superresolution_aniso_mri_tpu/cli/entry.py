@@ -111,6 +111,12 @@ def generate_hr_volumes(argv=None):
                              "loaded as segmentation labels and ride "
                              "through synthesis (decoded for "
                              "multichannel models); '' disables")
+    parser.add_argument("--tta", type=str, default=None,
+                        choices=["flips", "dihedral"],
+                        help="test-time augmentation: average synthesis "
+                             "over 4 ('flips') or 8 ('dihedral') in-plane "
+                             "symmetries — higher quality at "
+                             "~n_variants x the per-volume cost")
     args = parser.parse_args(argv)
 
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
@@ -123,11 +129,12 @@ def generate_hr_volumes(argv=None):
                                   args.label_suffix):
         _densify_file(trainer, path, args.output_dir,
                       args.num_interpolations, args.label_suffix,
-                      args.num_devices)
+                      args.num_devices, tta=args.tta)
 
 
 def _densify_file(trainer, path: str, output_dir: str, n: int,
-                  label_suffix: str, num_devices: int = 1):
+                  label_suffix: str, num_devices: int = 1,
+                  tta: str | None = None):
     """Densify one on-disk volume: read (+ label companion), synthesize
     ``n`` in-between slices per gap, write '<base>_niNN.nii.gz' (and the
     label output when input labels existed). Returns the written paths.
@@ -169,7 +176,7 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
                                   generate_inbetween_slices=False,
                                   labels=(None if lbl_frames is None
                                           else lbl_frames[fi]),
-                                  num_devices=num_devices)
+                                  num_devices=num_devices, tta=tta)
         out_frames.append(res["upsampled_image"])
         out_lbl_frames.append(res["upsampled_labels"])
     out = (out_frames[0] if arr.ndim == 3
@@ -261,6 +268,10 @@ def serve_hr_volumes(argv=None):
                         help="exit after N volumes (0 = run forever)")
     parser.add_argument("--manifest", type=str, default=None,
                         help="append one JSON line per served volume")
+    parser.add_argument("--tta", type=str, default=None,
+                        choices=["flips", "dihedral"],
+                        help="test-time augmentation for every served "
+                             "volume (see generate_hr_volumes --tta)")
     parser.add_argument("--synth_timeout_s", type=float, default=0,
                         help="stall watchdog: exit 75 (EX_TEMPFAIL) if "
                              "one volume's synthesis hangs this long "
@@ -337,7 +348,7 @@ def serve_hr_volumes(argv=None):
                 written = _densify_file(
                     trainer, path, args.output_dir,
                     args.num_interpolations, args.label_suffix,
-                    args.num_devices)
+                    args.num_devices, tta=args.tta)
             except Exception as exc:    # keep serving on bad volumes
                 print(f"ERROR serving {path}: {exc}", flush=True)
                 processed[path] = sig   # don't retry-loop a poison file

@@ -120,7 +120,8 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                      compute_percept_metrics: bool = False,
                      resample: bool = False,
                      original_spacing=None,
-                     verbose: bool = False) -> Dict:
+                     verbose: bool = False,
+                     tta: Optional[str] = None) -> Dict:
     """Evaluate SR quality over a dataset of HR volumes.
 
     ``interpol_method``: 'model' → latent-interpolation synthesis;
@@ -130,7 +131,9 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
     evaluate/create_HR_images.py:199-236). ``resample=True`` resamples
     saved volumes in-plane back to ``original_spacing`` (or the
     volume's own ``original_spacing`` attribute) — reference
-    :81-107, 239-424. Returns {'per_volume': {...}, 'aggregate': {...}}.
+    :81-107, 239-424. ``tta``: None | 'flips' | 'dihedral' —
+    test-time-augmented model synthesis (infer.create_super_volume).
+    Returns {'per_volume': {...}, 'aggregate': {...}}.
     """
     alpha_range = np.linspace(0, 1, downsample_steps + 1)[1:-1]
     per_volume: List[Dict] = []
@@ -167,7 +170,7 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                 trainer, img3d, alpha_range=alpha_range,
                 downsample_steps=downsample_steps,
                 generate_inbetween_slices=True,
-                use_original=use_original, labels=lbl3d)
+                use_original=use_original, labels=lbl3d, tta=tta)
             # upsampled_labels: model-decoded for the multichannel
             # (ACDCLBL) family, ride-along otherwise (grid coincides in
             # the in-between-slices mode, so they return unchanged)

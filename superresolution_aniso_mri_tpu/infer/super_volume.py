@@ -301,13 +301,47 @@ def _auto_decode_batch(n_total: int, h: int, w: int, depth: int) -> Optional[int
     return None if n_total <= cap else int(cap)
 
 
+# test-time augmentation variant sets: in-plane symmetries of the slice
+# grid. 'flips' = the 4 shape-preserving elements of the dihedral group
+# (identity, 180°, H-flip, W-flip); 'dihedral' = all 8 (the 90°/270°
+# rotations swap H and W, so non-square volumes compile one extra
+# program shape for the transposed variants).
+TTA_MODES = ("flips", "dihedral")
+
+
+def _tta_variants(mode: str):
+    """(forward, inverse) pairs of in-plane (axes 1, 2) numpy transforms
+    for [S, H, W] volumes; the identity is always first."""
+    if mode not in TTA_MODES:
+        raise ValueError(f"tta must be one of {TTA_MODES} or None, "
+                         f"got {mode!r}")
+    ks = (0, 2) if mode == "flips" else (0, 1, 2, 3)
+    variants = []
+    for k in ks:
+        for flip in (False, True):
+            def fwd(v, k=k, flip=flip):
+                v = np.rot90(v, k, axes=(1, 2))
+                if flip:
+                    v = np.flip(v, axis=2)
+                return np.ascontiguousarray(v)
+
+            def inv(v, k=k, flip=flip):
+                if flip:
+                    v = np.flip(v, axis=2)
+                return np.ascontiguousarray(np.rot90(v, -k, axes=(1, 2)))
+
+            variants.append((fwd, inv))
+    return variants
+
+
 def create_super_volume(trainer, images, alpha_range=None,
                         use_original: bool = False,
                         downsample_steps: Optional[int] = None,
                         generate_inbetween_slices: bool = False,
                         labels=None, pad_to_bucket: bool = True,
                         decode_batch="auto",
-                        num_devices: int = 1) -> Dict[str, np.ndarray]:
+                        num_devices: int = 1,
+                        tta: Optional[str] = None) -> Dict[str, np.ndarray]:
     """Host wrapper with the reference's exact tail-slice semantics
     (reference: evaluate/common.py:134-235).
 
@@ -319,8 +353,34 @@ def create_super_volume(trainer, images, alpha_range=None,
     ``num_devices`` > 1 shards the kept-slice axis over a device mesh
     (parallel.make_sharded_synthesizer) — multi-chip volume inference;
     outputs are identical to the single-device path.
+    ``tta``: None | 'flips' | 'dihedral' — test-time augmentation:
+    synthesize under each in-plane symmetry, invert, and average the
+    image output (a standard SR quality lever the reference lacks;
+    labels/pred_alphas come from the identity variant — class ids
+    cannot be averaged). Shape-preserving variants reuse the one
+    compiled program, so the cost is ~n_variants x the per-call time.
     Returns {'upsampled_image' [S', H, W], 'pred_alphas', 'upsampled_labels'}.
     """
+    if tta:
+        variants = _tta_variants(tta)
+        kwargs = dict(alpha_range=alpha_range, use_original=use_original,
+                      downsample_steps=downsample_steps,
+                      generate_inbetween_slices=generate_inbetween_slices,
+                      pad_to_bucket=pad_to_bucket,
+                      decode_batch=decode_batch, num_devices=num_devices,
+                      tta=None)
+        base = create_super_volume(trainer, images, labels=labels, **kwargs)
+        acc = base["upsampled_image"].astype(np.float64).copy()
+        for fwd, inv in variants[1:]:
+            res = create_super_volume(
+                trainer, fwd(np.asarray(images, np.float32)),
+                labels=None if labels is None else fwd(np.asarray(labels)),
+                **kwargs)
+            acc += inv(res["upsampled_image"]).astype(np.float64)
+        base["upsampled_image"] = np.clip(
+            acc / len(variants), 0.0, 1.0).astype(np.float32)
+        return base
+
     images = np.asarray(images, np.float32)
     if alpha_range is None:
         alpha_range = [0.25, 0.5, 0.75]

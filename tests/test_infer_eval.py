@@ -641,3 +641,51 @@ def test_upsampled_labels_scale_with_downsample_grid(trainer):
     assert res["upsampled_image"].shape[0] == 10
     np.testing.assert_array_equal(up_lbl[:, 0, 0],
                                   np.arange(10, dtype=np.int32))
+
+def test_tta_flips_matches_manual_average(trainer, toy_volume):
+    """tta='flips' must equal averaging the 4 inverse-transformed
+    single-variant syntheses computed by hand through the same kernel."""
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        _tta_variants,
+    )
+    vol = np.asarray(toy_volume.image, np.float32)
+    kw = dict(alpha_range=[0.5], downsample_steps=2,
+              generate_inbetween_slices=True, use_original=True)
+    res = create_super_volume(trainer, vol, tta="flips", **kw)
+    acc = None
+    for fwd, inv in _tta_variants("flips"):
+        one = create_super_volume(trainer, fwd(vol), **kw)
+        o = inv(one["upsampled_image"]).astype(np.float64)
+        acc = o if acc is None else acc + o
+    expect = np.clip(acc / 4.0, 0.0, 1.0).astype(np.float32)
+    np.testing.assert_allclose(res["upsampled_image"], expect, atol=1e-6)
+    # original-grid slices survive averaging exactly (every variant
+    # keeps them verbatim under use_original)
+    np.testing.assert_allclose(res["upsampled_image"][::2], vol[::2],
+                               atol=1e-6)
+
+
+def test_tta_dihedral_nonsquare_and_labels(trainer):
+    """Dihedral TTA on a non-square volume: 90-degree variants run at the
+    transposed shape and must invert back to the original; labels and
+    pred_alphas come from the identity variant."""
+    rng = np.random.RandomState(11)
+    vol = rng.rand(7, 24, 32).astype(np.float32)
+    lbl = (rng.rand(7, 24, 32) > 0.7).astype(np.int32)
+    kw = dict(alpha_range=[0.5], downsample_steps=2,
+              generate_inbetween_slices=True, use_original=True)
+    res = create_super_volume(trainer, vol, labels=lbl, tta="dihedral",
+                              **kw)
+    base = create_super_volume(trainer, vol, labels=lbl, **kw)
+    assert res["upsampled_image"].shape == base["upsampled_image"].shape
+    np.testing.assert_array_equal(res["upsampled_labels"],
+                                  base["upsampled_labels"])
+    np.testing.assert_allclose(res["pred_alphas"], base["pred_alphas"])
+
+
+def test_tta_rejects_unknown_mode(trainer, toy_volume):
+    with pytest.raises(ValueError, match="tta"):
+        create_super_volume(trainer, np.asarray(toy_volume.image),
+                            tta="rot45", alpha_range=[0.5],
+                            downsample_steps=2,
+                            generate_inbetween_slices=True)

@@ -125,6 +125,11 @@ def main():
                         "OASIS recipe uses 0.001, README.md:46 — "
                         "heavier weights steal capacity from the AE "
                         "reconstruction that bounds production quality)")
+    p.add_argument("--tta", type=str, default=None,
+                   choices=["flips", "dihedral"],
+                   help="test-time augmentation for the model's scoring "
+                        "pass (averaged in-plane symmetries; inference-"
+                        "side quality lever, no retraining)")
     p.add_argument("--lr_schedule", action="store_true",
                    help="cosine-anneal the LR over the whole run "
                         "(--use_lr_scheduler with lr_iter_max = "
@@ -219,7 +224,8 @@ def main():
 
         trainer = get_trainer(exper, model_nbr=best_nbr, eval_mode=True)
         rows = {"model (AESR)": create_hr_images(
-            trainer, test_vols, downsample_steps=ds)["aggregate"]}
+            trainer, test_vols, downsample_steps=ds,
+            tta=args.tta)["aggregate"]}
         for method in ("linear", "bspline", "lanczos"):
             rows[method] = create_hr_images(
                 None, test_vols, downsample_steps=ds,
@@ -266,6 +272,7 @@ def main():
                 "epochs": args.epochs, "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
+                "tta": args.tta,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
