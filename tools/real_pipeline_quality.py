@@ -136,6 +136,12 @@ def main():
                         "epochs x steps-per-epoch upper bound)")
     p.add_argument("--json_out", type=str, default=None)
     p.add_argument("--keep", action="store_true")
+    p.add_argument("--reuse", type=str, default=None,
+                   help="path to a kept work dir from a previous --keep "
+                        "run (contains data/ + exper/rpq): skip "
+                        "fabrication and training, re-run the sweep and "
+                        "scoring only — e.g. to score the same trained "
+                        "model with --tta or a different checkpoint")
     args = p.parse_args()
 
     # the parent never touches the TPU — fabrication is numpy/scipy and
@@ -144,16 +150,29 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     ds = args.downsample_steps
-    work = tempfile.mkdtemp(prefix="sr_rpq_")
-    data_root = os.path.join(work, "data")
-    exper_root = os.path.join(work, "exper")
+    if args.reuse:
+        work = os.path.expanduser(args.reuse)
+        data_root = os.path.join(work, "data")
+        exper_root = os.path.join(work, "exper")
+        if not os.path.isdir(os.path.join(exper_root, "rpq", "models")):
+            raise SystemExit(f"--reuse {work}: no exper/rpq/models — not "
+                             f"a kept real_pipeline_quality work dir")
+        args.keep = True  # never delete a user-provided tree
+    else:
+        work = tempfile.mkdtemp(prefix="sr_rpq_")
+        data_root = os.path.join(work, "data")
+        exper_root = os.path.join(work, "exper")
     try:
-        print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
-              f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
-              f"under {data_root}", flush=True)
-        make_textured_oasis_tree(data_root, ds, args.n_patients,
-                                 args.inplane, args.num_slices,
-                                 anatomy=args.anatomy)
+        if args.reuse:
+            print(f"[reuse] kept work dir {work} — skipping "
+                  f"fabrication/training", flush=True)
+        else:
+            print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
+                  f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
+                  f"under {data_root}", flush=True)
+            make_textured_oasis_tree(data_root, ds, args.n_patients,
+                                     args.inplane, args.num_slices,
+                                     anatomy=args.anatomy)
 
         train_cmd = [
             sys.executable, "train_brain_aesr.py", "-d", "OASIS",
@@ -180,15 +199,17 @@ def main():
               if args.lr_schedule else []),
             "-o", exper_root, "-id", "rpq",
         ]
-        print("[train] " + " ".join(train_cmd), flush=True)
-        # long CPU benchmark runs legitimately exceed run_child's 2 h
-        # default (300 ep / 12 patients ≈ 85 min single-core; scale
-        # linearly with steps and leave 4x headroom, floor 2 h)
-        steps = args.epochs * max(1, (args.n_patients * args.num_slices)
-                                  // args.batch_size)
-        _run(train_cmd, data_root, "train",
-             log_path=os.path.join(work, "train.log"),
-             timeout=max(7200, int(steps * 4.0)))
+        if not args.reuse:
+            print("[train] " + " ".join(train_cmd), flush=True)
+            # long CPU benchmark runs legitimately exceed run_child's 2 h
+            # default (300 ep / 12 patients ≈ 85 min single-core; scale
+            # linearly with steps and leave 4x headroom, floor 2 h)
+            steps = args.epochs * max(1, (args.n_patients
+                                          * args.num_slices)
+                                      // args.batch_size)
+            _run(train_cmd, data_root, "train",
+                 log_path=os.path.join(work, "train.log"),
+                 timeout=max(7200, int(steps * 4.0)))
         exper = os.path.join(exper_root, "rpq")
 
         r = _run([sys.executable, "find_best_model.py",
@@ -264,12 +285,25 @@ def main():
               f"(full production pipeline)")
 
         if args.json_out:
+            loss_mode = args.loss_mode
+            if args.reuse:
+                # describe the kept experiment, not this call's flag
+                # defaults (anatomy/n_patients/etc. are not persisted —
+                # pass matching flags when reusing a non-default tree)
+                ta = trainer.args
+                loss_mode = ("perceptual" if ta.get("image_mix_loss_func")
+                             == "perceptual"
+                             else "mse+ssim" if ta.get("use_ssim_loss")
+                             else "mse")
             rec = {
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
-                "anatomy": args.anatomy, "loss_mode": args.loss_mode,
+                "anatomy": args.anatomy, "loss_mode": loss_mode,
                 "model_family": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
-                "epochs": args.epochs, "checkpoint": str(best_nbr),
+                # in --reuse mode the flag default may not describe the
+                # kept experiment — the settings.yaml value always does
+                "epochs": int(trainer.args.get("epochs") or args.epochs),
+                "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
                 "tta": args.tta,
