@@ -349,7 +349,16 @@ int srl_read_nifti_many(const char** paths, int n, SrlImage** out,
     }
   };
   std::vector<std::thread> pool;
-  for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  pool.reserve(nthreads);
+  try {
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  } catch (...) {
+    // thread creation failed (resource exhaustion): letting the
+    // exception cross the C ABI is UB, and destroying a vector holding
+    // joinable threads is std::terminate — drain the remaining work on
+    // the calling thread instead, then join whatever was spawned
+    worker();
+  }
   for (auto& t : pool) t.join();
   return failures.load();
 }
@@ -378,7 +387,12 @@ void srl_gather(const float** ptrs, int b, int c, int64_t hw, float* out,
     }
   };
   std::vector<std::thread> pool;
-  for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  pool.reserve(nthreads);
+  try {
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
+  } catch (...) {
+    worker();  // same firewall as srl_read_nifti_many
+  }
   for (auto& t : pool) t.join();
 }
 
