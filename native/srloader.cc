@@ -349,8 +349,10 @@ int srl_read_nifti_many(const char** paths, int n, SrlImage** out,
     }
   };
   std::vector<std::thread> pool;
-  pool.reserve(nthreads);
   try {
+    // reserve() allocates and can itself throw bad_alloc under the very
+    // memory exhaustion this firewall exists for — keep it inside
+    pool.reserve(nthreads);
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
   } catch (...) {
     // thread creation failed (resource exhaustion): letting the
@@ -387,8 +389,8 @@ void srl_gather(const float** ptrs, int b, int c, int64_t hw, float* out,
     }
   };
   std::vector<std::thread> pool;
-  pool.reserve(nthreads);
   try {
+    pool.reserve(nthreads);  // allocates — inside the firewall too
     for (int t = 0; t < nthreads; ++t) pool.emplace_back(worker);
   } catch (...) {
     worker();  // same firewall as srl_read_nifti_many

@@ -225,6 +225,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     def _beat():
         if watchdog is not None:
             watchdog.beat()
+            # re-arm after a cross-host pause window (no-op when armed)
+            watchdog.resume()
 
     try:
         import contextlib
@@ -333,6 +335,13 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             # watchdog armed (a hung fetch IS a stall) but beat after
             trainer.end_epoch_processing()
             _beat()
+            if not main_proc and watchdog is not None:
+                # Non-main hosts now block in the next epoch's first
+                # collective while main runs its serial preview /
+                # checkpoint phase — that wait is main's progress, not a
+                # stall here. Disarm until our next completed step beats
+                # (main's own watchdog still covers a hung backend).
+                watchdog.pause()
     except KeyboardInterrupt:
         if watchdog is not None:
             watchdog.stop()

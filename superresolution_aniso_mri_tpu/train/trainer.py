@@ -457,12 +457,12 @@ class Trainer:
         (reference: base_trainer.py:358-367 load_caisr)."""
         from .checkpoint import load_checkpoint_raw
         from flax import serialization
-        from .import_torch import is_torch_checkpoint, torch_state_to_flax
+        from .import_torch import (_load_torch_pickle, is_torch_checkpoint,
+                                   torch_state_to_flax)
 
         if is_torch_checkpoint(fname):
             # shared loader: validates the reference .models structure
             # and raises an explanatory error on foreign torch pickles
-            from .import_torch import _load_torch_pickle
             raw_t = _load_torch_pickle(fname)
             p, bs = self._ae_params()
             self.params_sr = torch_state_to_flax(

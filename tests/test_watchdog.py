@@ -128,3 +128,25 @@ def test_supervise_restarts_on_75_and_stops_on_0(tmp_path):
     rc = supervise(child_stall, max_restarts=50, min_uptime_s=9999.0,
                    backoff_s=0.0, _print=msgs.append)
     assert rc == 75
+
+
+def test_pause_covers_peer_serial_window_and_beat_rearms():
+    """Cross-host pattern (cli/train_loop.py): a non-main host pauses
+    before blocking in the next epoch's first collective while main runs
+    its serial preview/checkpoint phase; the first completed step's
+    beat()+resume() re-arms with a fresh window."""
+    fired = []
+    wd = _make(0.3, fired).start()
+    try:
+        wd.beat()
+        wd.pause()            # end-of-epoch on a non-main host
+        time.sleep(0.8)       # main's slow serial phase — must NOT fire
+        assert fired == []
+        wd.beat()             # first train step of the next epoch
+        wd.resume()           # _beat() re-arms after a pause window
+        time.sleep(0.15)
+        assert fired == []    # fresh window, not the stale pre-pause one
+        time.sleep(0.7)       # now a genuine stall — must fire
+        assert len(fired) == 1
+    finally:
+        wd.stop()

@@ -84,7 +84,32 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
             spacing=np.array([1.0, 1.0, 1.0]))
 
 
+sys.path.insert(0, os.path.join(REPO, "tools"))  # also under `import tools.*`
 from _subproc import run_child as _run  # noqa: E402  (shared helper)
+
+
+def apply_reuse_overrides(kept: dict, args) -> list:
+    """--reuse provenance: take flags that the kept experiment's
+    settings.yaml records authoritatively (training config) from it,
+    overriding this invocation's values. Returns a human-readable list
+    of the overrides applied (empty = flags already matched)."""
+    overrides = []
+    for flag, key, cast in (
+            ("downsample_steps", "downsample_steps", int),
+            ("inplane", "width", int),
+            ("ex_loss_weight", "ex_loss_weight1", float),
+            ("lr_schedule", "use_lr_scheduler", bool),
+            ("depth", "depth", int),
+            ("latent", "latent", int),
+            ("batch_size", "batch_size", int),
+            ("model", "model", str)):
+        if kept.get(key) is None:
+            continue
+        val = cast(kept[key])
+        if val != getattr(args, flag):
+            overrides.append(f"{flag}={val}")
+            setattr(args, flag, val)
+    return overrides
 
 
 def main():
@@ -134,6 +159,10 @@ def main():
                    help="cosine-anneal the LR over the whole run "
                         "(--use_lr_scheduler with lr_iter_max = "
                         "epochs x steps-per-epoch upper bound)")
+    p.add_argument("--train_timeout_s", type=float, default=0,
+                   help="hard wall-clock budget for the training child "
+                        "(0 = auto: 4 s/step at the inplane=64 default, "
+                        "scaled by (inplane/64)^2 and model width)")
     p.add_argument("--json_out", type=str, default=None)
     p.add_argument("--keep", action="store_true")
     p.add_argument("--reuse", type=str, default=None,
@@ -149,7 +178,6 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    ds = args.downsample_steps
     if args.reuse:
         work = os.path.expanduser(args.reuse)
         data_root = os.path.join(work, "data")
@@ -158,10 +186,24 @@ def main():
             raise SystemExit(f"--reuse {work}: no exper/rpq/models — not "
                              f"a kept real_pipeline_quality work dir")
         args.keep = True  # never delete a user-provided tree
+        # The kept settings.yaml records the true training configuration;
+        # flags that affect scoring (downsample_steps must match the
+        # fabricated '*_{ds}mm' tree) or the JSONL provenance are taken
+        # from it rather than trusting this invocation's defaults.
+        spath = os.path.join(exper_root, "rpq", "settings.yaml")
+        if os.path.exists(spath):
+            import yaml
+            with open(spath) as f:
+                kept = yaml.safe_load(f) or {}
+            overrides = apply_reuse_overrides(kept, args)
+            if overrides:
+                print("[reuse] from kept settings.yaml: "
+                      + " ".join(overrides), flush=True)
     else:
         work = tempfile.mkdtemp(prefix="sr_rpq_")
         data_root = os.path.join(work, "data")
         exper_root = os.path.join(work, "exper")
+    ds = args.downsample_steps  # after --reuse settings.yaml overrides
     try:
         if args.reuse:
             print(f"[reuse] kept work dir {work} — skipping "
@@ -207,9 +249,18 @@ def main():
             steps = args.epochs * max(1, (args.n_patients
                                           * args.num_slices)
                                       // args.batch_size)
+            # the 4 s/step budget was calibrated at inplane=64 /
+            # depth=24 / latent=64 (~0.94 s/step measured, 4x headroom);
+            # larger configs cost more PER STEP, so scale the budget with
+            # the dominant factors instead of killing legitimate runs
+            per_step = (4.0 * (args.inplane / 64.0) ** 2
+                        * max(1.0, args.depth / 24.0)
+                        * max(1.0, args.latent / 64.0))
+            budget = (args.train_timeout_s if args.train_timeout_s > 0
+                      else max(7200, int(steps * per_step)))
             _run(train_cmd, data_root, "train",
                  log_path=os.path.join(work, "train.log"),
-                 timeout=max(7200, int(steps * 4.0)))
+                 timeout=budget)
         exper = os.path.join(exper_root, "rpq")
 
         r = _run([sys.executable, "find_best_model.py",
@@ -252,11 +303,24 @@ def main():
                 None, test_vols, downsample_steps=ds,
                 interpol_method=method)["aggregate"]
 
+        loss_mode = args.loss_mode
+        if args.reuse:
+            # describe the kept experiment, not this call's flag
+            # defaults (anatomy/n_patients/etc. are not persisted —
+            # pass matching flags when reusing a non-default tree)
+            ta = trainer.args
+            if ta.get("image_mix_loss_func") == "perceptual":
+                loss_mode = ("perceptual+lap" if ta.get("use_laploss")
+                             else "perceptual")
+            else:
+                loss_mode = ("mse+ssim" if ta.get("use_ssim_loss")
+                             else "mse")
+
         hdr = (f"{'method':>14} | {'SSIM synth':>12} | "
                f"{'PSNR synth':>12} | {'VIF synth':>12} | "
                f"{'SSIM all':>9} | {'PSNR all':>9}")
         print("\n=== production-pipeline OASIS-shaped quality "
-              f"(ds={ds}, loss={args.loss_mode}) ===")
+              f"(ds={ds}, loss={loss_mode}) ===")
         print(hdr)
         print("-" * len(hdr))
         # the all-slice columns include the ORIGINAL-grid slices (the
@@ -285,16 +349,6 @@ def main():
               f"(full production pipeline)")
 
         if args.json_out:
-            loss_mode = args.loss_mode
-            if args.reuse:
-                # describe the kept experiment, not this call's flag
-                # defaults (anatomy/n_patients/etc. are not persisted —
-                # pass matching flags when reusing a non-default tree)
-                ta = trainer.args
-                loss_mode = ("perceptual" if ta.get("image_mix_loss_func")
-                             == "perceptual"
-                             else "mse+ssim" if ta.get("use_ssim_loss")
-                             else "mse")
             rec = {
                 "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
                 "anatomy": args.anatomy, "loss_mode": loss_mode,
