@@ -56,18 +56,20 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
     # build (and compile) the trainer once; swap checkpoints in-place —
     # the reference re-instantiates per epoch (find_best_model.py:68-69)
     trainer = get_trainer(exper_dir, model_nbr=None, eval_mode=True)
+    prep = None
+    if batched:
+        # group/pad/stack the validation set ONCE — only the params
+        # change across the sweep, so per-epoch restacking is waste
+        from .sweep import evaluate_prepared, prepare_sweep_batches
+        prep = prepare_sweep_batches(trainer, volumes, downsample_steps)
     for epoch in epoch_range:
         trainer.load(os.path.join(exper_dir, "models", f"{epoch}.models"))
         if batched:
-            from .sweep import evaluate_volumes_batched
-
-            # per_frame=True so multi-frame patients weigh like the
+            # per-frame entries so multi-frame patients weigh like the
             # reference's global per-frame lists (and like the
             # non-batched path); nanmean drops NaN entries (e.g. VIF on
             # an all-uniform volume) instead of poisoning the epoch
-            per_vol = evaluate_volumes_batched(trainer, volumes,
-                                               downsample_steps,
-                                               per_frame=True)
+            per_vol = evaluate_prepared(trainer, prep)
             for k in METRICS_TRACKED:
                 history[k].append(float(np.nanmean(
                     [m[k] for m in per_vol.values()])))

@@ -26,7 +26,6 @@ decoder shape (nearest upsampling, no residual blocks).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -90,7 +89,7 @@ def _bn_eval(x: Array, params: Dict, stats: Dict, dt,
     return (x.astype(dt) - mean) * mul + bias
 
 
-def make_packed_decoder(model, cfg: AEConfig):
+def make_packed_decoder(cfg: AEConfig):
     """Eval-mode decode with every upsample folded into the following
     conv (packed lanes). Falls back to ``model.decode`` semantics
     exactly; caller guarantees nearest upsampling and n_res_block == 0.
@@ -143,7 +142,7 @@ def make_packed_decoder(model, cfg: AEConfig):
     return decode
 
 
-def packable(model, cfg: AEConfig, variables: Dict[str, Any]) -> bool:
+def packable(cfg: AEConfig, variables: Dict[str, Any]) -> bool:
     """True when the packed decoder applies: VanillaACAI-shaped decoder
     with nearest upsampling (no ConvTranspose params), no res blocks."""
     try:

@@ -40,13 +40,38 @@ def assemble_patches(patches: Array, s: int, h: int, w: int,
     return x.reshape(s, gh * patch, gw * patch)
 
 
+def _widen_tiles(trainer, tiles: Array) -> Array:
+    """Pad single-channel tiles to the model's input-channel count
+    (colors>=2 stems — ACDCLBL families — reject 1-channel input): the
+    label channel rides as zeros, the same convention (and warning) as
+    the volume pipeline when no labels are available."""
+    colors = int(getattr(getattr(trainer, "model_config", None),
+                         "colors", 1) or 1)
+    if colors <= tiles.shape[-1]:
+        return tiles
+    import warnings
+    warnings.warn(
+        f"patch helpers: model expects {colors} input channels but only "
+        f"the image plane is available — feeding zeros for the rest "
+        f"(same fallback as create_super_volume without labels)")
+    pad = jnp.zeros(tiles.shape[:-1] + (colors - tiles.shape[-1],),
+                    tiles.dtype)
+    return jnp.concatenate([tiles, pad], axis=-1)
+
+
+def _image_plane(out) -> Array:
+    """Decode output → image tensor (MultiChannelAE decodes to a
+    {'image', 'soft_probs'} dict; plain models return an array)."""
+    return jnp.asarray(out["image"] if isinstance(out, dict) else out)
+
+
 def reconstruct_in_patches(trainer, volume, patch: int = 32) -> np.ndarray:
     """Reconstruct a [S, H, W] volume through the AE at a smaller patch
     size than trained (reference: evaluate/common.py:44-68)."""
     volume = jnp.asarray(volume, jnp.float32)
     s, h, w = volume.shape
-    tiles = extract_patches(volume, patch)
-    recon = trainer.predict(tiles)
+    tiles = _widen_tiles(trainer, extract_patches(volume, patch))
+    recon = _image_plane(trainer.predict(tiles))
     out = assemble_patches(recon[..., 0], s, h, w, patch)
     return np.asarray(out)
 
@@ -65,9 +90,9 @@ def interpolate_in_patches(trainer, img1, img2, alpha: float,
     a = jnp.asarray(img1, jnp.float32)[None]
     b = jnp.asarray(img2, jnp.float32)[None]
     h, w = a.shape[1:3]
-    pa = extract_patches(a, patch)
-    pb = extract_patches(b, patch)
+    pa = _widen_tiles(trainer, extract_patches(a, patch))
+    pb = _widen_tiles(trainer, extract_patches(b, patch))
     z = (alpha * trainer.encode(pa, use_sr_model=True)
          + (1.0 - alpha) * trainer.encode(pb, use_sr_model=True))
-    dec = trainer.decode(z, use_sr_model=True)
+    dec = _image_plane(trainer.decode(z, use_sr_model=True))
     return np.asarray(assemble_patches(dec[..., 0], 1, h, w, patch)[0])

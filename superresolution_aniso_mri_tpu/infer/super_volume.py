@@ -98,6 +98,16 @@ def make_kept_label_channel(kept_images: np.ndarray, labels,
     return lbl
 
 
+def kept_slice_grid(img, ds: int):
+    """(kept, remain): strip the verbatim tail and stride to the kept
+    grid — THE shared definition of which slices the model sees. One
+    implementation for create_super_volume and the batched sweep so the
+    tail semantics cannot drift between scoring paths."""
+    s = img.shape[0]
+    remain = (s - 1) % int(ds)
+    return (img[:-remain] if remain else img)[::ds], remain
+
+
 def clip_with_label_channel(vol, decodes_labels: bool):
     """[0,1]-clamp that exempts the decoded-label channel: class ids in
     channel 1 must survive untouched for MultiChannelAE outputs. One
@@ -188,8 +198,8 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             return arr[tuple(idx)]
 
         from .packed_decoder import make_packed_decoder, packable
-        if packed and cfg is not None and packable(model, cfg, variables):
-            packed_dec = make_packed_decoder(model, cfg)
+        if packed and cfg is not None and packable(cfg, variables):
+            packed_dec = make_packed_decoder(cfg)
             decode_fn = lambda zz: packed_dec(variables, zz)
         elif is_multichannel:
             def decode_fn(zz):
@@ -301,6 +311,23 @@ def _auto_decode_batch(n_total: int, h: int, w: int, depth: int) -> Optional[int
     return None if n_total <= cap else int(cap)
 
 
+def _predict_chunked(trainer, kept, decode_batch):
+    """trainer.predict in decode_batch-sized host chunks: the AE+CAISR
+    combo's reconstruction pass obeys the same HBM bound as the
+    synthesis core instead of pushing every kept slice through
+    encode+decode in one program (a 250-slice 256^2 volume would
+    otherwise hold ~8 GB of decoder activations in flight)."""
+    n = kept.shape[0]
+    if decode_batch is None or n <= int(decode_batch):
+        return trainer.predict(kept)
+    c = int(decode_batch)
+    outs = [trainer.predict(kept[i:i + c]) for i in range(0, n, c)]
+    if isinstance(outs[0], dict):
+        return {k: np.concatenate([np.asarray(o[k]) for o in outs])
+                for k in outs[0]}
+    return np.concatenate([np.asarray(o) for o in outs])
+
+
 # test-time augmentation variant sets: in-plane symmetries of the slice
 # grid. 'flips' = the 4 shape-preserving elements of the dihedral group
 # (identity, 180°, H-flip, W-flip); 'dihedral' = all 8 (the 90°/270°
@@ -400,10 +427,7 @@ def create_super_volume(trainer, images, alpha_range=None,
     orig_num_slices = images.shape[0]
     remain = 0
     if downsample_steps is not None or generate_inbetween_slices:
-        remain = (orig_num_slices - 1) % downsample_steps
-        if remain != 0:
-            images = images[:-remain]
-        images = images[::downsample_steps]
+        images, remain = kept_slice_grid(images, downsample_steps)
 
     kept = jnp.asarray(images)[..., None]   # [K, H, W, 1]
     # colors>=2 encoders (ACDCLBL families) take image+label input
@@ -467,7 +491,7 @@ def create_super_volume(trainer, images, alpha_range=None,
             # returns {'image','soft_probs'} — recon labels are the
             # PRIMARY model's argmax, like the reference's recon_dict
             # ['pred_labels'] (generate_hr_volumes.py:34-41)
-            pred = trainer.predict(kept_true)
+            pred = _predict_chunked(trainer, kept_true, decode_batch)
             if isinstance(pred, dict):
                 img = jnp.asarray(pred["image"])[..., :1]
                 if n_ch == 2:

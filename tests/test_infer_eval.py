@@ -377,12 +377,12 @@ def test_packed_decoder_matches_model_decode(trainer):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    assert packable(model, cfg, variables)
+    assert packable(cfg, variables)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(3, 32, 32, 1), jnp.float32)
     z = model.apply(variables, x, method=model.encode)
     ref = np.asarray(model.apply(variables, z, method=model.decode))
-    got = np.asarray(make_packed_decoder(model, cfg)(variables, z))
+    got = np.asarray(make_packed_decoder(cfg)(variables, z))
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
