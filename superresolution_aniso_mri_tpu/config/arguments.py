@@ -83,6 +83,15 @@ def parse_args(argv=None):
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="maintain an exponential moving average of "
+                             "the model weights (Polyak averaging) with "
+                             "this per-step decay, saved as a rolling "
+                             "models/ema.models every epoch — evaluate "
+                             "it via model_nbr='ema'. 0 disables; "
+                             "typical 0.999 (beyond-reference quality "
+                             "lever: averaged weights usually score "
+                             "better than the last/best iterate)")
     parser.add_argument("--epoch_threshold", type=int, default=100)
     # TPU-native extras
     parser.add_argument("--num_devices", type=int, default=1,

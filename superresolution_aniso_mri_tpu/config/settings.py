@@ -75,6 +75,7 @@ def apply_setting_defaults(args: Dict[str, Any]) -> Dict[str, Any]:
         "epoch_threshold": 100,
         "compute_dtype": "float32",
         "nclasses": 4,
+        "ema_decay": 0.0,
     }
     for k, v in defaults.items():
         args.setdefault(k, v)

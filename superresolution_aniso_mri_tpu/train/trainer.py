@@ -28,7 +28,8 @@ from ..config.settings import (apply_setting_defaults, load_settings,
                                save_experiment_settings)
 from ..models import AEConfig, Discriminator, build_model
 from ..ops import get_lpips_params
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import (load_checkpoint, load_checkpoint_raw,
+                         save_checkpoint)
 from .state import SRTrainState, create_train_state, make_optimizer
 from .steps import LossConfig, make_eval_step, make_train_step
 
@@ -264,6 +265,21 @@ class Trainer:
                                               self.lpips_params)
         self.eval_step = make_eval_step(self.model, self.loss_config,
                                         self.lpips_params)
+        # EMA (Polyak-averaged) weights (--ema_decay > 0): tracked on
+        # device after every optimizer step, written as a rolling
+        # models/ema.models each epoch; evaluate with model_nbr='ema'.
+        # Beyond-reference quality lever — averaged weights usually
+        # score better than any single iterate. Starts from the init
+        # (or resumed) params; mesh runs inherit the replicated layout.
+        self.ema_decay = float(self.args.get("ema_decay") or 0.0)
+        # COPY, never alias: the jitted train step donates the old
+        # state's buffers, so an aliased EMA tree would hold deleted
+        # arrays after the first step
+        self.ema_params = (jax.tree_util.tree_map(jnp.copy,
+                                                  self.state.params)
+                           if self.ema_decay > 0 and not eval_mode
+                           else None)
+        self._ema_apply = None
         self._jit_encode = None
         self._multi_step = None
         self._best_val: Dict[str, float] = {}
@@ -364,9 +380,26 @@ class Trainer:
         self.state, metrics = self.train_step(
             self.state, batch, self._next_rng(),
             jnp.float32(self._mix_weight()))
+        self._ema_step(1)
         for k, v in metrics.items():
             self.losses[k].append(v)
         return metrics
+
+    def _ema_step(self, n_steps: int) -> None:
+        """Fold the current params into the EMA with an effective decay
+        of ``ema_decay ** n_steps`` (train_many dispatches N optimizer
+        steps per call; intermediate iterates are unavailable, so the
+        standard decay-compounding approximation applies)."""
+        if self.ema_params is None:
+            return
+        if self._ema_apply is None:
+            # no donation: the first call's EMA tree aliases
+            # state.params' live buffers
+            self._ema_apply = jax.jit(lambda e, p, d: jax.tree_util.tree_map(
+                lambda a, b: d * a + (1.0 - d) * b, e, p))
+        d = jnp.float32(self.ema_decay ** int(n_steps))
+        self.ema_params = self._ema_apply(self.ema_params,
+                                          self.state.params, d)
 
     def train_many(self, batches: Dict[str, Any]):
         """N optimisation steps in ONE device dispatch: ``batches`` is a
@@ -387,6 +420,7 @@ class Trainer:
         self.state, metrics = self._multi_step(
             self.state, batches, self._next_rng(),
             jnp.float32(self._mix_weight()))
+        self._ema_step(n)
         for k, v in metrics.items():
             # keep per-step device scalars (lazy host sync at flush)
             for i in range(n):
@@ -565,6 +599,20 @@ class Trainer:
         if self.mesh is not None:  # resume keeps the mesh placement
             from ..parallel import replicate_state
             self.state = replicate_state(self.mesh, self.state)
+        if self.ema_params is not None:
+            # resume the EMA track from its rolling checkpoint when one
+            # exists next to the loaded file; otherwise restart the
+            # average from the freshly loaded weights
+            from flax import serialization
+            ema_path = os.path.join(os.path.dirname(fname), "ema.models")
+            if os.path.isfile(ema_path):
+                raw = load_checkpoint_raw(ema_path)
+                self.ema_params = serialization.from_state_dict(
+                    self.state.params, raw["model_dict_ae"])
+            else:
+                # copy, not alias — the train step donates old buffers
+                self.ema_params = jax.tree_util.tree_map(
+                    jnp.copy, self.state.params)
         self._restore_history()
 
     def _restore_history(self) -> None:
@@ -681,6 +729,16 @@ class Trainer:
         # threshold finished with NO saved weights at all
         self.save_models(os.path.join(self.dir_models, "last.models"),
                          self.epoch + 1)
+        if self.ema_params is not None:
+            # rolling EMA checkpoint: a normal-format checkpoint whose
+            # params are the averaged weights (batch_stats/opt_state from
+            # the live state) — loadable via get_trainer(model_nbr='ema')
+            from ..parallel.distributed import is_main_process
+            if is_main_process():
+                save_checkpoint(
+                    os.path.join(self.dir_models, "ema.models"),
+                    self.state.replace(params=self.ema_params),
+                    self.epoch + 1)
         self.save_losses()
         self.epoch += 1
 

@@ -102,6 +102,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("depth", "depth", int),
             ("latent", "latent", int),
             ("batch_size", "batch_size", int),
+            ("ema_decay", "ema_decay", float),
             ("model", "model", str)):
         if kept.get(key) is None:
             continue
@@ -159,6 +160,11 @@ def main():
                    help="cosine-anneal the LR over the whole run "
                         "(--use_lr_scheduler with lr_iter_max = "
                         "epochs x steps-per-epoch upper bound)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="train with EMA (Polyak-averaged) weights and "
+                        "score the rolling ema.models checkpoint "
+                        "instead of the sweep-selected epoch (typical "
+                        "0.999; 0 = off)")
     p.add_argument("--train_timeout_s", type=float, default=0,
                    help="hard wall-clock budget for the training child "
                         "(0 = auto: 4 s/step at the inplane=64 default, "
@@ -231,6 +237,8 @@ def main():
             *loss_mode_flags(args.loss_mode),
             *(["--use_batchnorm", str(args.use_batchnorm)]
               if args.use_batchnorm is not None else []),
+            *(["--ema_decay", str(args.ema_decay)]
+              if args.ema_decay > 0 else []),
             # steps-per-epoch UPPER bound (train split <= n_patients
             # volumes of num_slices triplets): overestimating
             # decay_steps only leaves the cosine tail slightly above 0
@@ -276,8 +284,11 @@ def main():
         import re
         m = re.search(r"ssim_synth: epoch (\d+)", r.stdout)
         best_nbr = int(m.group(1)) if m else "caisr"
-        print(f"[score] using sweep-selected checkpoint: {best_nbr}",
-              flush=True)
+        if args.ema_decay > 0 and os.path.isfile(
+                os.path.join(exper, "models", "ema.models")):
+            best_nbr = "ema"  # score the Polyak-averaged weights
+        kind = "EMA" if best_nbr == "ema" else "sweep-selected"
+        print(f"[score] using {kind} checkpoint: {best_nbr}", flush=True)
 
         # ------------------------------------------------------------------
         # held-out test scoring, CPU, in-process
@@ -361,6 +372,7 @@ def main():
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
                 "tta": args.tta,
+                "ema_decay": args.ema_decay,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
                 "inplane": args.inplane, "num_slices": args.num_slices,
