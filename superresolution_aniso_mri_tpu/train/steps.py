@@ -181,6 +181,19 @@ def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
 # family losses
 # ---------------------------------------------------------------------------
 
+def _wmse(a: Array, b: Array, sample_weight) -> Array:
+    """mse with the optional per-sample (is_inbetween) degenerate-triplet
+    guard — the latent twin of _mix_image_loss's weighting, so step-1
+    triplets (slice_between := an endpoint) don't pull the probe/encoder
+    to map midpoint mixes onto endpoint encodings. ``None`` weights
+    reproduce plain mse exactly."""
+    if sample_weight is None:
+        return mse(a, b)
+    per = jnp.mean((a - b) ** 2, axis=tuple(range(1, a.ndim)))
+    return jnp.sum(per * sample_weight) / jnp.maximum(
+        jnp.sum(sample_weight), 1.0)
+
+
 def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
                mix_weight):
     """'ae' and 'ae_combined' families
@@ -216,19 +229,26 @@ def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
     }
 
     if cfg.family == "ae_combined":
+        sw = batch.get("is_inbetween")
         loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
-                                   sample_weight=batch.get("is_inbetween"))
+                                   sample_weight=sw)
         loss_extra = mix_weight * loss_mix
         if cfg.use_extra_latent_loss:
             z_syn, _ = _apply(model, params, new_bs,
                               lambda mdl, img: mdl.encode(img, train=True),
                               s_mix, train=True)
-            l_lat1 = mse(z_ref, z_mix)
-            l_lat2 = mse(z_ref, z_syn)
+            l_lat1 = _wmse(z_ref, z_mix, sw)
+            l_lat2 = _wmse(z_ref, z_syn, sw)
             loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
             metrics["loss_latent_2"] = l_lat2
         loss_ae = loss_ae + loss_extra
-        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+        # logged WEIGHTED, like the reference (cardiac/trainer_ae.py:97
+        # appends loss_extra_image AFTER ex_loss_weight1/annealing is
+        # applied) — under --use_loss_annealing the caisr.models
+        # selection metric decays with the schedule, and matching that
+        # keeps best-epoch selection identical to the reference
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(
+            mix_weight * loss_mix)
         metrics["loss_ae_extra"] = jax.lax.stop_gradient(loss_extra)
     # else 'ae': the latent loss stays monitor-only — nothing to add
 
@@ -278,8 +298,9 @@ def _vae_losses(model, cfg, lpips_params, params, batch_stats, batch,
         "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
     }
     if cfg.combined:
+        sw = batch.get("is_inbetween")
         loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
-                                   sample_weight=batch.get("is_inbetween"))
+                                   sample_weight=sw)
         loss_extra = mix_weight * loss_mix
         if cfg.use_extra_latent_loss:
             # trained latent terms (reference VAETrainer inherits
@@ -289,12 +310,14 @@ def _vae_losses(model, cfg, lpips_params, params, batch_stats, batch,
             # reference's self.model.encode here)
             z_syn, _ = _apply(model, params, new_bs, enc_mu, s_mix,
                               train=True)
-            l_lat1 = mse(z_ref, z_mix)
-            l_lat2 = mse(z_ref, z_syn)
+            l_lat1 = _wmse(z_ref, z_mix, sw)
+            l_lat2 = _wmse(z_ref, z_syn, sw)
             loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
             metrics["loss_latent_2"] = jax.lax.stop_gradient(l_lat2)
         loss_ae = loss_ae + loss_extra
-        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+        # weighted, like the reference logs it (see _ae_losses)
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(
+            mix_weight * loss_mix)
     metrics["loss_ae"] = loss_ae
     aux = {"reconstruction": out, "slice_inbetween_mix": s_mix, "z_mix": z_mix}
     return loss_ae, (new_bs, metrics, aux)
@@ -322,7 +345,7 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
 
     (z, out), new_bs_ae = _apply(ae, params["ae"], batch_stats["ae"], fwd, x,
                                  train=True)
-    loss_ae_total, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
+    _, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
 
     # critic on the regularised reconstruction (gamma=0.2)
     disc_mix_reg = out + cfg.gamma_reg_acai * (x - out)
@@ -342,7 +365,11 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
     loss_ae_l2 = jnp.mean(d_mix ** 2)
     loss_disc_dist = jnp.mean((d_mix - alpha) ** 2)
 
-    loss_ae_full = loss_ae_total + cfg.lamb_reg_acai * loss_ae_l2
+    # the ACAI objective uses loss_ae_DIST only — the reference computes
+    # the laplacian (logged via get_loss) but indexes ['loss_ae_dist']
+    # for the trained loss (trainer_acai.py:61-64), so lap never enters
+    # the ACAI gradient even with --use_laploss
+    loss_ae_full = loss_dist + cfg.lamb_reg_acai * loss_ae_l2
     loss_disc = loss_disc_dist + loss_disc_l2
 
     # synthesis branch with the batch's true alphas
@@ -363,8 +390,9 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
         "loss_latent_1": jax.lax.stop_gradient(mse(z_mix, z_ref)),
     }
     if cfg.combined:
+        sw = batch.get("is_inbetween")
         loss_mix = _mix_image_loss(cfg, lpips_params, between, s_mix, mask,
-                                   sample_weight=batch.get("is_inbetween"))
+                                   sample_weight=sw)
         loss_extra = mix_weight * loss_mix
         if cfg.use_extra_latent_loss:
             # trained latent terms (reference ACAITrainer inherits
@@ -373,12 +401,14 @@ def _acai_losses(models, cfg, lpips_params, params, batch_stats, batch,
             z_syn, _ = _apply(ae, params["ae"], new_bs_ae,
                               lambda mdl, img: mdl.encode(img, train=True),
                               s_mix, train=True)
-            l_lat1 = mse(z_ref, z_mix)
-            l_lat2 = mse(z_ref, z_syn)
+            l_lat1 = _wmse(z_ref, z_mix, sw)
+            l_lat2 = _wmse(z_ref, z_syn, sw)
             loss_extra = loss_extra + 0.5 * (l_lat1 + l_lat2)
             metrics["loss_latent_2"] = jax.lax.stop_gradient(l_lat2)
         loss_ae_full = loss_ae_full + loss_extra
-        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+        # weighted, like the reference logs it (see _ae_losses)
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(
+            mix_weight * loss_mix)
 
     total = loss_ae_full + loss_disc
     metrics["loss_ae"] = jax.lax.stop_gradient(loss_ae_full)
@@ -430,8 +460,25 @@ def _multichannel_losses(model, cfg, lpips_params, params, batch_stats,
         loss_mix = _mix_image_loss(cfg, lpips_params, between[..., 0:1],
                                    s_mix["image"], None,
                                    sample_weight=batch.get("is_inbetween"))
-        total = total + mix_weight * loss_mix
-        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(loss_mix)
+        # the reference's extra loss ALSO trains the label decoder on the
+        # synthesized in-between: weight * Dice(soft_prob_mix, between
+        # labels) (sr_multi_channel/trainer_ae.py:372-376, 412) — without
+        # it the label head receives no gradient from interpolated
+        # latents and synthesized segmentations are never optimized
+        loss_mix_labels = dice_loss(s_mix["soft_probs"],
+                                    between[..., 1].astype(jnp.int32),
+                                    cfg.nclasses)
+        total = total + mix_weight * (loss_mix + loss_mix_labels)
+        # logged WEIGHTED like the reference (loss_extra_image /
+        # loss_extra_labels after the ex_loss_weight1/annealing scale,
+        # sr_multi_channel/trainer_ae.py:374-385); loss_ae_extra is the
+        # reference's caisr-selection metric for this family
+        metrics["loss_ae_dist_extra"] = jax.lax.stop_gradient(
+            mix_weight * loss_mix)
+        metrics["loss_ae_dist_labels"] = jax.lax.stop_gradient(
+            mix_weight * loss_mix_labels)
+        metrics["loss_ae_extra"] = jax.lax.stop_gradient(
+            mix_weight * (loss_mix + loss_mix_labels))
     # reference logs loss_ae WITHOUT the dice term (logged separately as
     # loss_label; sr_multi_channel/trainer_ae.py:109-110) — the gradient
     # still flows through `total`
@@ -462,8 +509,17 @@ def alpha_mix(alpha: Array, z1: Array, z3: Array, num_alphas: int,
         else:
             scheme = "spatial"
     if scheme == "pair":
-        return (alpha[:, 0, None, None, None] * z1
-                + alpha[:, 1, None, None, None] * z3)
+        # rank-agnostic broadcast: a fixed [B,1,1,1] coefficient against
+        # a dense [B,d] latent would silently outer-product into
+        # [B,1,B,d] cross-sample garbage instead of erroring
+        shape = (b,) + (1,) * (z1.ndim - 1)
+        return (alpha[:, 0].reshape(shape) * z1
+                + alpha[:, 1].reshape(shape) * z3)
+    if z1.ndim != 4:
+        raise ValueError(
+            f"alpha_mix scheme {scheme!r} needs conv latents "
+            f"[B, lw, lw, c], got shape {z1.shape} — only the 'pair' "
+            f"scheme supports dense latents")
     if scheme == "convex":
         a = alpha[:, None, None, :]
         return a * z1 + (1.0 - a) * z3
@@ -699,39 +755,40 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
     family = cfg.family
 
     @jax.jit
-    def eval_step(params, batch_stats, batch):
+    def eval_step(params, batch_stats, batch, mix_weight=None):
+        # ``mix_weight``: the ex_loss_weight1/annealed scale — the
+        # reference logs the WEIGHTED extra losses on validation too
+        # (get_extra_loss applies the weight before appending to
+        # losses_test), and caisr.models selection reads those curves.
+        # None (direct test callers) keeps the unweighted value.
+        w = jnp.float32(1.0) if mix_weight is None else mix_weight
         x = batch["image"]
         between = batch["slice_between"]
 
+        def fwd(mdl, inp):
+            # the shared eval-mode forward (vae overrides: mu bottleneck)
+            z = mdl.encode(inp, train=False)
+            return z, mdl.decode(z, train=False)
+
         if family in ("multichannel", "multichannel_combined"):
-            def fwd(mdl, inp):
-                z = mdl.encode(inp, train=False)
-                return z, mdl.decode(z, train=False)
             (z, out), _ = _apply(model, params, batch_stats, fwd, x,
                                  train=False)
             recon = out["image"]
             target = x[..., 0:1]
         elif family == "vae":
-            def fwd(mdl, inp):
+            def fwd_mu(mdl, inp):
                 z_conv = mdl.encode(inp, train=False)
                 mu, _ = mdl.heads(z_conv)
                 z = mdl.unflatten(mu)
                 return z, mdl.decode(z, train=False)
-            (z, recon), _ = _apply(model, params, batch_stats, fwd, x,
+            (z, recon), _ = _apply(model, params, batch_stats, fwd_mu, x,
                                    train=False)
             target = x
         elif family in ("acai", "alpha"):
-            ae = model["ae"]
-            def fwd(mdl, inp):
-                z = mdl.encode(inp, train=False)
-                return z, mdl.decode(z, train=False)
-            (z, recon), _ = _apply(ae, params["ae"], batch_stats["ae"], fwd,
-                                   x, train=False)
+            (z, recon), _ = _apply(model["ae"], params["ae"],
+                                   batch_stats["ae"], fwd, x, train=False)
             target = x
         else:
-            def fwd(mdl, inp):
-                z = mdl.encode(inp, train=False)
-                return z, mdl.decode(z, train=False)
             (z, recon), _ = _apply(model, params, batch_stats, fwd, x,
                                    train=False)
             target = x
@@ -832,7 +889,16 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             loss_mix = _mix_image_loss(
                 cfg, lpips_params, ref_img, s_mix, mask,
                 sample_weight=batch.get("is_inbetween"))
-            metrics["loss_ae_dist_extra"] = loss_mix
+            metrics["loss_ae_dist_extra"] = w * loss_mix
+            if family == "multichannel_combined":
+                # dice on the synthesized labels + the summed extra —
+                # the reference's multichannel caisr selection metric
+                # (sr_multi_channel/trainer_ae.py:376-381, 417-421)
+                lm_lbl = dice_loss(s_mix_d["soft_probs"],
+                                   between[..., 1].astype(jnp.int32),
+                                   cfg.nclasses)
+                metrics["loss_ae_dist_labels"] = w * lm_lbl
+                metrics["loss_ae_extra"] = w * (loss_mix + lm_lbl)
         return metrics, {"reconstruction": recon,
                          "slice_inbetween_mix": s_mix, "z_mix": z_mix,
                          **aux_extra}

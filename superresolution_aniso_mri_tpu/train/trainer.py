@@ -75,12 +75,23 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
     if args.get("dataset") == "ACDCLBL" and not model_name.startswith("alpha"):
         model_name = ("multichannel_combined" if "combined" in model_name
                       else "multichannel")
+
+    def _mix_fallback(key: str) -> str:
+        # reference fallback when a (legacy/imported) settings dict lacks
+        # the mix-loss key: use_percept_loss decides
+        # (base_trainer.py:58-66 determine_image_mix_loss_func,
+        # base_alpha_trainer.py:156-162 determine_alpha_loss_func)
+        fn = args.get(key)
+        if fn is None:
+            fn = ("perceptual" if args.get("use_percept_loss") else "mse")
+        return fn
+
     if model_name.startswith("alpha"):
         return LossConfig(
             model=model_name,
             recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
             use_laploss=bool(args.get("use_laploss", False)),
-            image_mix_loss_func=args.get("alpha_loss_func") or "mse",
+            image_mix_loss_func=_mix_fallback("alpha_loss_func"),
             use_masks=bool(args.get("get_masks", False)),
             num_alphas=alpha_num_coefficients(
                 args.get("alpha_class") or "AlphaProbe16v1",
@@ -94,7 +105,7 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
         recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
         use_laploss=bool(args.get("use_laploss", False)),
         use_ssim_loss=bool(args.get("use_ssim_loss", False)),
-        image_mix_loss_func=args.get("image_mix_loss_func"),
+        image_mix_loss_func=_mix_fallback("image_mix_loss_func"),
         use_extra_latent_loss=bool(args.get("use_extra_latent_loss", False)),
         use_masks=bool(args.get("get_masks", False)),
         vae_beta=float(args.get("vae_beta") or 0.0),
@@ -177,12 +188,24 @@ class Trainer:
             params = {"ae": v_ae["params"], "disc": v_disc["params"]}
             batch_stats = {"ae": v_ae.get("batch_stats", {}),
                            "disc": v_disc.get("batch_stats", {})}
-            tx = make_optimizer(float(self.args["lr"]),
-                                float(self.args.get("weight_decay", 0.0)),
-                                float(self.args.get("momentum", 0.9)),
-                                cosine_steps,
-                                float(self.args.get("max_grad_norm", 0)
-                                      or 0))
+            # two optimizers over the joint tree, like the reference:
+            # the AE's Adam uses betas=(momentum, 0.999) + the cosine
+            # schedule, the critic's is pinned at (0.9, 0.999) with a
+            # constant lr (trainer_acai.py:39-41 creates opt_disc with
+            # fixed betas; only opt_sched_ae ever steps, :85-86)
+            import optax
+            wd = float(self.args.get("weight_decay", 0.0))
+            gclip = float(self.args.get("max_grad_norm", 0) or 0)
+            tx = optax.multi_transform(
+                {"ae": make_optimizer(float(self.args["lr"]), wd,
+                                      float(self.args.get("momentum", 0.9)),
+                                      cosine_steps, gclip),
+                 "disc": make_optimizer(float(self.args["lr"]), wd,
+                                        0.9, None, gclip)},
+                lambda p: {"ae": jax.tree_util.tree_map(lambda _: "ae",
+                                                        p["ae"]),
+                           "disc": jax.tree_util.tree_map(lambda _: "disc",
+                                                          p["disc"])})
             self.state = SRTrainState.create(
                 apply_fn=ae.apply, params=params, tx=tx,
                 batch_stats=batch_stats)
@@ -446,7 +469,8 @@ class Trainer:
                 rep = replicated(self.mesh)
                 batch = {k: jax.device_put(v, rep) for k, v in batch.items()}
         metrics, aux = self.eval_step(self.state.params,
-                                      self.state.batch_stats, batch)
+                                      self.state.batch_stats, batch,
+                                      jnp.float32(self._mix_weight()))
         if self.mesh is not None and jax.process_count() > 1:
             # aux predictions come out batch-sharded across processes;
             # gather them replicated so the main process can read them
@@ -649,7 +673,7 @@ class Trainer:
         # pre-threshold global minimum was never saved and must not
         # freeze the ae.models/caisr.models aliases after a resume
         thr = int(self.args.get("epoch_threshold", 100))
-        for key in ("loss_ae_dist", "loss_ae_dist_extra"):
+        for key in ("loss_ae_dist", self._caisr_selection_key()):
             hist = self.mean_losses_test.get(key, [])[max(thr + 1, 0):]
             if hist:
                 self._best_val[key] = float(np.min(hist))
@@ -661,12 +685,21 @@ class Trainer:
         best_val_loss), so a best that occurred before the
         epoch_threshold crossing can never block the alias forever."""
         for key, alias in (("loss_ae_dist", "ae.models"),
-                           ("loss_ae_dist_extra", "caisr.models")):
+                           (self._caisr_selection_key(), "caisr.models")):
             hist = self.mean_losses_test.get(key, [])
             if hist and hist[-1] <= self._best_val.get(key, np.inf):
                 self._best_val[key] = hist[-1]
                 self.save_models(os.path.join(self.dir_models, alias),
                                  self.epoch + 1)
+
+    def _caisr_selection_key(self) -> str:
+        """Metric behind the rolling caisr.models alias: the reference's
+        multichannel trainer selects on loss_ae_extra (the weighted
+        image+label sum, sr_multi_channel/trainer_ae.py:417-421) while
+        the cardiac/brain trainers select on loss_ae_dist_extra
+        (cardiac/trainer_ae.py:71-77)."""
+        return ("loss_ae_extra" if str(self.family).startswith("multichannel")
+                else "loss_ae_dist_extra")
 
     def show_loss_on_tensorboard(self, eval_type: str = "train") -> None:
         """Flush per-iter losses to mean curves (+optional TB scalars)
