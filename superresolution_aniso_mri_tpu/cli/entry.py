@@ -56,7 +56,8 @@ def _split_image_ext(path: str):
 _IMAGE_EXTS = (".nii.gz", ".nii", ".mha", ".mhd")
 
 
-def _load_image_paths(data_input_dir: str, label_suffix: str = ""):
+def _load_image_paths(data_input_dir: str, label_suffix: str = "",
+                      strict_labels: bool = False):
     files = []
     for pat in ("*.nii", "*.nii.gz", "*.mha", "*.mhd"):
         files.extend(glob.glob(os.path.join(data_input_dir, pat)))
@@ -65,12 +66,18 @@ def _load_image_paths(data_input_dir: str, label_suffix: str = ""):
         # a '<stem><suffix>' file is a label companion — an input to its
         # image volume, not a volume to densify — but ONLY when that
         # image sibling actually exists; a directory of volumes that
-        # merely happen to end in the suffix densifies as before
+        # merely happen to end in the suffix densifies as before.
+        # ``strict_labels`` (the polling daemon) excludes suffix matches
+        # even WITHOUT a sibling: a label that lands before its image
+        # must not be densified as an image in the meantime.
         stems = {_split_image_ext(f)[0] for f in files}
-        files = [f for f in files
-                 if not (_split_image_ext(f)[0].endswith(label_suffix)
-                         and _split_image_ext(f)[0][:-len(label_suffix)]
-                         in stems)]
+
+        def _is_label(f):
+            stem = _split_image_ext(f)[0]
+            return stem.endswith(label_suffix) and (
+                strict_labels or stem[:-len(label_suffix)] in stems)
+
+        files = [f for f in files if not _is_label(f)]
     if not files:
         raise SystemExit(f"no volumes found in {data_input_dir}")
     return files
@@ -191,7 +198,10 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
         out_lbl = (out_lbl_frames[0] if arr.ndim == 3
                    else np.stack(out_lbl_frames, axis=0))
     new_spacing = np.asarray(spacing, np.float64).copy()
-    new_spacing[0] = new_spacing[0] / (n + 1)
+    # the densified axis is z = index -3: a 4D MetaImage's spacing
+    # vector is (t, z, y, x), so index 0 would divide the TIME spacing
+    # and leave z untouched (for the 3D (z, y, x) case -3 == 0)
+    new_spacing[-3] = new_spacing[-3] / (n + 1)
     base, _ = _split_image_ext(path)
     out_path = os.path.join(output_dir, f"{base}_ni{n:02d}.nii.gz")
     # keep the source orientation/translation, but rescale the
@@ -201,12 +211,12 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
     new_affine = affine
     if affine is not None:
         new_affine = np.asarray(affine, np.float64).copy()
-        new_affine[:3, 2] *= new_spacing[0] / spacing[0]
+        new_affine[:3, 2] *= new_spacing[-3] / spacing[-3]
     write_image(out_path, out.astype(np.float32), spacing=new_spacing,
                 affine=new_affine)
     print(f"saved {out_path}  "
           f"({out.shape[0] if out.ndim == 3 else out.shape[1]} slices, "
-          f"z-spacing {new_spacing[0]:.3f}mm)", flush=True)
+          f"z-spacing {new_spacing[-3]:.3f}mm)", flush=True)
     written = [out_path]
     if out_lbl is not None:
         lbl_out_path = os.path.join(
@@ -220,12 +230,49 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
     return written
 
 
+def _mhd_payload_path(path: str):
+    """External ElementDataFile target of a .mhd header (None for .mha /
+    LOCAL data): the payload is where the bytes actually land, so the
+    write-in-progress guard must watch it too."""
+    if not path.endswith(".mhd"):
+        return None
+    try:
+        with open(path, "rb") as f:
+            for _ in range(256):
+                line = f.readline()
+                if not line:
+                    break
+                text = line.decode("ascii", errors="replace").strip()
+                if text.replace(" ", "").startswith("ElementDataFile="):
+                    val = text.split("=", 1)[1].strip()
+                    if val and val.upper() != "LOCAL":
+                        return os.path.join(os.path.dirname(path), val)
+                    return None
+    except OSError:
+        return None
+    return None
+
+
 def _file_signature(path: str, label_suffix: str):
     """Change-detection key for a volume: its own (mtime_ns, size) plus
     the label companion's — so a label file that arrives AFTER its image
-    was served triggers a reprocess with labels."""
+    was served triggers a reprocess with labels. For .mhd headers the
+    external .raw/.zraw payload is part of the key (the header lands
+    instantly while the payload streams; watching only the header would
+    process — and poison-mark — a half-written volume)."""
+    import time
+
     st = os.stat(path)
     sig = [path, st.st_mtime_ns, st.st_size]
+    payload = _mhd_payload_path(path)
+    if payload is not None:
+        try:
+            pst = os.stat(payload)
+            sig += [payload, pst.st_mtime_ns, pst.st_size]
+        except OSError:
+            # payload not there yet: a never-stable signature keeps the
+            # volume pending instead of processing the bare header
+            sig += [payload, -1, time.monotonic_ns()]
     if label_suffix:
         comp = _find_label_companion(path, label_suffix)
         if comp is not None and os.path.isfile(comp):
@@ -326,7 +373,10 @@ def serve_hr_volumes(argv=None):
           flush=True)
     while not stop["flag"]:
         try:
-            paths = _load_image_paths(watch, args.label_suffix)
+            # strict_labels: a label companion that lands BEFORE its
+            # image must not be densified as an image in the meantime
+            paths = _load_image_paths(watch, args.label_suffix,
+                                      strict_labels=True)
         except SystemExit:              # empty directory: keep watching
             paths = []
         for path in paths:
@@ -416,3 +466,37 @@ def find_best_model(argv=None):
     for metric, info in res["best"].items():
         print(f"  {metric}: epoch {info['epoch']}  value {info['value']:.4f}")
     return res
+
+
+# ----------------------------------------------------------------------
+# console-script adapters ([project.scripts]): pip-generated wrappers run
+# ``sys.exit(fn())``, and the library functions above return useful
+# objects (a Trainer, a result dict, the served-volume count) — which
+# sys.exit would turn into a nonzero/typed exit status on every SUCCESS
+# (and a served count of 75 would collide with the stall watchdog's
+# restart code). These thin mains preserve the zero-on-success contract.
+# ----------------------------------------------------------------------
+
+def train_cardiac_main() -> int:
+    train_cardiac()
+    return 0
+
+
+def train_brain_main() -> int:
+    train_brain()
+    return 0
+
+
+def generate_hr_volumes_main() -> int:
+    generate_hr_volumes()
+    return 0
+
+
+def find_best_model_main() -> int:
+    find_best_model()
+    return 0
+
+
+def serve_hr_volumes_main() -> int:
+    serve_hr_volumes()
+    return 0

@@ -16,7 +16,8 @@ from ..data import Volume
 from ..data.volume import apply_2d_zoom_3d, apply_2d_zoom_4d
 from ..infer import create_simple_interpolation, create_super_volume
 from ..utils import write_image
-from .metrics_driver import aggregate_metrics, compute_volume_metrics
+from .metrics_driver import (IdUniquifier, aggregate_metrics,
+                             compute_volume_metrics)
 
 FILTER_BENCH = ("linear", "bspline", "lanczos", "nearest")
 
@@ -281,12 +282,10 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
         for k, (m, s) in agg.items():
             print(f"  {k}: {m:.4f} ({s:.4f})")
     # uniquify duplicate patient ids (e.g. ED/ES frames loaded as
-    # separate volumes) so per_volume/npz keep every entry
-    seen: Dict[str, int] = {}
-    uids = []
-    for pid in per_volume_ids:
-        seen[pid] = seen.get(pid, 0) + 1
-        uids.append(pid if seen[pid] == 1 else f"{pid}#{seen[pid]}")
+    # separate volumes) so per_volume/npz keep every entry — shared
+    # convention with the batched sweep (metrics_driver.IdUniquifier)
+    uniq = IdUniquifier()
+    uids = [uniq.take(pid) for pid in per_volume_ids]
     result = {"per_volume": dict(zip(uids, per_volume)),
               "aggregate": agg}
     if lpips_params is not None and lpips_mode:

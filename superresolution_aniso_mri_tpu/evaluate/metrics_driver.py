@@ -119,3 +119,20 @@ def aggregate_metrics(per_volume: list) -> Dict[str, tuple]:
         else:
             out[k] = (float("nan"), float("nan"))
     return out
+
+
+class IdUniquifier:
+    """'pid', 'pid#2', 'pid#3'... key naming for duplicate patient ids
+    (e.g. ED/ES frames loaded as separate volumes). THE shared
+    convention for create_hr_images per-volume keys and the batched
+    sweep (evaluate/sweep.py) — one implementation so the two result
+    dictionaries can never drift apart."""
+
+    def __init__(self):
+        self._seen: dict = {}
+
+    def take(self, pid: str) -> str:
+        pid = str(pid)
+        self._seen[pid] = self._seen.get(pid, 0) + 1
+        n = self._seen[pid]
+        return pid if n == 1 else f"{pid}#{n}"

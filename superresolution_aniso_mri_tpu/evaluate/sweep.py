@@ -110,9 +110,11 @@ def prepare_sweep_batches(trainer, volumes: Iterable,
     needs_label_channel, _ = model_label_semantics(trainer)
     depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
 
+    from .metrics_driver import IdUniquifier
+
     groups: Dict[tuple, List] = {}
     frame_counts: Dict[str, int] = {}
-    seen_ids: Dict[str, int] = {}
+    uniq = IdUniquifier()
     for vol in volumes:
         hr_full = np.asarray(
             vol.image_hr if vol.image_hr is not None else vol.image,
@@ -123,11 +125,8 @@ def prepare_sweep_batches(trainer, volumes: Iterable,
         if lbl_full is not None and lbl_full.shape != img_full.shape:
             lbl_full = None  # labels on a different grid
         # uniquify duplicate patient ids (ED/ES frames loaded as
-        # separate volumes) — same convention as create_hr_images
-        pid = str(vol.patient_id)
-        seen_ids[pid] = seen_ids.get(pid, 0) + 1
-        if seen_ids[pid] > 1:
-            pid = f"{pid}#{seen_ids[pid]}"
+        # separate volumes) — THE shared convention with create_hr_images
+        pid = uniq.take(vol.patient_id)
         # 4D cardiac volumes score frame-by-frame, averaged per patient
         # (same convention as create_hr_images)
         if img_full.ndim == 4:

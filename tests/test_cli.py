@@ -273,3 +273,32 @@ def test_train_cli_secondary_families(model, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     exper = os.path.join(out, "fam")
     assert os.path.isfile(os.path.join(exper, "models", "last.models"))
+
+
+def test_generate_hr_volumes_4d_metaimage_spacing(trained_exper, tmp_path):
+    """4D .mha inputs: read_metaimage returns a (t, z, y, x) spacing, so
+    the densified z-spacing lives at index -3 — dividing index 0 would
+    shrink the TIME spacing and emit the volume with its original
+    z-spacing (stretched (n+1)x in viewers)."""
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import write_metaimage
+    from superresolution_aniso_mri_tpu.utils.nifti import read_nifti
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(in_dir)
+    vols = make_toy_dataset(2, 32, 7, seed=5)
+    vol4d = np.stack([vols[0].image, vols[1].image])   # [t=2, z=7, y, x]
+    write_metaimage(os.path.join(in_dir, "cine.mha"), vol4d,
+                    spacing=np.array([1.0, 6.0, 1.0, 1.0]))  # (t,z,y,x)
+
+    r = _run([sys.executable, "generate_hr_volumes.py",
+              "--exper_dir", trained_exper, "--model_nbr", "0",
+              "--data_input_dir", in_dir, "--output_dir", out_dir,
+              "--num_interpolations", "1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out_path = os.path.join(out_dir, "cine_ni01.nii.gz")
+    arr, spacing, _ = read_nifti(out_path)
+    assert arr.shape == (2, 13, 32, 32)
+    # z halved (6mm -> 3mm), in-plane untouched
+    np.testing.assert_allclose(spacing[-3], 3.0, rtol=1e-6)
+    np.testing.assert_allclose(spacing[-2:], [1.0, 1.0], rtol=1e-6)
