@@ -3,7 +3,7 @@ synthetic fixtures, dataset builders."""
 from .volume import (
     Volume, rescale_intensities, simulate_thick_slices, create_lr_volume,
     apply_2d_zoom_3d, apply_2d_zoom_4d, get_random_adjacent_slice,
-    determine_interpol_coefficients,
+    determine_interpol_coefficients, get_paired_frames, get_paired_slices,
 )
 from .transforms import (
     AugmentConfig, augment_batch, prepare_batch_pairs, pad_to_size,

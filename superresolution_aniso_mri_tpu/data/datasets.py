@@ -209,8 +209,12 @@ def _read_images_parallel(paths):
     nif = [p for p in paths if p.endswith((".nii", ".nii.gz"))]
     if len(nif) > 1 and available():
         try:
-            for p, res in zip(nif, read_nifti_many(nif)):
-                out[p] = res
+            # strict=False: one corrupt file keeps the N-1 good native
+            # decodes (None entries retry through the Python reader
+            # below, which raises the real per-file error)
+            for p, res in zip(nif, read_nifti_many(nif, strict=False)):
+                if res is not None:
+                    out[p] = res
         except (IOError, OSError):
             out = {}  # fall back to the Python reader for everything
     for p in paths:

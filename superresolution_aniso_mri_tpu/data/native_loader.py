@@ -61,8 +61,13 @@ def _build() -> bool:
         # instead of silently (and permanently) disabling the native
         # runtime just because there is nothing to rebuild from
         return os.path.isfile(_SO_PATH)
+    # newest of source AND Makefile — the Makefile carries the compiler
+    # flags, so a flags-only change must trigger a rebuild too
+    mk = os.path.join(_NATIVE_DIR, "Makefile")
+    src_mtime = max(os.path.getmtime(src),
+                    os.path.getmtime(mk) if os.path.isfile(mk) else 0.0)
     if (os.path.isfile(_SO_PATH)
-            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
+            and os.path.getmtime(_SO_PATH) >= src_mtime):
         return True
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR],
@@ -145,9 +150,12 @@ def read_nifti_native(path: str):
         lib.srl_free_image(im)
 
 
-def read_nifti_many(paths: Sequence[str], nthreads: int = 0) -> List:
+def read_nifti_many(paths: Sequence[str], nthreads: int = 0,
+                    strict: bool = True) -> List:
     """Decode many NIfTI files in parallel on the native thread pool.
-    Returns a list of (array, spacing, affine) in input order."""
+    Returns a list of (array, spacing, affine) in input order.
+    ``strict=False`` keeps successful decodes and returns ``None`` for
+    failed files (with a warning) instead of raising the first error."""
     lib = _get_lib()
     if lib is None:
         raise IOError("native loader unavailable")
@@ -176,7 +184,15 @@ def read_nifti_many(paths: Sequence[str], nthreads: int = 0) -> List:
         for i in range(freed, n):
             lib.srl_free_image(c_out[i])
     if first_err is not None:
-        raise first_err
+        if strict:
+            raise first_err
+        # keep the good decodes: one corrupt file must not throw away
+        # (and force a full Python re-read of) the whole directory —
+        # callers retry the None entries individually
+        import warnings
+        n_bad = sum(1 for r in results if r is None)
+        warnings.warn(f"native ingest: {n_bad}/{n} file(s) failed "
+                      f"({first_err}); falling back per-file")
     return results
 
 

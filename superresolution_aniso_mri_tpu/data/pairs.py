@@ -37,6 +37,13 @@ class TripletSampler:
         if slice_selection not in ("adjacent", "adjacent_plus", "mix"):
             raise ValueError(f"bad slice_selection {slice_selection!r}")
         self.volumes = list(volumes)
+        if not self.volumes:
+            # fail HERE with the real cause — downstream it surfaces as
+            # an opaque "max() arg is an empty sequence"
+            raise ValueError(
+                "TripletSampler: no volumes to sample from (empty "
+                "dataset path or a split/patient filter removed "
+                "everything)")
         self.downsample_steps = int(downsample_steps)
         self.slice_selection = slice_selection
         self.rs = np.random.RandomState(seed)
@@ -152,7 +159,7 @@ class TripletSampler:
         spec = self._item_spec(idx)
         triplet = np.stack(self._item_chans(spec), axis=-1)
         return {
-            "triplet": triplet.astype(np.float32),   # [H, W, 3C(+1)]
+            "triplet": triplet.astype(np.float32, copy=False),
             "alpha_from": np.float32(spec["a_from"]),
             "alpha_to": np.float32(spec["a_to"]),
             "is_inbetween": np.float32(spec["is_inbetween"]),
@@ -172,7 +179,8 @@ class TripletSampler:
             triplets = native_loader.gather_triplets(chans)
         else:
             triplets = np.stack(
-                [np.stack(c, axis=-1) for c in chans]).astype(np.float32)
+                [np.stack(c, axis=-1) for c in chans]).astype(np.float32,
+                                                             copy=False)
         return {
             "triplet": triplets,
             "alpha_from": np.array([s["a_from"] for s in specs], np.float32),

@@ -92,13 +92,34 @@ class PrefetchIterator:
             pass
 
     def close(self) -> None:
-        """Stop the worker and release queued batches. Idempotent."""
+        """Stop the worker and release queued batches. Idempotent.
+
+        Waits for the worker to actually exit (bounded): returning while
+        it still runs would let the NEXT epoch's worker race it on the
+        shared sampler RandomState (non-thread-safe mt19937 — corrupts
+        the seeded-determinism contract) and dispatch one more stale
+        device batch. A worker stuck mid-gather on a slow host finishes
+        within the extended window; one stuck in a HUNG device call
+        cannot be cancelled from Python — warn and return so close()
+        (and the watchdog's exit path) is never itself wedged."""
         self._stopped.set()
         self._done = True
         # drain so a worker blocked in put() can observe the stop flag
         self._drain()
-        self._thread.join(timeout=2.0)
-        # a put() that was blocked can have completed AFTER the first
+        deadline = 30.0
+        waited = 0.0
+        while self._thread.is_alive() and waited < deadline:
+            self._thread.join(timeout=2.0)
+            waited += 2.0
+            self._drain()  # keep unblocking a put() racing the stop flag
+        if self._thread.is_alive():
+            import warnings
+            warnings.warn(
+                "PrefetchIterator.close(): worker still running after "
+                f"{deadline:.0f}s (hung device call?) — continuing "
+                "without it; sampler RNG determinism is not guaranteed "
+                "for the next epoch")
+        # a put() that was blocked can have completed AFTER the last
         # drain raised Empty — drain again post-join so no device batch
         # stays pinned in the queue after close() returns
         self._drain()

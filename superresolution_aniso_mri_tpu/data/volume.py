@@ -53,8 +53,18 @@ class Volume:
 def rescale_intensities(im: np.ndarray, percs=(0, 100),
                         dtype=np.float32) -> np.ndarray:
     """Percentile intensity rescale to [0,1]
-    (reference: datasets/common.py:408-416)."""
-    min_val, max_val = np.percentile(im, percs)
+    (reference: datasets/common.py:408-416).
+
+    NaN voxels (registration/resampling fill) are treated as background:
+    percentiles ignore them and they map to 0 — fixing only the
+    percentile SCALARS would still let NaN voxels flow into training
+    batches and NaN the run."""
+    if np.isnan(im).any():
+        min_val, max_val = np.nanpercentile(im, percs)
+        im = np.nan_to_num(im, nan=float(min_val)
+                           if np.isfinite(min_val) else 0.0)
+    else:
+        min_val, max_val = np.percentile(im, percs)
     if np.isnan(min_val):
         min_val = 0.0
     if np.isnan(max_val):

@@ -155,3 +155,146 @@ def test_patch_helpers_support_multichannel_models():
         out = reconstruct_in_patches(_T(), vol, patch=4)
     assert any("zeros" in str(x.message) for x in w)
     np.testing.assert_allclose(out, vol * 0.5, rtol=1e-6)
+
+
+def test_console_mains_return_zero(monkeypatch):
+    """pip console wrappers run sys.exit(fn()): the *_main adapters must
+    return 0 even though the library functions return useful objects."""
+    from superresolution_aniso_mri_tpu.cli import entry
+
+    for main_name, fn_name in (
+            ("train_cardiac_main", "train_cardiac"),
+            ("train_brain_main", "train_brain"),
+            ("generate_hr_volumes_main", "generate_hr_volumes"),
+            ("find_best_model_main", "find_best_model"),
+            ("serve_hr_volumes_main", "serve_hr_volumes")):
+        monkeypatch.setattr(entry, fn_name, lambda *a, **k: object())
+        assert getattr(entry, main_name)() == 0
+
+
+def test_pyproject_scripts_point_at_main_adapters():
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "pyproject.toml")).read()
+    for name in ("train_cardiac", "train_brain", "generate_hr_volumes",
+                 "find_best_model", "serve_hr_volumes"):
+        assert f"cli.entry:{name}_main" in text
+
+
+def test_mhd_signature_watches_external_payload(tmp_path):
+    from superresolution_aniso_mri_tpu.cli.entry import (
+        _file_signature, _mhd_payload_path,
+    )
+
+    hdr = tmp_path / "vol.mhd"
+    hdr.write_text("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+                   "ElementType = MET_FLOAT\nElementDataFile = vol.raw\n")
+    assert _mhd_payload_path(str(hdr)) == str(tmp_path / "vol.raw")
+    # payload missing: the signature must never stabilize (two calls
+    # differ), so the serving daemon keeps the file pending
+    assert _file_signature(str(hdr), "") != _file_signature(str(hdr), "")
+    # payload present: signature is stable and covers the payload
+    (tmp_path / "vol.raw").write_bytes(b"\0" * 32)
+    s1 = _file_signature(str(hdr), "")
+    s2 = _file_signature(str(hdr), "")
+    assert s1 == s2
+    (tmp_path / "vol.raw").write_bytes(b"\0" * 64)  # payload grows
+    assert _file_signature(str(hdr), "") != s1
+    # .mha / LOCAL data: no payload to watch
+    mha = tmp_path / "v.mha"
+    mha.write_text("ObjectType = Image\nElementDataFile = LOCAL\n")
+    assert _mhd_payload_path(str(mha)) is None
+
+
+def test_strict_labels_excludes_orphan_label_files(tmp_path):
+    import pytest as _pytest
+
+    from superresolution_aniso_mri_tpu.cli.entry import _load_image_paths
+
+    # a label companion lands BEFORE its image (polling daemon race)
+    (tmp_path / "a_gt.nii.gz").write_bytes(b"x")
+    # default (batch CLI): a suffix-matching file WITHOUT a sibling is a
+    # standalone volume and stays included
+    assert _load_image_paths(str(tmp_path), "_gt") == [
+        str(tmp_path / "a_gt.nii.gz")]
+    # strict (daemon): never densify a declared label as an image
+    with _pytest.raises(SystemExit):
+        _load_image_paths(str(tmp_path), "_gt", strict_labels=True)
+    # once the image arrives, only the image is served in both modes
+    (tmp_path / "a.nii.gz").write_bytes(b"x")
+    for strict in (False, True):
+        assert _load_image_paths(str(tmp_path), "_gt",
+                                 strict_labels=strict) == [
+            str(tmp_path / "a.nii.gz")]
+
+
+def test_id_uniquifier_convention():
+    from superresolution_aniso_mri_tpu.evaluate.metrics_driver import (
+        IdUniquifier,
+    )
+
+    u = IdUniquifier()
+    assert [u.take(p) for p in ("a", "b", "a", "a", "b")] == [
+        "a", "b", "a#2", "a#3", "b#2"]
+
+
+def test_rescale_intensities_removes_nan_voxels():
+    from superresolution_aniso_mri_tpu.data import rescale_intensities
+
+    im = np.random.RandomState(0).rand(4, 8, 8).astype(np.float32) * 100
+    im[0, :2, :2] = np.nan  # registration fill
+    out = rescale_intensities(im, percs=(1, 99))
+    assert np.isfinite(out).all(), "NaN voxels must not reach batches"
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # NaN fill maps to background (the low percentile → 0 after clip)
+    np.testing.assert_allclose(out[0, :2, :2], 0.0, atol=1e-6)
+    # NaN-free input unchanged vs before
+    im2 = np.random.RandomState(1).rand(4, 8, 8).astype(np.float32)
+    out2 = rescale_intensities(im2, percs=(0, 100))
+    assert np.isfinite(out2).all()
+
+
+def test_triplet_sampler_rejects_empty_volume_list():
+    from superresolution_aniso_mri_tpu.data import TripletSampler
+
+    with pytest.raises(ValueError, match="no volumes"):
+        TripletSampler([], downsample_steps=2)
+
+
+def test_read_nifti_many_nonstrict_keeps_good_decodes(tmp_path):
+    nl = pytest.importorskip(
+        "superresolution_aniso_mri_tpu.data.native_loader")
+    if not nl.available():
+        pytest.skip("native loader unavailable")
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    good = str(tmp_path / "good.nii.gz")
+    write_nifti(good, np.random.RandomState(0).rand(3, 8, 8)
+                .astype(np.float32), spacing=np.ones(3))
+    bad = str(tmp_path / "bad.nii.gz")
+    open(bad, "wb").write(b"garbage" * 50)
+    # strict (default): raises
+    with pytest.raises(IOError):
+        nl.read_nifti_many([good, bad])
+    # non-strict: good decode kept, failed entry None, warning emitted
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = nl.read_nifti_many([good, bad], strict=False)
+    assert any("falling back" in str(x.message) for x in w)
+    assert res[1] is None and res[0] is not None
+    arr, sp, _ = res[0]
+    assert arr.shape == (3, 8, 8)
+
+
+def test_paired_helpers_exported_and_deterministic():
+    from superresolution_aniso_mri_tpu.data import (
+        get_paired_frames, get_paired_slices,
+    )
+
+    rs = np.random.RandomState(0)
+    f_from, f_to = get_paired_frames(5, rs)
+    assert len(f_from) == len(f_to) == 5
+    s1, s2 = get_paired_slices(6, np.random.RandomState(3))
+    # n-1 adjacent pairs + one joker self-pair
+    assert len(s1) == len(s2) == 6
+    assert sum(a == b for a, b in zip(s1.tolist(), s2.tolist())) == 1
