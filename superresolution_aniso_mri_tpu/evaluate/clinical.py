@@ -38,11 +38,14 @@ def compute_phase_volumes(vol_curves: Dict[str, np.ndarray],
     """EDV/ESV/SV/EF per structure (reference:
     compute_clinical_metrics.py:201-232). If frames aren't given, ED is
     the max-LV-volume frame and ES the min-LV-volume frame."""
-    lv = vol_curves["LV"]
-    if ed_frame is None:
-        ed_frame = int(np.argmax(lv))
-    if es_frame is None:
-        es_frame = int(np.argmin(lv))
+    if ed_frame is None or es_frame is None:
+        # the LV curve only matters for phase DETECTION — explicitly
+        # provided frames must work for RV-only/custom-label curves
+        lv = vol_curves["LV"]
+        if ed_frame is None:
+            ed_frame = int(np.argmax(lv))
+        if es_frame is None:
+            es_frame = int(np.argmin(lv))
     out = {}
     for name, curve in vol_curves.items():
         edv = float(curve[ed_frame])

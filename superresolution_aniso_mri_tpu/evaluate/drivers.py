@@ -31,17 +31,39 @@ def test_interpolation_with_rigid_transformations(
         angles=(0, 5, 10, 15, 20)) -> Dict[int, Dict]:
     """Rotate the volume in-plane by each angle, evaluate, report the
     metric sensitivity (reference: evaluate_interpolations.py:9-39)."""
+    if np.asarray(volume.image).ndim != 3:
+        # a 4D [t,z,y,x] volume's img[s] is a FRAME, and rotate's
+        # default axes would spin the through-plane (z,y) — reject
+        # rather than silently measure the wrong rotation
+        raise ValueError(
+            "test_interpolation_with_rigid_transformations needs a 3D "
+            f"[z,y,x] volume, got shape {np.asarray(volume.image).shape} "
+            "— pass one cardiac frame at a time")
     results = {}
     for angle in angles:
         img = volume.image
+        hr = volume.image_hr
+        lbl = volume.labels
         if angle:
-            img = np.stack([
-                scipy.ndimage.rotate(img[s], angle, reshape=False,
-                                     order=1, mode="constant")
-                for s in range(img.shape[0])
-            ]).astype(np.float32)
-            img = np.clip(img, 0.0, 1.0)
+            def _rot(v):
+                return np.clip(np.stack([
+                    scipy.ndimage.rotate(v[s], angle, reshape=False,
+                                         order=1, mode="constant")
+                    for s in range(v.shape[0])
+                ]).astype(np.float32), 0.0, 1.0)
+            img = _rot(img)
+            # the paired references must rotate WITH the input — scoring
+            # a rotated synthesis against an unrotated HR (or silently
+            # dropping the HR so the degraded input becomes the
+            # reference) invalidates the whole sensitivity table
+            hr = _rot(hr) if hr is not None else None
+            lbl = (np.stack([
+                scipy.ndimage.rotate(lbl[s], angle, reshape=False,
+                                     order=0, mode="constant")
+                for s in range(lbl.shape[0])]).astype(np.float32)
+                if lbl is not None else None)
         vol = Volume(image=img, spacing=volume.spacing,
+                     image_hr=hr, labels=lbl,
                      patient_id=f"{volume.patient_id}_rot{angle}")
         res = create_hr_images(trainer, [vol], downsample_steps,
                                save_volumes=False)

@@ -11,7 +11,8 @@ from typing import Dict, Iterable, List, Optional
 import numpy as np
 
 from ..utils import read_image
-from .metrics_driver import aggregate_metrics, compute_volume_metrics
+from .metrics_driver import (IdUniquifier, aggregate_metrics,
+                             compute_volume_metrics)
 
 
 def generate_synth_slices_mask(num_slices: int, downsample_steps: int
@@ -92,11 +93,9 @@ def compare_quantitative(reference_files: Iterable[str],
         ids.append(os.path.basename(ref_path))
     agg = aggregate_metrics(agg_samples)
     # uniquify duplicate basenames (per-patient dirs often share names)
-    seen: Dict[str, int] = {}
-    uids = []
-    for i in ids:
-        seen[i] = seen.get(i, 0) + 1
-        uids.append(i if seen[i] == 1 else f"{i}#{seen[i]}")
+    # — shared convention (metrics_driver.IdUniquifier)
+    uniq = IdUniquifier()
+    uids = [uniq.take(i) for i in ids]
     result = {"per_volume": dict(zip(uids, per_volume)), "aggregate": agg}
     if output_file:
         flat = {}
@@ -111,7 +110,9 @@ def compare_quantitative(reference_files: Iterable[str],
 
 
 def load_results(npz_file: str) -> Dict[str, np.ndarray]:
-    data = np.load(npz_file, allow_pickle=True)
+    # the files written above hold only numeric/str arrays — never
+    # enable pickle loading (arbitrary code execution on a crafted npz)
+    data = np.load(npz_file, allow_pickle=False)
     return {k: data[k] for k in data.files}
 
 

@@ -10,13 +10,26 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..data import Volume
-from .metrics_driver import aggregate_metrics, compute_volume_metrics
+from .metrics_driver import (IdUniquifier, aggregate_metrics,
+                             compute_volume_metrics)
+
+
+def _image_of(pred) -> np.ndarray:
+    """predict() output → image array (MultiChannelAE returns a
+    {'image','soft_probs'} dict, plain models an array)."""
+    return np.asarray(pred["image"] if isinstance(pred, dict) else pred)
 
 
 def evaluate_model_reconstruction(trainer, volumes: Iterable[Volume]
                                   ) -> Dict:
-    from ..infer.super_volume import _auto_decode_batch, bucket_size
+    from ..infer.super_volume import (_auto_decode_batch, bucket_size,
+                                      model_label_semantics)
 
+    # colors>=2 stems (ACDCLBL families) need an [image, label] input
+    # pair — ride the volume's labels when they sit on the image grid,
+    # zeros otherwise (the same convention as the synthesis path)
+    needs_label_channel, _ = model_label_semantics(trainer)
+    uniq = IdUniquifier()
     per_volume, ids = [], []
     for vol in volumes:
         img = np.asarray(vol.image, np.float32)
@@ -34,17 +47,22 @@ def evaluate_model_reconstruction(trainer, volumes: Iterable[Volume]
             # each on the axon backend)
             while s_pad % chunk:
                 chunk -= 1
-        x = np.zeros((s_pad, h, w, 1), np.float32)
+        c = 2 if needs_label_channel else 1
+        x = np.zeros((s_pad, h, w, c), np.float32)
         x[:s, ..., 0] = img
+        if needs_label_channel:
+            lbl = getattr(vol, "labels", None)
+            if lbl is not None and np.asarray(lbl).shape == img.shape:
+                x[:s, ..., 1] = np.asarray(lbl, np.float32)
         if chunk is None:
-            recon = np.asarray(trainer.predict(jnp.asarray(x)))[..., 0]
+            recon = _image_of(trainer.predict(jnp.asarray(x)))[..., 0]
         else:
-            parts = [np.asarray(trainer.predict(
+            parts = [_image_of(trainer.predict(
                 jnp.asarray(x[i:i + chunk])))[..., 0]
                 for i in range(0, s_pad, chunk)]
             recon = np.concatenate(parts, axis=0)
         per_volume.append(compute_volume_metrics(img, recon[:s]))
-        ids.append(vol.patient_id)
+        ids.append(uniq.take(vol.patient_id))
     if not per_volume:
         raise ValueError("evaluate_model_reconstruction: no volumes to "
                          "evaluate (empty dataset/split?)")

@@ -298,3 +298,91 @@ def test_paired_helpers_exported_and_deterministic():
     # n-1 adjacent pairs + one joker self-pair
     assert len(s1) == len(s2) == 6
     assert sum(a == b for a, b in zip(s1.tolist(), s2.tolist())) == 1
+
+
+def test_rigid_rotation_driver_rotates_hr_and_rejects_4d():
+    from superresolution_aniso_mri_tpu.data import Volume
+    from superresolution_aniso_mri_tpu.evaluate.drivers import (
+        test_interpolation_with_rigid_transformations as rigid,
+    )
+
+    class _Cfg:
+        colors = 1
+        depth = 4
+
+    rs = np.random.RandomState(0)
+
+    class _T:
+        model_config = _Cfg()
+        params_sr = None
+
+        def _ae_model(self):
+            raise AssertionError("not used")
+
+    # 4D volumes must be rejected (rotate would spin the z-y plane)
+    v4 = Volume(image=rs.rand(2, 5, 8, 8).astype(np.float32),
+                spacing=np.ones(3))
+    with pytest.raises(ValueError, match="3D"):
+        rigid(_T(), v4, 2, angles=(0,))
+
+
+def test_reconstruction_eval_supports_multichannel_and_duplicate_ids():
+    from superresolution_aniso_mri_tpu.data import Volume
+    from superresolution_aniso_mri_tpu.evaluate.reconstruction import (
+        evaluate_model_reconstruction,
+    )
+    from superresolution_aniso_mri_tpu.models.multi_channel import (
+        MultiChannelAE,
+    )
+    from superresolution_aniso_mri_tpu.models import AEConfig
+
+    cfg = AEConfig(width=16, latent_width=8, depth=4, latent=4, colors=2,
+                   nclasses=3, use_sigmoid=True)
+    model = MultiChannelAE(cfg)
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(2, 16, 16, 2), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    class _T:
+        model_config = cfg
+
+        def _ae_model(self):
+            return model
+
+        def predict(self, xx):
+            return model.apply(variables, xx, train=False,
+                               method=lambda m, a, train: m.decode(
+                                   m.encode(a, train=train), train=train))
+
+    vols = [Volume(image=rs.rand(5, 16, 16).astype(np.float32),
+                   labels=rs.randint(0, 3, (5, 16, 16)).astype(np.float32),
+                   spacing=np.ones(3), patient_id="p") for _ in range(2)]
+    res = evaluate_model_reconstruction(_T(), vols)
+    # dict decode handled AND both same-id volumes kept
+    assert set(res["per_volume"]) == {"p", "p#2"}
+    for m in res["per_volume"].values():
+        assert np.isfinite(m["ssim"])
+
+
+def test_phase_volumes_with_explicit_frames_no_lv_needed():
+    from superresolution_aniso_mri_tpu.evaluate.clinical import (
+        compute_phase_volumes,
+    )
+
+    curve = np.array([10.0, 12.0, 8.0, 11.0])
+    out = compute_phase_volumes({"RV": curve}, ed_frame=1, es_frame=2)
+    assert out["RV"]["EDV"] == 12.0 and out["RV"]["ESV"] == 8.0
+    # detection still requires LV
+    with pytest.raises(KeyError):
+        compute_phase_volumes({"RV": curve})
+
+
+def test_quantitative_npz_roundtrip_without_pickle(tmp_path):
+    from superresolution_aniso_mri_tpu.evaluate.quantitative_comparison \
+        import load_results
+
+    f = str(tmp_path / "res.npz")
+    np.savez(f, patient_ids=np.array(["a", "b"]),
+             ssim=np.array([0.9, 0.8]))
+    out = load_results(f)
+    assert list(out["patient_ids"]) == ["a", "b"]
