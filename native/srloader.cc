@@ -278,8 +278,10 @@ static SrlImage* read_nifti_impl(const char* path) {
   // nothing; anything else rescales
   if (!std::isfinite(scl_slope)) scl_slope = 1.0f;
   if (!std::isfinite(scl_inter)) scl_inter = 0.0f;
-  if ((scl_slope != 0.0f && scl_slope != 1.0f) || scl_inter != 0.0f) {
-    float s = scl_slope != 0.0f ? scl_slope : 1.0f;
+  // NIfTI-1: slope == 0 means NO scaling (inter included) — mirror the
+  // Python reader exactly
+  if (scl_slope != 0.0f && (scl_slope != 1.0f || scl_inter != 0.0f)) {
+    float s = scl_slope;
     for (int64_t i = 0; i < count; ++i)
       im->data[i] = im->data[i] * s + scl_inter;
   }

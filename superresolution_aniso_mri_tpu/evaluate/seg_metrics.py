@@ -96,11 +96,27 @@ def hd(result, reference, voxelspacing=None, connectivity: int = 1) -> float:
     return float(max(hd1, hd2))
 
 
+def surface_distance_pair(result, reference, voxelspacing=None,
+                          connectivity: int = 1
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Both one-sided surface-distance sets (result→reference,
+    reference→result). The EDTs + erosions dominate the cost of every
+    symmetric metric — compute them ONCE and derive hd/hd95/assd from
+    the pair instead of re-running them per metric."""
+    d1 = _surface_distances(result, reference, voxelspacing, connectivity)
+    d2 = _surface_distances(reference, result, voxelspacing, connectivity)
+    return d1, d2
+
+
 def hd95(result, reference, voxelspacing=None,
          connectivity: int = 1) -> float:
     """95th-percentile symmetric Hausdorff distance."""
-    d1 = _surface_distances(result, reference, voxelspacing, connectivity)
-    d2 = _surface_distances(reference, result, voxelspacing, connectivity)
+    d1, d2 = surface_distance_pair(result, reference, voxelspacing,
+                                   connectivity)
+    return hd95_from_pair(d1, d2)
+
+
+def hd95_from_pair(d1: np.ndarray, d2: np.ndarray) -> float:
     return float(np.percentile(np.hstack((d1, d2)), 95))
 
 
@@ -113,9 +129,13 @@ def asd(result, reference, voxelspacing=None, connectivity: int = 1) -> float:
 def assd(result, reference, voxelspacing=None,
          connectivity: int = 1) -> float:
     """Average symmetric surface distance."""
-    return float(np.mean((asd(result, reference, voxelspacing, connectivity),
-                          asd(reference, result, voxelspacing,
-                              connectivity))))
+    d1, d2 = surface_distance_pair(result, reference, voxelspacing,
+                                   connectivity)
+    return assd_from_pair(d1, d2)
+
+
+def assd_from_pair(d1: np.ndarray, d2: np.ndarray) -> float:
+    return float(np.mean((d1.mean(), d2.mean())))
 
 
 def volume_correlation(results, references) -> Tuple[float, float]:

@@ -15,7 +15,8 @@ from typing import Dict, Iterable, Optional, Sequence
 import numpy as np
 
 from ..data.acdc_aux import acdc_sr_seg_fold, load_uncertainty_data
-from .seg_metrics import assd, dc, hd95
+from .seg_metrics import (assd_from_pair, dc, hd95_from_pair,
+                          surface_distance_pair)
 
 ACDC_STRUCTURES = {1: "RV", 2: "MYO", 3: "LV"}
 
@@ -52,8 +53,13 @@ def score_segmentation(pred: np.ndarray, reference: np.ndarray,
             continue
         scores = {"dice": dc(p, r)}
         if p.any() and r.any():
-            scores["hd95"] = hd95(p, r, voxelspacing=voxelspacing)
-            scores["assd"] = assd(p, r, voxelspacing=voxelspacing)
+            # one surface-distance computation feeds both metrics (the
+            # EDTs dominate cohort eval cost; hd95+assd separately would
+            # run them twice)
+            d1, d2 = surface_distance_pair(p, r,
+                                           voxelspacing=voxelspacing)
+            scores["hd95"] = hd95_from_pair(d1, d2)
+            scores["assd"] = assd_from_pair(d1, d2)
         else:
             scores["hd95"] = float("nan")
             scores["assd"] = float("nan")

@@ -69,16 +69,25 @@ def get_alpha_probe_features(feature_dict: Dict, batch_item: Dict
     size_src = next(k for k in ("alpha_from",) + meta_keys
                     if k in batch_item)
     b = np.asarray(batch_item[size_src]).shape[0]
+    n = np.asarray(batch_item.get("num_slices", np.full(
+        b, feature_dict.get("orig_num_slices", 0))), np.float64)
+    n_safe = np.where(n > 0, n, 1.0)
+    # normalize EXACTLY like the training rows (data/pairs.py:128-132,
+    # reference base_alpha_trainer.py:178-189: (id+1)/num_slices) — raw
+    # slice ids here would hand the probe out-of-distribution features,
+    # the very garbage this function's error guard exists to prevent
+    s_from = np.asarray(batch_item.get("slice_id_from", np.zeros(b)),
+                        np.float64)
+    s_to = np.asarray(batch_item.get("slice_id_to", np.zeros(b)),
+                      np.float64)
     return np.concatenate([
-        np.asarray(batch_item.get("slice_id_from",
-                                  np.zeros(b)))[:, None],
-        np.asarray(batch_item.get("slice_id_to", np.zeros(b)))[:, None],
+        ((s_from + 1.0) / n_safe)[:, None],
+        ((s_to + 1.0) / n_safe)[:, None],
         np.asarray(batch_item.get("frame_id", np.full(
             b, feature_dict.get("norm_frame_id", 0.0))))[:, None],
         np.asarray(batch_item.get("spacing", np.full(
             b, feature_dict.get("spacing", 1.0))))[:, None],
-        np.asarray(batch_item.get("num_slices", np.full(
-            b, feature_dict.get("orig_num_slices", 0))))[:, None],
+        n[:, None],
     ], axis=1).astype(np.float32)
 
 

@@ -73,6 +73,11 @@ def read_nifti(path: str):
         # on-disk order is Fortran (x fastest): reshape reversed → [.., z, y, x]
         arr = arr.reshape(shape_xyz[::-1])
 
+    # big-endian payloads must come back in NATIVE byte order — a '>f4'
+    # array crashes jnp.asarray and the writers' dtype tables downstream
+    if arr.dtype != arr.dtype.newbyteorder("="):
+        arr = arr.astype(arr.dtype.newbyteorder("="))
+
     # non-finite slope/inter mean "no scaling" (nibabel convention;
     # uninitialized headers commonly carry NaN here — multiplying would
     # silently NaN the whole volume)
@@ -80,9 +85,10 @@ def read_nifti(path: str):
         scl_slope = 1.0
     if not np.isfinite(scl_inter):
         scl_inter = 0.0
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        arr = arr.astype(np.float32) * slope + scl_inter
+    # NIfTI-1 rule: scl_slope == 0 means NO scaling at all — applying a
+    # stale nonzero scl_inter would silently shift every voxel
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
+        arr = arr.astype(np.float32) * scl_slope + scl_inter
     elif not arr.flags.writeable:
         # frombuffer views are read-only; the native reader always
         # returns writable copies — keep the 'exact drop-in' parity
@@ -135,7 +141,11 @@ def write_nifti(path: str, arr: np.ndarray, spacing=None,
     if affine is None:
         sp3 = list(spacing_xyz) + [1.0] * (3 - len(spacing_xyz))
         affine = np.diag(sp3[:3] + [1.0])  # always 4x4 (2-D saves too)
-    struct.pack_into("<h", hdr, 252, 1)       # qform_code (ignored, sform wins)
+    # qform_code stays 0: we never fill the quaternion fields, so a
+    # nonzero code would advertise an identity-rotation qform that
+    # CONTRADICTS the sform for rotated/translated affines (strict
+    # readers and some ITK/FSL configurations prefer or validate qform)
+    struct.pack_into("<h", hdr, 252, 0)       # qform_code
     struct.pack_into("<h", hdr, 254, 1)       # sform_code
     struct.pack_into("<4f", hdr, 280, *affine[0])
     struct.pack_into("<4f", hdr, 296, *affine[1])
@@ -152,13 +162,15 @@ _MET_TYPES = {
     "MET_UCHAR": np.uint8, "MET_CHAR": np.int8, "MET_SHORT": np.int16,
     "MET_USHORT": np.uint16, "MET_INT": np.int32, "MET_UINT": np.uint32,
     "MET_FLOAT": np.float32, "MET_DOUBLE": np.float64,
+    "MET_LONG_LONG": np.int64, "MET_ULONG_LONG": np.uint64,
 }
 _MET_NAMES = {np.dtype(v): k for k, v in _MET_TYPES.items()}
 
 
 def read_metaimage(path: str):
     """Read .mha (local data) or .mhd (+ separate .raw/.zraw) →
-    (array [z,y,x], spacing (z,y,x), None)."""
+    (array [z,y,x], spacing (z,y,x), affine 4x4 or None — built from
+    TransformMatrix/Offset when the header carries them)."""
     with open(path, "rb") as f:
         header = {}
         data_file = None
@@ -178,7 +190,17 @@ def read_metaimage(path: str):
         dim_size = [int(v) for v in header["DimSize"].split()]
         spacing_xyz = [float(v) for v in header.get(
             "ElementSpacing", " ".join(["1"] * ndims)).split()]
-        dtype = np.dtype(_MET_TYPES[header.get("ElementType", "MET_FLOAT")])
+        nchan = int(header.get("ElementNumberOfChannels", 1))
+        if nchan != 1:
+            # interleaved channel data would be silently misread as a
+            # garbled single-channel volume — refuse loudly
+            raise ValueError(
+                f"{path}: ElementNumberOfChannels={nchan} is not "
+                f"supported (single-channel volumes only)")
+        met_type = header.get("ElementType", "MET_FLOAT")
+        if met_type not in _MET_TYPES:
+            raise ValueError(f"{path}: unsupported ElementType {met_type}")
+        dtype = np.dtype(_MET_TYPES[met_type])
         if header.get("BinaryDataByteOrderMSB", "False").lower() == "true":
             dtype = dtype.newbyteorder(">")
         count = int(np.prod(dim_size))
@@ -191,16 +213,48 @@ def read_metaimage(path: str):
     if compressed:
         import zlib
         raw = zlib.decompress(raw)
+    # HeaderSize: bytes to skip before the payload (-1 = payload is the
+    # LAST count*itemsize bytes; only meaningful for uncompressed data)
+    hs = int(header.get("HeaderSize", 0))
+    if hs > 0:
+        raw = raw[hs:]
+    elif hs == -1:
+        raw = raw[len(raw) - count * dtype.itemsize:]
     arr = np.frombuffer(raw, dtype=dtype, count=count).reshape(dim_size[::-1])
+    if arr.dtype != arr.dtype.newbyteorder("="):
+        arr = arr.astype(arr.dtype.newbyteorder("="))  # native order out
     arr = np.ascontiguousarray(arr)
     if not arr.flags.writeable:
         arr = arr.copy()
-    return arr, np.array(spacing_xyz[::-1], np.float64), None
+    affine = None
+    tm = header.get("TransformMatrix") or header.get("Rotation")
+    if tm is not None and ndims == 3:
+        try:
+            d = np.array([float(v) for v in tm.split()],
+                         np.float64).reshape(3, 3)
+            off = np.array([float(v) for v in header.get(
+                "Offset", "0 0 0").split()], np.float64)
+            affine = np.eye(4)
+            # MetaIO rows are the per-axis direction cosines (x,y,z
+            # order); NIfTI-style columns scale by the axis spacing
+            for i in range(3):
+                affine[:3, i] = d[i] * spacing_xyz[i]
+            affine[:3, 3] = off
+        except Exception:
+            affine = None
+    return arr, np.array(spacing_xyz[::-1], np.float64), affine
 
 
-def write_metaimage(path: str, arr: np.ndarray, spacing=None) -> None:
-    """Write a [z,y,x] array as an .mha with LOCAL binary data."""
+def write_metaimage(path: str, arr: np.ndarray, spacing=None,
+                    affine: Optional[np.ndarray] = None) -> None:
+    """Write a [z,y,x] array as an .mha with LOCAL binary data.
+    A 3D ``affine`` is encoded as TransformMatrix/Offset (direction
+    cosines + origin) so orientation survives the round trip."""
     arr = np.asarray(arr)
+    if arr.dtype not in _MET_NAMES:
+        raise ValueError(
+            f"write_metaimage: unsupported dtype {arr.dtype} — convert "
+            f"to one of {sorted(str(d) for d in _MET_NAMES)} first")
     if spacing is None:
         spacing = np.ones(arr.ndim)
     spacing_xyz = np.asarray(spacing, np.float64)[::-1]
@@ -212,6 +266,25 @@ def write_metaimage(path: str, arr: np.ndarray, spacing=None) -> None:
         "CompressedData = False",
         f"DimSize = {' '.join(str(s) for s in arr.shape[::-1])}",
         f"ElementSpacing = {' '.join(f'{s:g}' for s in spacing_xyz)}",
+    ]
+    if affine is not None:
+        if arr.ndim != 3:
+            import warnings
+            warnings.warn("write_metaimage: affine is only encoded for "
+                          "3D volumes — dropping it")
+        else:
+            a = np.asarray(affine, np.float64)
+            rows = []
+            for i in range(3):
+                col = a[:3, i]
+                n = np.linalg.norm(col)
+                rows.extend((col / n) if n else
+                            np.eye(3)[i])  # degenerate column: identity
+            lines.append("TransformMatrix = "
+                         + " ".join(f"{v:.10g}" for v in rows))
+            lines.append("Offset = "
+                         + " ".join(f"{v:.10g}" for v in a[:3, 3]))
+    lines += [
         f"ElementType = {_MET_NAMES[arr.dtype]}",
         "ElementDataFile = LOCAL",
     ]
@@ -244,6 +317,7 @@ def write_image(path: str, arr: np.ndarray, spacing=None,
                         dtype=dtype)
     elif path.endswith(".mha"):
         write_metaimage(path, arr if dtype is None
-                        else np.asarray(arr, dtype), spacing=spacing)
+                        else np.asarray(arr, dtype),
+                        spacing=spacing, affine=affine)
     else:
         raise ValueError(f"unsupported image format: {path}")

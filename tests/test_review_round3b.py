@@ -386,3 +386,149 @@ def test_quantitative_npz_roundtrip_without_pickle(tmp_path):
              ssim=np.array([0.9, 0.8]))
     out = load_results(f)
     assert list(out["patient_ids"]) == ["a", "b"]
+
+
+def test_nifti_scl_slope_zero_means_no_scaling(tmp_path):
+    """NIfTI-1: scl_slope == 0 → no scaling at all; a stale nonzero
+    scl_inter must not shift the voxels."""
+    import struct
+
+    from superresolution_aniso_mri_tpu.utils.nifti import (
+        read_nifti, write_nifti,
+    )
+
+    p = str(tmp_path / "v.nii")
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    write_nifti(p, data, spacing=np.ones(3))
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", raw, 112, 0.0)   # scl_slope = 0
+    struct.pack_into("<f", raw, 116, 7.0)   # stale scl_inter
+    open(p, "wb").write(bytes(raw))
+    arr, _, _ = read_nifti(p)
+    np.testing.assert_allclose(arr, data)   # NOT +7
+    # slope 2 / inter 1 still applies
+    struct.pack_into("<f", raw, 112, 2.0)
+    struct.pack_into("<f", raw, 116, 1.0)
+    open(p, "wb").write(bytes(raw))
+    arr2, _, _ = read_nifti(p)
+    np.testing.assert_allclose(arr2, data * 2.0 + 1.0)
+
+
+def test_nifti_writes_no_contradictory_qform(tmp_path):
+    import struct
+
+    from superresolution_aniso_mri_tpu.utils.nifti import write_nifti
+
+    p = str(tmp_path / "v.nii")
+    aff = np.eye(4)
+    aff[:3, 3] = [5.0, -3.0, 2.0]
+    write_nifti(p, np.zeros((2, 2, 2), np.float32), spacing=np.ones(3),
+                affine=aff)
+    raw = open(p, "rb").read()
+    qform, sform = struct.unpack_from("<hh", raw, 252)
+    assert qform == 0 and sform == 1  # quaternions are never filled
+
+
+def test_metaimage_native_byteorder_and_channels_guard(tmp_path):
+    from superresolution_aniso_mri_tpu.utils.nifti import read_metaimage
+
+    data = np.arange(8, dtype=">f4").reshape(2, 2, 2)
+    p = tmp_path / "be.mha"
+    hdr = ("ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+           "BinaryDataByteOrderMSB = True\nDimSize = 2 2 2\n"
+           "ElementType = MET_FLOAT\nElementDataFile = LOCAL\n")
+    p.write_bytes(hdr.encode() + data.tobytes())
+    arr, _, _ = read_metaimage(str(p))
+    assert arr.dtype == np.float32
+    assert arr.dtype == arr.dtype.newbyteorder("=")  # native order out
+    np.testing.assert_allclose(arr, data.astype(np.float32))
+
+    pc = tmp_path / "mc.mha"
+    pc.write_bytes(("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+                    "ElementNumberOfChannels = 2\n"
+                    "ElementType = MET_FLOAT\nElementDataFile = LOCAL\n"
+                    ).encode() + b"\0" * 64)
+    with pytest.raises(ValueError, match="Channels"):
+        read_metaimage(str(pc))
+
+
+def test_metaimage_affine_roundtrip(tmp_path):
+    from superresolution_aniso_mri_tpu.utils.nifti import (
+        read_metaimage, write_metaimage,
+    )
+
+    rs = np.random.RandomState(0)
+    vol = rs.rand(3, 4, 5).astype(np.float32)
+    # rotation about z + translation, columns scaled by (x,y,z) spacing
+    c, s = np.cos(0.3), np.sin(0.3)
+    aff = np.eye(4)
+    aff[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    sp_zyx = np.array([2.0, 1.0, 1.0])
+    aff[:3, 0] *= 1.0   # x spacing
+    aff[:3, 2] *= 2.0   # z spacing
+    aff[:3, 3] = [10.0, -4.0, 2.5]
+    p = str(tmp_path / "t.mha")
+    write_metaimage(p, vol, spacing=sp_zyx, affine=aff)
+    arr, sp, aff2 = read_metaimage(p)
+    np.testing.assert_allclose(arr, vol)
+    np.testing.assert_allclose(sp, sp_zyx)
+    np.testing.assert_allclose(aff2, aff, atol=1e-6)
+
+    # int64 labels get a clear error, not a bare KeyError
+    with pytest.raises(ValueError, match="dtype"):
+        write_metaimage(str(tmp_path / "l.mha"),
+                        np.zeros((2, 2, 2), dtype=bool))
+    # MET_LONG_LONG covers int64 labels
+    write_metaimage(str(tmp_path / "l64.mha"),
+                    np.arange(8).reshape(2, 2, 2))  # int64
+    arr64, _, _ = read_metaimage(str(tmp_path / "l64.mha"))
+    assert arr64.dtype == np.int64
+
+
+def test_metaimage_headersize_skip(tmp_path):
+    from superresolution_aniso_mri_tpu.utils.nifti import read_metaimage
+
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    raw = tmp_path / "v.raw"
+    raw.write_bytes(b"JUNK" * 4 + data.tobytes())  # 16-byte prefix
+    hdr = tmp_path / "v.mhd"
+    hdr.write_text("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+                   "ElementType = MET_FLOAT\nHeaderSize = 16\n"
+                   "ElementDataFile = v.raw\n")
+    arr, _, _ = read_metaimage(str(hdr))
+    np.testing.assert_allclose(arr, data)
+    # HeaderSize = -1: payload is the LAST count*itemsize bytes
+    hdr.write_text("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+                   "ElementType = MET_FLOAT\nHeaderSize = -1\n"
+                   "ElementDataFile = v.raw\n")
+    arr2, _, _ = read_metaimage(str(hdr))
+    np.testing.assert_allclose(arr2, data)
+
+
+def test_alpha_probe_raw_fallback_normalizes_like_training():
+    from superresolution_aniso_mri_tpu.infer.alpha_interp import (
+        get_alpha_probe_features,
+    )
+
+    feats = get_alpha_probe_features(
+        {"spacing": 2.0, "norm_frame_id": 0.5},
+        {"slice_id_from": np.array([4]), "slice_id_to": np.array([6]),
+         "num_slices": np.array([10])})
+    # training rows are ((id+1)/n, ..., n) — data/pairs.py:128-132
+    np.testing.assert_allclose(feats[0], [0.5, 0.7, 0.5, 2.0, 10.0],
+                               rtol=1e-6)
+
+
+def test_seg_metric_pair_helpers_match_direct():
+    from superresolution_aniso_mri_tpu.evaluate.seg_metrics import (
+        assd, assd_from_pair, hd95, hd95_from_pair, surface_distance_pair,
+    )
+
+    rs = np.random.RandomState(0)
+    a = rs.rand(12, 12, 12) > 0.6
+    b = rs.rand(12, 12, 12) > 0.6
+    d1, d2 = surface_distance_pair(a, b, voxelspacing=(2.0, 1.0, 1.0))
+    np.testing.assert_allclose(hd95_from_pair(d1, d2),
+                               hd95(a, b, voxelspacing=(2.0, 1.0, 1.0)))
+    np.testing.assert_allclose(assd_from_pair(d1, d2),
+                               assd(a, b, voxelspacing=(2.0, 1.0, 1.0)))
