@@ -128,11 +128,16 @@ class Decoder(nn.Module):
     """
 
     config: AEConfig
-    use_upsample: bool = True
+    # None → follow config.use_upsample, so EVERY model family that
+    # embeds a Decoder(config) honors the recorded architecture flag
+    # (an explicit bool still overrides, for tests)
+    use_upsample: bool | None = None
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
         cfg = self.config
+        up = (cfg.use_upsample if self.use_upsample is None
+              else self.use_upsample)
         dt = cfg.dtype
         x = z.astype(dt)
         if cfg.n_res_block:
@@ -151,7 +156,7 @@ class Decoder(nn.Module):
                     dtype=dt,
                     param_dtype=jnp.float32,
                 )(x)
-            if self.use_upsample:
+            if up:
                 x = _upsample2x(x)
             else:
                 # padding ((2,2),(2,2)) is the flax equivalent of torch

@@ -49,8 +49,11 @@ class AEConfig:
         # fail fast on non-power-of-2 width ratios: the docstring's
         # shape-exact invariant (latent_width == width >> scales) is
         # what alpha probes / VAE unflatten rely on — a rounded scales
-        # value would mis-shape latents far from the root cause
-        if self.width != (self.latent_width << self.scales):
+        # value would mis-shape latents far from the root cause.
+        # (scales < 0 — swapped width/latent_width — must hit THIS
+        # message too, not a cryptic 'negative shift count' from <<)
+        if self.scales < 0 or self.width != (self.latent_width
+                                             << self.scales):
             raise ValueError(
                 f"width ({self.width}) must be latent_width "
                 f"({self.latent_width}) * a power of 2 — got ratio "

@@ -44,32 +44,40 @@ class _HalfStemEncoder(nn.Module):
         return z.astype(jnp.float32)
 
 
+def trunk_decoder_body(cfg: AEConfig, z: Array, train: bool) -> Array:
+    """Shared decoder-trunk layer sequence (1x1 latent expansion,
+    per-scale conv pairs + upsample, final conv to ``depth`` channels).
+    Called INSIDE a parent module's @nn.compact so the flat layer names
+    (Conv_0.., BatchNorm_i) are identical for every user — one
+    implementation for _TrunkDecoder (ACDCLBL) and variants._LargerDecoder
+    instead of two hand-synchronized copies."""
+    dt = cfg.dtype
+    x = z.astype(dt)
+    x = _leaky(_conv(cfg.depth << cfg.scales, 1, dt)(x))
+    if cfg.use_batchnorm:
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
+    for scale in range(cfg.scales - 1, -1, -1):
+        k = cfg.depth << scale
+        x = _leaky(_conv(k, 3, dt)(x))
+        x = _leaky(_conv(k, 3, dt)(x))
+        if cfg.use_batchnorm:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
+        x = _upsample2x(x)
+    x = _leaky(_conv(cfg.depth, 3, dt)(x))
+    return x
+
+
 class _TrunkDecoder(nn.Module):
     """Decoder trunk ending at ``depth`` feature channels
-    (reference: acai_multi_channel.py:44-66): a 1x1 expansion from latent,
-    per-scale conv pairs + upsample, final conv to depth channels."""
+    (reference: acai_multi_channel.py:44-66)."""
 
     config: AEConfig
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
-        cfg = self.config
-        dt = cfg.dtype
-        x = z.astype(dt)
-        x = _leaky(_conv(cfg.depth << cfg.scales, 1, dt)(x))
-        if cfg.use_batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
-        for scale in range(cfg.scales - 1, -1, -1):
-            k = cfg.depth << scale
-            x = _leaky(_conv(k, 3, dt)(x))
-            x = _leaky(_conv(k, 3, dt)(x))
-            if cfg.use_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
-            x = _upsample2x(x)
-        x = _leaky(_conv(cfg.depth, 3, dt)(x))
-        return x
+        return trunk_decoder_body(self.config, z, train)
 
 
 class MultiChannelAE(nn.Module):

@@ -11,62 +11,32 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .acai import Decoder, _conv, _leaky, _upsample2x
+from .acai import Decoder, _conv, _leaky, acai_kernel_init
 from .config import AEConfig
+from .multi_channel import _HalfStemEncoder, trunk_decoder_body
 
 Array = jax.Array
 
 
-class _LargerEncoder(nn.Module):
-    """Half-width stem encoder (reference: acai_vanilla_modified.py:22-41)."""
-
-    config: AEConfig
-
-    @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        cfg = self.config
-        dt = cfg.dtype
-        x = x.astype(dt)
-        x = _conv(cfg.depth // 2, 1, dt, name="stem")(x)
-        for scale in range(cfg.scales):
-            k = cfg.depth << scale
-            x = _leaky(_conv(k, 3, dt)(x))
-            x = _leaky(_conv(k, 3, dt)(x))
-            if cfg.use_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        k = cfg.depth << cfg.scales
-        x = _leaky(_conv(k, 3, dt)(x))
-        z = _conv(cfg.latent, 3, dt, name="head")(x)
-        return z.astype(jnp.float32)
+# the half-stem encoder is byte-identical between the LargerAE
+# (acai_vanilla_modified.py:22-41) and ACDCLBL (acai_multi_channel.py:
+# 22-41) references — one implementation serves both (flat layer names
+# come from the module internals, so the alias preserves param trees)
+_LargerEncoder = _HalfStemEncoder
 
 
 class _LargerDecoder(nn.Module):
     """Decoder with a 1x1 latent expansion first
-    (reference: acai_vanilla_modified.py:44-70)."""
+    (reference: acai_vanilla_modified.py:44-70): the shared decoder
+    trunk plus an image head."""
 
     config: AEConfig
 
     @nn.compact
     def __call__(self, z: Array, train: bool = False) -> Array:
         cfg = self.config
-        dt = cfg.dtype
-        x = z.astype(dt)
-        x = _leaky(_conv(cfg.depth << cfg.scales, 1, dt)(x))
-        if cfg.use_batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
-        for scale in range(cfg.scales - 1, -1, -1):
-            k = cfg.depth << scale
-            x = _leaky(_conv(k, 3, dt)(x))
-            x = _leaky(_conv(k, 3, dt)(x))
-            if cfg.use_batchnorm:
-                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
-            x = _upsample2x(x)
-        x = _leaky(_conv(cfg.depth, 3, dt)(x))
-        x = _conv(cfg.colors, 3, dt, name="out")(x)
+        x = trunk_decoder_body(cfg, z, train)
+        x = _conv(cfg.colors, 3, cfg.dtype, name="out")(x)
         if cfg.use_sigmoid:
             x = nn.sigmoid(x)
         return x.astype(jnp.float32)
@@ -110,8 +80,12 @@ class _StridedEncoder(nn.Module):
             if cfg.use_batchnorm:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=dt, param_dtype=jnp.float32)(x)
+            # same author init as every other conv in the ACAI family —
+            # the strided conv REPLACES AvgPool, it must not be the one
+            # layer starting from flax's default distribution
             x = nn.Conv(k, (2, 2), strides=(2, 2), padding="VALID",
-                        dtype=dt, param_dtype=jnp.float32)(x)
+                        dtype=dt, param_dtype=jnp.float32,
+                        kernel_init=acai_kernel_init)(x)
         k = cfg.depth << cfg.scales
         x = _leaky(_conv(k, 3, dt)(x))
         z = _conv(cfg.latent, 3, dt, name="head")(x)

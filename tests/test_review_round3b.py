@@ -532,3 +532,35 @@ def test_seg_metric_pair_helpers_match_direct():
                                hd95(a, b, voxelspacing=(2.0, 1.0, 1.0)))
     np.testing.assert_allclose(assd_from_pair(d1, d2),
                                assd(a, b, voxelspacing=(2.0, 1.0, 1.0)))
+
+
+def test_use_upsample_flag_reaches_every_decoder_family():
+    """config.use_upsample=False (ConvTranspose decoder) must shape the
+    param tree of EVERY family embedding a Decoder, not just
+    VanillaACAI."""
+    from superresolution_aniso_mri_tpu.models import AEConfig, build_model
+
+    for ae_class in ("VanillaACAI", "VAE", "VAE2", "VanillaACAIStrided"):
+        cfg = AEConfig(width=16, latent_width=8, depth=4, latent=4,
+                       use_upsample=False)
+        model = build_model(ae_class, cfg)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 16, 16, 1)), train=False)
+
+        def _has_convtranspose(tree):
+            for k, sub in tree.items():
+                if k.startswith("ConvTranspose"):
+                    return True
+                if isinstance(sub, dict) and _has_convtranspose(sub):
+                    return True
+            return False
+
+        assert _has_convtranspose(v["params"]), \
+            f"{ae_class}: use_upsample=False ignored"
+
+
+def test_aeconfig_swapped_widths_error_is_informative():
+    from superresolution_aniso_mri_tpu.models import AEConfig
+
+    with pytest.raises(ValueError, match="power of 2"):
+        AEConfig(width=16, latent_width=64)  # swapped — not shift error
