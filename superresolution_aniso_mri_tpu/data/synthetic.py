@@ -161,7 +161,11 @@ def make_toy_dataset(num_volumes: int = 4, size: int = 32,
         digits = load_mnist_images(mnist_path)
         # disjoint train/val digit pools (the reference draws train and
         # test digits from separate MNIST files)
-        half = max(1, len(digits) // 2)
+        if len(digits) < 2:
+            raise ValueError(
+                f"MNIST file {mnist_path!r} holds {len(digits)} image(s) "
+                f"— at least 2 are needed for disjoint train/val pools")
+        half = len(digits) // 2
         digits = digits[:half] if mnist_split == "train" else digits[half:]
         rs = np.random.RandomState(seed)
         picks = rs.choice(len(digits), size=num_volumes, replace=False) \
@@ -208,6 +212,8 @@ def load_mnist_images(path: str) -> np.ndarray:
     arr = np.asarray(arr)
     if arr.ndim != 3:
         raise ValueError(f"{path}: expected [N,H,W] images, got {arr.shape}")
+    if arr.shape[0] == 0:
+        raise ValueError(f"{path}: file holds zero images")
     arr = arr.astype(np.float32)
     if arr.max() > 1.0:
         arr = arr / 255.0
@@ -251,7 +257,12 @@ class RotoTripletSampler:
             # disjoint train/val pools, same convention as
             # make_toy_dataset — without this the val sampler would draw
             # trained digits and best-val selection would be optimistic
-            half = max(1, len(digits) // 2)
+            if len(digits) < 2:
+                raise ValueError(
+                    f"MNIST file {mnist_path!r} holds {len(digits)} "
+                    f"image(s) — at least 2 are needed for disjoint "
+                    f"train/val pools")
+            half = len(digits) // 2
             digits = (digits[:half] if mnist_split == "train"
                       else digits[half:])
             picks = rs.choice(len(digits), size=min(num_images, len(digits)),
@@ -272,8 +283,13 @@ class RotoTripletSampler:
                                    mode="constant", cval=0.0)
         return np.clip(out, 0.0, 1.0).astype(np.float32)
 
-    def sample_item(self, idx: int = 0):
-        img = self.images[self.rs.randint(len(self.images))]
+    def sample_item(self, idx: int | None = None):
+        """``idx`` selects the base image deterministically (the
+        TripletSampler-like contract callers rely on for reproducible
+        preview rows); ``None`` draws a random one. The rotation/offset
+        stream stays stochastic either way."""
+        img = (self.images[self.rs.randint(len(self.images))]
+               if idx is None else self.images[idx % len(self.images)])
         gap = self.grad_step * self.downsample_steps
         theta = float(self.rs.uniform(0.0, 360.0))
         # in-between position strictly inside the gap (virtual slice grid)

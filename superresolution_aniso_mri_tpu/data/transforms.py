@@ -163,10 +163,13 @@ def _crop_next_to_center_one(key: Array, img: Array, size: int,
     ky, kx = jax.random.split(key)
     cy = (h - size) // 2
     cx = (w - size) // 2
-    mty = min(max_translation, max(cy, 0))
-    mtx = min(max_translation, max(cx, 0))
-    dy = jax.random.randint(ky, (), -mty, mty + 1) if mty else 0
-    dx = jax.random.randint(kx, (), -mtx, mtx + 1) if mtx else 0
+    # DRAW the full ±max_translation range, then clamp the WINDOW — the
+    # reference draws first and clips the crop box after
+    # (custom_transforms.py RandomCropNextToCenter), which piles the
+    # out-of-range probability mass onto the border positions; shrinking
+    # the draw range instead would flatten that distribution
+    dy = jax.random.randint(ky, (), -max_translation, max_translation + 1)
+    dx = jax.random.randint(kx, (), -max_translation, max_translation + 1)
     top = jnp.clip(cy + dy, 0, max(h - size, 0))
     left = jnp.clip(cx + dx, 0, max(w - size, 0))
     return jax.lax.dynamic_slice(img, (top, left, 0),
@@ -290,7 +293,10 @@ def augment_batch(key: Array, triplet: Array, cfg: AugmentConfig) -> Array:
     x = _pad_batch_to_at_least(x, cfg.patch_size)
     p = cfg.patch_size
 
-    keys = jax.random.split(key, 9 * b).reshape(9, b, 2)
+    # shape-agnostic reshape: legacy uint32 keys are [N, 2], new-style
+    # typed keys (jax.random.key) are scalar-per-key — both must work
+    split = jax.random.split(key, 9 * b)
+    keys = split.reshape((9, b) + split.shape[1:])
     need_crop = x.shape[1] > p or x.shape[2] > p
     if cfg.crop_next_to_center and need_crop:
         x = jax.vmap(lambda k, i: _crop_next_to_center_one(

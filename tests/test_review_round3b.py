@@ -564,3 +564,51 @@ def test_aeconfig_swapped_widths_error_is_informative():
 
     with pytest.raises(ValueError, match="power of 2"):
         AEConfig(width=16, latent_width=64)  # swapped — not shift error
+
+
+def test_mnist_split_guards_and_empty_file(tmp_path):
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        load_mnist_images, make_toy_dataset,
+    )
+
+    one = str(tmp_path / "one.npy")
+    np.save(one, np.random.RandomState(0).rand(1, 28, 28)
+            .astype(np.float32))
+    with pytest.raises(ValueError, match="at least 2"):
+        make_toy_dataset(2, 32, 7, seed=0, mnist_path=one,
+                         mnist_split="val")
+    empty = str(tmp_path / "none.npy")
+    np.save(empty, np.zeros((0, 28, 28), np.float32))
+    with pytest.raises(ValueError, match="zero images"):
+        load_mnist_images(empty)
+
+
+def test_augment_batch_accepts_typed_prng_keys():
+    from superresolution_aniso_mri_tpu.data import (
+        AugmentConfig, augment_batch,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3),
+                    jnp.float32)
+    cfg = AugmentConfig(patch_size=16)
+    out_legacy = augment_batch(jax.random.PRNGKey(0), x, cfg)
+    out_typed = augment_batch(jax.random.key(0), x, cfg)
+    # same fold-in stream → identical augmentation
+    np.testing.assert_allclose(np.asarray(out_legacy),
+                               np.asarray(out_typed), atol=1e-6)
+
+
+def test_roto_sample_item_honors_idx():
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        RotoTripletSampler,
+    )
+
+    s = RotoTripletSampler(num_images=3, size=32, downsample_steps=2,
+                           seed=5)
+    a = s.sample_item(1)
+    b = s.sample_item(1)
+    # deterministic base image selection (rotations remain stochastic):
+    # both items derive from images[1]; cheapest observable contract is
+    # that idx does not raise and the random-path default still works
+    assert a["triplet"].shape == b["triplet"].shape
+    assert s.sample_item()["triplet"].shape == a["triplet"].shape
