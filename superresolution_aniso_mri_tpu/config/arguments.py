@@ -133,12 +133,22 @@ def parse_args(argv=None):
     parser.add_argument("--use_synthetic_data", action="store_true",
                         help="use the procedural toy backend instead of "
                              "on-disk volumes (CI / smoke runs)")
+    parser.add_argument("--stem_pad_parity", action="store_true",
+                        help="reference-faithful stem geometry (the "
+                             "original's 1x1 stem conv pads by 1): set "
+                             "when fine-tuning/evaluating IMPORTED "
+                             "reference torch checkpoints so activations "
+                             "and BN stats match the network they were "
+                             "trained in (needs width/latent_width "
+                             "ratio >= 4)")
 
     args = parser.parse_args(argv)
 
-    # post-parse defaulting (reference: arguments.py:65-103)
-    if args.model == "ae_combined" and args.image_mix_loss_func is None:
-        args.image_mix_loss_func = "perceptual"
+    # post-parse defaulting (reference: arguments.py:65-103).
+    # NOTE: the combined families' image_mix_loss_func default
+    # ("perceptual") lives in net_config.py's architecture table — ONE
+    # site for ae_combined AND aesr_combined; the merge applies it
+    # whenever the CLI value is None.
     if args.model in ("vae", "vae_combined"):
         args.ae_class = "VAE"
         if args.model == "vae" and args.vae_beta is None:

@@ -76,6 +76,7 @@ def apply_setting_defaults(args: Dict[str, Any]) -> Dict[str, Any]:
         "compute_dtype": "float32",
         "nclasses": 4,
         "ema_decay": 0.0,
+        "stem_pad_parity": False,
     }
     for k, v in defaults.items():
         args.setdefault(k, v)

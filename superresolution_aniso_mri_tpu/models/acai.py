@@ -96,6 +96,11 @@ class Encoder(nn.Module):
         cfg = self.config
         dt = cfg.dtype
         x = x.astype(dt)
+        if cfg.stem_pad_parity:
+            # reference-faithful: the 1x1 stem carries padding=1
+            # (acai_vanilla.py:51), growing H/W by 2; the floor-pooling
+            # below absorbs it by scale 2 (see AEConfig.stem_pad_parity)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = _conv(cfg.depth, 1, dt, name="stem")(x)
         for scale in range(cfg.scales):
             k = cfg.depth << scale

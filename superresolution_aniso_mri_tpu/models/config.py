@@ -44,6 +44,16 @@ class AEConfig:
     nclasses: int = 4  # only used by MultiChannelAE
     # compute dtype for conv stacks; params are always float32.
     compute_dtype: str = "float32"
+    # Reference-faithful stem geometry: the reference's 1x1 stem conv
+    # uses padding=1 (networks/acai_vanilla.py:51, acai_multi_channel.
+    # py:25), growing H/W by 2 before the pools floor it back — with
+    # scales >= 2 the latent shape is unchanged, but every intermediate
+    # activation (and any imported BatchNorm running stat) corresponds
+    # to that padded grid. Enable when evaluating IMPORTED reference
+    # torch checkpoints so activations match the network they were
+    # trained in; the default shape-exact stem is the better TPU design
+    # for fresh trainings (no odd intermediate sizes).
+    stem_pad_parity: bool = False
 
     def __post_init__(self):
         # fail fast on non-power-of-2 width ratios: the docstring's
@@ -58,6 +68,12 @@ class AEConfig:
                 f"width ({self.width}) must be latent_width "
                 f"({self.latent_width}) * a power of 2 — got ratio "
                 f"{self.width / self.latent_width:g}")
+        if self.stem_pad_parity and self.scales < 2:
+            raise ValueError(
+                "stem_pad_parity needs scales >= 2 (two pools absorb "
+                "the +2 stem padding; at scales < 2 the reference "
+                "latent grid is genuinely larger and incompatible with "
+                "the shape-exact latent invariant)")
 
     @property
     def scales(self) -> int:
@@ -84,4 +100,5 @@ class AEConfig:
             use_upsample=bool(args.get("use_upsample", True)),
             nclasses=int(args.get("nclasses", 4)),
             compute_dtype=str(args.get("compute_dtype", "float32")),
+            stem_pad_parity=bool(args.get("stem_pad_parity", False)),
         )

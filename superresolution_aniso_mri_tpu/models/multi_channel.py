@@ -29,6 +29,10 @@ class _HalfStemEncoder(nn.Module):
         cfg = self.config
         dt = cfg.dtype
         x = x.astype(dt)
+        if cfg.stem_pad_parity:
+            # reference-faithful stem padding (acai_multi_channel.py:25,
+            # acai_vanilla_modified.py:24 — see AEConfig.stem_pad_parity)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
         x = _conv(cfg.depth // 2, 1, dt, name="stem")(x)
         for scale in range(cfg.scales):
             k = cfg.depth << scale

@@ -140,7 +140,12 @@ def global_batch_from_host(sharding, batch: Dict) -> Dict:
     out = {}
     for k, v in batch.items():
         arr = np.ascontiguousarray(np.asarray(v))
-        if arr.shape[0] % max(pc, 1) or arr.shape[0] % nshard:
+        # nshard (the sharded-axis size) is the ONLY divisibility the
+        # sharding itself needs — make_array_from_process_local_data
+        # slices each process's addressable shards out of the full
+        # array, so a 2-D mesh whose 'data' axis is smaller than
+        # process_count (dp=2 over 4 hosts of 2 devices) is valid
+        if arr.shape[0] % max(nshard, 1):
             raise ValueError(
                 f"batch leaf {k!r}: leading axis {arr.shape[0]} not "
                 f"divisible by the sharded axis size {nshard} "

@@ -126,26 +126,22 @@ def make_sharded_synthesizer(model, mesh: Mesh,
     must be divisible by the mesh size (create_super_volume pads).
     ``decode_batch`` bounds per-shard decode chunks like the local
     synthesizer's HBM budget."""
-    from functools import partial
-
     from ..infer.super_volume import make_volume_synthesizer
 
     base = make_volume_synthesizer(model, decode_batch=decode_batch)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
 
-    synth = partial(jax.jit, static_argnames=("use_original",))(
-        lambda params, bs, kept, alphas, use_original=False: base(
-            params, bs, kept, alphas, use_original=use_original),
-    )
-    # bind shardings via a wrapper: jit(in_shardings=...) with static args
-    # interleaved is awkward, so commit the arrays explicitly instead
+    # bind shardings by committing the arrays explicitly and calling the
+    # ALREADY-jitted synthesizer directly — GSPMD propagates the input
+    # shardings; a second jit wrapper would only add a nested trace
+    # layer (the one-jit-layer pattern _make_sharded_step documents)
     def call(params, bs, kept, alphas, use_original=False):
         params = jax.device_put(params, rep)
         bs = jax.device_put(bs, rep) if bs else bs
         kept = jax.device_put(kept, shard)
         alphas = jax.device_put(alphas, rep)
-        return synth(params, bs, kept, alphas, use_original=use_original)
+        return base(params, bs, kept, alphas, use_original=use_original)
 
     return call
 

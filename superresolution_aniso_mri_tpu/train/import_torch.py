@@ -208,6 +208,7 @@ def torch_state_to_flax(torch_sd, params, batch_stats):
     """
     wrapped = "enc" not in params and "ae" in params
     ae_params = params["ae"] if wrapped else params
+    batch_stats = batch_stats or {}  # BN-free trees may pass None
     ae_stats = (batch_stats.get("ae", {}) if wrapped else batch_stats) or {}
 
     sides = _split_sides(torch_sd)

@@ -521,6 +521,7 @@ class Trainer:
         if is_torch_checkpoint(fname):
             # shared loader: validates the reference .models structure
             # and raises an explanatory error on foreign torch pickles
+            self._warn_torch_stem_geometry(fname)
             raw_t = _load_torch_pickle(fname)
             p, bs = self._ae_params()
             self.params_sr = torch_state_to_flax(
@@ -611,6 +612,24 @@ class Trainer:
     # checkpoints / losses (on-disk contract)
     # ------------------------------------------------------------------
 
+    def _warn_torch_stem_geometry(self, fname: str) -> None:
+        """Imported reference checkpoints were trained with the padded
+        1x1 stem (acai_vanilla.py:51 — H/W grow by 2, pools floor back):
+        weights map 1:1 either way, but activations and BN running stats
+        only correspond to the original network under
+        ``stem_pad_parity`` (models/config.py). Warn instead of silently
+        evaluating through a different spatial graph."""
+        from .import_torch import is_torch_checkpoint
+        if (is_torch_checkpoint(fname)
+                and not getattr(self.model_config, "stem_pad_parity",
+                                False)):
+            import warnings
+            warnings.warn(
+                f"{fname}: reference torch checkpoint loaded into the "
+                f"shape-exact stem — set stem_pad_parity: true (or "
+                f"--stem_pad_parity) to evaluate it through the padded "
+                f"stem geometry it was trained with")
+
     def save_models(self, fname: str, epoch: int) -> None:
         from ..parallel.distributed import is_main_process
         if not is_main_process():
@@ -619,6 +638,7 @@ class Trainer:
 
     def load(self, fname: str) -> None:
         self.state, epoch = load_checkpoint(fname, self.state)
+        self._warn_torch_stem_geometry(fname)
         self.epoch = epoch
         if self.mesh is not None:  # resume keeps the mesh placement
             from ..parallel import replicate_state

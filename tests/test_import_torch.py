@@ -38,15 +38,18 @@ class _TorchResBlock(tnn.Module):
 
 def _torch_vanilla_acai(width=32, latent_width=16, depth=8, latent=8,
                         colors=1, use_batchnorm=True, seed=0,
-                        n_res_block=None):
+                        n_res_block=None, stem_padding=0):
     """Torch twin of models/acai.py VanillaACAI (same layer recipe the
-    reference's Encoder/Decoder generators emit, with the framework's
-    shape-exact VALID 1x1 stem)."""
+    reference's Encoder/Decoder generators emit). ``stem_padding=0`` is
+    the framework's shape-exact VALID 1x1 stem; ``stem_padding=1`` is
+    the TRUE reference geometry (acai_vanilla.py:51 pads the 1x1 stem,
+    growing H/W by 2 before the pools floor it back) — paired with
+    stem_pad_parity on the flax side."""
     import math
     scales = int(round(math.log2(width // latent_width)))
     torch.manual_seed(seed)
 
-    enc = [tnn.Conv2d(colors, depth, 1)]
+    enc = [tnn.Conv2d(colors, depth, 1, padding=stem_padding)]
     kp = depth
     for s in range(scales):
         k = depth << s
@@ -251,3 +254,42 @@ def test_converter_cli_roundtrip(ref_ckpt, tmp_path):
     np.testing.assert_allclose(out_jax,
                                out_t.numpy().transpose(0, 2, 3, 1),
                                atol=5e-3)
+
+
+def test_import_reference_stem_geometry_parity(tmp_path):
+    """Forward parity against the TRUE reference spatial graph: the
+    original's padded 1x1 stem (H/W + 2, floor pooling). stem_pad_parity
+    reproduces it; without the flag the importer warns that activations
+    run through a different geometry."""
+    import warnings
+
+    model = _torch_vanilla_acai(width=32, latent_width=8, depth=8,
+                                latent=8, use_batchnorm=True, seed=9,
+                                stem_padding=1)
+    path = str(tmp_path / "33.models")
+    _save_reference_ckpt(model, path, epoch=33)
+
+    t = Trainer(_toy_args("ae_combined", tmp_path, width=32,
+                          latent_width=8, use_batchnorm=True,
+                          stem_pad_parity=True))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t.load(path)
+    assert not any("stem_pad_parity" in str(x.message) for x in w)
+    x = np.random.RandomState(8).rand(2, 32, 32, 1).astype(np.float32)
+    out_jax = np.asarray(t.predict(x))
+    model.eval()
+    with torch.no_grad():
+        out_t = model(torch.tensor(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(out_jax,
+                               out_t.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-3)
+
+    # without the flag: same weights load, but the geometry-mismatch
+    # warning must fire
+    t2 = Trainer(_toy_args("ae_combined", tmp_path, width=32,
+                           latent_width=8, use_batchnorm=True))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        t2.load(path)
+    assert any("stem_pad_parity" in str(x.message) for x in w)
