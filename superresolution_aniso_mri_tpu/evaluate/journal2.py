@@ -65,8 +65,14 @@ def upsample_factor_page(model_results: Dict[int, Dict[str, Sequence[float]]],
                     capsize=10, markersize=10, label="AISR")
         ax.plot(xs, means, c="orange")
         for method, per_k in (conventional or {}).items():
-            cm = [float(np.nanmean(per_k[k][key])) for k in factors]
-            ce = [float(np.nanstd(per_k[k][key])) for k in factors]
+            # a baseline evaluated at a subset of the model's factors
+            # plots NaN (gap) there instead of KeyError-ing the page
+            cm = [float(np.nanmean(per_k[k][key]))
+                  if k in per_k and key in per_k[k] else float("nan")
+                  for k in factors]
+            ce = [float(np.nanstd(per_k[k][key]))
+                  if k in per_k and key in per_k[k] else float("nan")
+                  for k in factors]
             eb = ax.errorbar(xs, cm, yerr=ce, fmt="s", capsize=6,
                              label=method)
             # keep the dashed line in the SAME prop-cycle color as the
@@ -133,9 +139,13 @@ def methods_comparison_page(reference_vol: np.ndarray,
     n_rows = 1 + len(method_vols) * (2 if with_diff_rows else 1)
     fig, axes = plt.subplots(n_rows, len(slice_ids), squeeze=False,
                              figsize=(2.4 * len(slice_ids), 2.4 * n_rows))
-    diff_max = max(
-        float(np.abs(v[:s] - reference_vol[:s]).max())
-        for v in method_vols.values()) if with_diff_rows else 1.0
+    # materialize each |diff| volume ONCE (shared-scale max + row plots;
+    # recomputing per row doubled the dominant array work)
+    diffs = ({name: np.abs(v[:s] - reference_vol[:s])
+              for name, v in method_vols.items()}
+             if with_diff_rows else {})
+    diff_max = (max(float(d.max()) for d in diffs.values())
+                if diffs else 1.0)
 
     def _row(r, vol, label, cmap="gray", vmax=1.0):
         for c, sid in enumerate(slice_ids):
@@ -149,8 +159,7 @@ def methods_comparison_page(reference_vol: np.ndarray,
         _row(r, vol, name)
         r += 1
         if with_diff_rows:
-            diff = np.abs(vol[:s] - reference_vol[:s])
-            _row(r, diff, f"|Δ| {name}", cmap="magma",
+            _row(r, diffs[name], f"|Δ| {name}", cmap="magma",
                  vmax=max(diff_max, 1e-6))
             r += 1
     return _finish(fig, plt, save_path)
@@ -236,10 +245,14 @@ def cardiac_lax_page(method_vols4d: Dict[str, np.ndarray],
     plt = _plt(save_path)
     vols = {name: (v[frame] if v.ndim == 4 else v)
             for name, v in method_vols4d.items()}
-    some = next(iter(vols.values()))
+    # cut positions must be valid for EVERY volume (methods can differ
+    # in y-extent) — derive them from the smallest
+    min_y = min(v.shape[1] for v in vols.values())
     if positions is None:
-        positions = np.linspace(some.shape[1] * 0.35,
-                                some.shape[1] * 0.65, 3).astype(int)
+        positions = np.linspace(min_y * 0.35, min_y * 0.65,
+                                3).astype(int)
+    else:
+        positions = np.clip(np.asarray(positions, int), 0, min_y - 1)
     fig, axes = plt.subplots(len(vols), len(positions), squeeze=False,
                              figsize=(3.0 * len(positions),
                                       2.2 * len(vols)))

@@ -49,7 +49,10 @@ def get_trainer_for_spec(spec: Dict):
     """Rehydrate the trainer referenced by a registry entry."""
     from ..train import get_trainer
 
-    ckpt = spec.get("checkpoint", "caisr")
+    # an empty/null 'checkpoint:' yaml field parses as None, and
+    # get_trainer(model_nbr=None) would skip loading entirely —
+    # silently evaluating RANDOM weights; fall back to the default alias
+    ckpt = spec.get("checkpoint") or "caisr"
     if isinstance(ckpt, str) and ckpt.isdigit():
         ckpt = int(ckpt)
     return get_trainer(spec["path"], model_nbr=ckpt, eval_mode=True)

@@ -52,7 +52,11 @@ def qualitative_comparison_figure(reference_vol: np.ndarray,
                                   save_path: Optional[str] = None):
     """Rows = methods (+ reference), columns = selected slices."""
     plt = _plt(save_path)
-    s = reference_vol.shape[0]
+    # slice ids must be valid for EVERY volume — a tail-less method
+    # volume can be shorter than the reference (same guard as
+    # journal2.methods_comparison_page's common range)
+    s = min([reference_vol.shape[0]]
+            + [v.shape[0] for v in method_vols.values()])
     if slice_ids is None:
         slice_ids = np.linspace(1, s - 2, 4).astype(int)
     rows = {"reference": reference_vol, **method_vols}
@@ -129,8 +133,10 @@ def upsample_factor_compare(results: Dict[str, Dict[int, Sequence[float]]],
     fig, ax = plt.subplots(figsize=(6, 4))
     for method, per_factor in results.items():
         factors = sorted(per_factor)
-        means = [float(np.mean(per_factor[f])) for f in factors]
-        stds = [float(np.std(per_factor[f])) for f in factors]
+        # nan-robust like journal2.upsample_factor_page: one NaN VIF
+        # volume must not wipe out the whole factor's point
+        means = [float(np.nanmean(per_factor[f])) for f in factors]
+        stds = [float(np.nanstd(per_factor[f])) for f in factors]
         ax.errorbar(factors, means, yerr=stds, marker="o", capsize=3,
                     label=method)
     ax.set_xlabel("upsampling factor")

@@ -88,10 +88,14 @@ def dicom_series_to_nifti(dicom_dir: str, output_file: str) -> str:
     for f in files:
         try:
             ds = pydicom.dcmread(f)
+            # hasattr only swallows AttributeError — an undecodable
+            # payload (compressed transfer syntax without a handler)
+            # raises RuntimeError out of pixel_array and must ALSO skip
+            # the file, not abort the conversion
+            ds.pixel_array
         except Exception:
             continue
-        if hasattr(ds, "pixel_array"):
-            slices.append(ds)
+        slices.append(ds)
     if not slices:
         raise ValueError(f"no DICOM images in {dicom_dir}")
     # z-position when available, else InstanceNumber — without a

@@ -23,6 +23,13 @@ def child_env(data_root, force_cpu=False):
         PYTHONPATH=os.pathsep.join(
             p for p in (REPO, os.environ.get("PYTHONPATH")) if p))
     if force_cpu:
+        # JAX_PLATFORMS alone is NOT enough here: the axon sitecustomize
+        # calls jax.config.update("jax_platforms", ...) at interpreter
+        # start, overriding the env var — the child would silently claim
+        # (or hang on) the single tunneled chip. Its registration is
+        # gated on PALLAS_AXON_POOL_IPS, so dropping that variable keeps
+        # the override out of the child entirely.
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env.update(JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
     return env
 
@@ -33,9 +40,26 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
     tails (full output goes to ``log_path`` when given — callers should
     put it somewhere that survives their cleanup)."""
     t0 = time.time()
-    r = subprocess.run(cmd, cwd=REPO,
-                       env=child_env(data_root, force_cpu=force_cpu),
-                       capture_output=True, text=True, timeout=timeout)
+    try:
+        r = subprocess.run(cmd, cwd=REPO,
+                           env=child_env(data_root, force_cpu=force_cpu),
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        # preserve whatever the child printed before the hang — a
+        # 30-minute stall with zero diagnostics is undebuggable
+        out = (e.stdout or b"") if isinstance(e.stdout, (bytes, type(None))) \
+            else e.stdout
+        err = (e.stderr or b"") if isinstance(e.stderr, (bytes, type(None))) \
+            else e.stderr
+        out = out.decode(errors="replace") if isinstance(out, bytes) else out
+        err = err.decode(errors="replace") if isinstance(err, bytes) else err
+        if log_path:
+            with open(log_path, "w") as f:
+                f.write((out or "") + "\n--- stderr ---\n" + (err or "")
+                        + f"\n--- TIMEOUT after {timeout}s ---\n")
+        raise SystemExit(
+            f"TIMEOUT [{what}] after {timeout}s: {' '.join(cmd)}\n"
+            f"{(out or '')[-2000:]}\n{(err or '')[-4000:]}")
     if log_path:
         with open(log_path, "w") as f:
             f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)

@@ -266,8 +266,15 @@ def main():
             rehearse(d, data_root, work)
         print(f"dress rehearsal PASSED for {args.datasets}")
     finally:
-        if args.keep:
-            print(f"artifacts kept in {work}")
+        failed = sys.exc_info()[0] is not None
+        if args.keep or failed:
+            # keep the tree on FAILURE too: the experiment dirs and
+            # fabricated datasets are exactly what's needed to debug
+            # the assertion that fired — deleting them forces a full
+            # multi-minute rerun with --keep
+            print(("artifacts kept in {}" if not failed else
+                   "FAILED — artifacts kept for debugging in {}")
+                  .format(work), flush=True)
         else:
             shutil.rmtree(work, ignore_errors=True)
 

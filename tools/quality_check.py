@@ -73,9 +73,7 @@ def main():
                    help="append a JSON result line to this file")
     args = p.parse_args()
 
-    import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from superresolution_aniso_mri_tpu.data import (
         TripletSampler, make_toy_dataset, prepare_batch_pairs,
