@@ -245,7 +245,13 @@ def _mhd_payload_path(path: str):
                 text = line.decode("ascii", errors="replace").strip()
                 if text.replace(" ", "").startswith("ElementDataFile="):
                     val = text.split("=", 1)[1].strip()
-                    if val and val.upper() != "LOCAL":
+                    # only plain single-file payload names: LOCAL means
+                    # in-header data, LIST / printf patterns (%03d) name
+                    # multi-file series — treating those as a literal
+                    # path would keep the volume silently pending
+                    # forever on a stat that can never succeed
+                    if (val and val.upper() not in ("LOCAL", "LIST")
+                            and "%" not in val):
                         return os.path.join(os.path.dirname(path), val)
                     return None
     except OSError:

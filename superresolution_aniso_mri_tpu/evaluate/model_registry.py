@@ -51,8 +51,12 @@ def get_trainer_for_spec(spec: Dict):
 
     # an empty/null 'checkpoint:' yaml field parses as None, and
     # get_trainer(model_nbr=None) would skip loading entirely —
-    # silently evaluating RANDOM weights; fall back to the default alias
-    ckpt = spec.get("checkpoint") or "caisr"
+    # silently evaluating RANDOM weights; fall back to the default
+    # alias. Explicit None test: `or` would also swallow the VALID
+    # epoch-0 checkpoint.
+    ckpt = spec.get("checkpoint", "caisr")
+    if ckpt is None:
+        ckpt = "caisr"
     if isinstance(ckpt, str) and ckpt.isdigit():
         ckpt = int(ckpt)
     return get_trainer(spec["path"], model_nbr=ckpt, eval_mode=True)

@@ -74,8 +74,19 @@ def load_checkpoint(path: str, state):
         return load_torch_reference(path, state)
     raw = load_checkpoint_raw(path)
     params = serialization.from_state_dict(state.params, raw["model_dict_ae"])
-    opt_state = serialization.from_state_dict(state.opt_state,
-                                              raw["optimizer_dict_ae"])
+    try:
+        opt_state = serialization.from_state_dict(state.opt_state,
+                                                  raw["optimizer_dict_ae"])
+    except (ValueError, KeyError) as e:
+        # optimizer-layout changes (e.g. the ACAI per-model optimizer
+        # split) must not strand older experiments: weights still load,
+        # Adam moments restart fresh — same contract as torch imports
+        import warnings
+        warnings.warn(
+            f"{path}: optimizer state does not match the current "
+            f"optimizer layout ({e}) — weights restored, optimizer "
+            f"moments restart fresh")
+        opt_state = state.opt_state
     batch_stats = serialization.from_state_dict(state.batch_stats,
                                                 raw.get("batch_stats", {}))
     state = state.replace(params=params, opt_state=opt_state,

@@ -210,16 +210,19 @@ def read_metaimage(path: str):
         else:
             with open(os.path.join(os.path.dirname(path), data_file), "rb") as df:
                 raw = df.read()
-    if compressed:
-        import zlib
-        raw = zlib.decompress(raw)
-    # HeaderSize: bytes to skip before the payload (-1 = payload is the
-    # LAST count*itemsize bytes; only meaningful for uncompressed data)
+    # HeaderSize counts bytes in the ON-DISK data file — skip them
+    # BEFORE decompression (a compressed payload with a prefix would
+    # otherwise feed junk-prefixed bytes to zlib). -1 = the payload is
+    # the last N bytes of the file (N = compressed length is unknowable,
+    # so -1 only applies to uncompressed data).
     hs = int(header.get("HeaderSize", 0))
     if hs > 0:
         raw = raw[hs:]
-    elif hs == -1:
+    elif hs == -1 and not compressed:
         raw = raw[len(raw) - count * dtype.itemsize:]
+    if compressed:
+        import zlib
+        raw = zlib.decompress(raw)
     arr = np.frombuffer(raw, dtype=dtype, count=count).reshape(dim_size[::-1])
     if arr.dtype != arr.dtype.newbyteorder("="):
         arr = arr.astype(arr.dtype.newbyteorder("="))  # native order out

@@ -612,3 +612,96 @@ def test_roto_sample_item_honors_idx():
     # that idx does not raise and the random-path default still works
     assert a["triplet"].shape == b["triplet"].shape
     assert s.sample_item()["triplet"].shape == a["triplet"].shape
+
+
+def test_registry_checkpoint_zero_and_null():
+    """checkpoint: 0 is the valid epoch-0 checkpoint; only None/missing
+    falls back to the caisr alias."""
+    import superresolution_aniso_mri_tpu.evaluate.model_registry as mr
+
+    captured = {}
+
+    def fake_get_trainer(path, model_nbr=None, eval_mode=True):
+        captured["nbr"] = model_nbr
+        return None
+
+    import superresolution_aniso_mri_tpu.train as train_pkg
+    orig = train_pkg.get_trainer
+    train_pkg.get_trainer = fake_get_trainer
+    try:
+        mr.get_trainer_for_spec({"path": "/x", "checkpoint": 0})
+        assert captured["nbr"] == 0
+        mr.get_trainer_for_spec({"path": "/x", "checkpoint": None})
+        assert captured["nbr"] == "caisr"
+        mr.get_trainer_for_spec({"path": "/x"})
+        assert captured["nbr"] == "caisr"
+    finally:
+        train_pkg.get_trainer = orig
+
+
+def test_mhd_payload_path_skips_list_and_patterns(tmp_path):
+    from superresolution_aniso_mri_tpu.cli.entry import _mhd_payload_path
+
+    for val in ("LIST", "slice%03d.raw", "LOCAL"):
+        p = tmp_path / f"{val.replace('%', 'x')}.mhd"
+        p.write_text(f"ObjectType = Image\nElementDataFile = {val}\n")
+        assert _mhd_payload_path(str(p)) is None, val
+
+
+def test_metaimage_headersize_with_compression(tmp_path):
+    import zlib
+
+    from superresolution_aniso_mri_tpu.utils.nifti import read_metaimage
+
+    data = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    comp = zlib.compress(data.tobytes())
+    raw = tmp_path / "c.raw"
+    raw.write_bytes(b"HDRJUNK!" + comp)  # 8-byte on-disk prefix
+    hdr = tmp_path / "c.mhd"
+    hdr.write_text("ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+                   "ElementType = MET_FLOAT\nCompressedData = True\n"
+                   "HeaderSize = 8\nElementDataFile = c.raw\n")
+    arr, _, _ = read_metaimage(str(hdr))
+    np.testing.assert_allclose(arr, data)
+
+
+def test_checkpoint_loads_across_optimizer_layout_change(tmp_path):
+    """Weights must survive an optimizer-layout change (e.g. the ACAI
+    per-model optimizer split): opt moments restart fresh with a
+    warning instead of the whole load crashing."""
+    import warnings
+
+    import optax
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    from superresolution_aniso_mri_tpu.train.state import (
+        SRTrainState, make_optimizer,
+    )
+
+    cfg = AEConfig(width=16, latent_width=8, depth=4, latent=4)
+    model = VanillaACAI(cfg)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                   train=False)
+    s_old = SRTrainState.create(apply_fn=model.apply, params=v["params"],
+                                tx=make_optimizer(1e-3),
+                                batch_stats=v.get("batch_stats", {}))
+    path = str(tmp_path / "old.models")
+    save_checkpoint(path, s_old, epoch=3)
+
+    # a NEW optimizer layout (multi_transform over the same tree)
+    tx_new = optax.multi_transform(
+        {"all": make_optimizer(1e-3)},
+        lambda p: jax.tree_util.tree_map(lambda _: "all", p))
+    s_new = SRTrainState.create(apply_fn=model.apply, params=v["params"],
+                                tx=tx_new,
+                                batch_stats=v.get("batch_stats", {}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loaded, epoch = load_checkpoint(path, s_new)
+    assert epoch == 3
+    assert any("optimizer" in str(x.message) for x in w)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded.params),
+                    jax.tree_util.tree_leaves(s_old.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
