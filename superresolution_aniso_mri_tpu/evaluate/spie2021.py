@@ -59,11 +59,14 @@ def _method_style(method: str, conv_seen: int):
 def spie_boxplot_page(res_vectors: Dict[str, Sequence[Sequence[float]]],
                       m_labels: Sequence[str],
                       save_path: Optional[str] = None,
-                      show_means: bool = False):
+                      show_means: bool = False,
+                      use_fill_color: bool = True):
     """Three metric panels, one colored box per method.
 
     ``res_vectors``: {'ssim'|'psnr'|'vif': [per-method value vectors]}
-    aligned with ``m_labels``."""
+    aligned with ``m_labels``. ``use_fill_color`` reproduces the
+    reference's filled boxes (make_boxplots default,
+    metric_boxplots.py:5-6,31 patch_artist=use_fill_color)."""
     plt = _plt(save_path)
     fig, axes = plt.subplots(1, 3, figsize=(18, 8))
     for ax, (key, title) in zip(axes, (("ssim", "SSIM"), ("psnr", "PSNR"),
@@ -72,12 +75,18 @@ def spie_boxplot_page(res_vectors: Dict[str, Sequence[Sequence[float]]],
         for m_idx, method in enumerate(m_labels):
             color, alpha, conv_seen = _method_style(method, conv_seen)
             style = dict(color=color, alpha=alpha, linewidth=3)
-            ax.boxplot(np.asarray(res_vectors[key][m_idx]),
-                       positions=[m_idx + 1], widths=0.6,
-                       patch_artist=False, showmeans=show_means,
-                       boxprops=style, capprops=style,
-                       whiskerprops=style, medianprops=style,
-                       flierprops=dict(markeredgecolor=color, alpha=alpha))
+            bp = ax.boxplot(np.asarray(res_vectors[key][m_idx]),
+                            positions=[m_idx + 1], widths=0.6,
+                            patch_artist=use_fill_color,
+                            showmeans=show_means,
+                            boxprops=style, capprops=style,
+                            whiskerprops=style, medianprops=style,
+                            flierprops=dict(markeredgecolor=color,
+                                            alpha=alpha))
+            if use_fill_color:
+                for box in bp["boxes"]:
+                    box.set_facecolor(color)
+                    box.set_alpha(alpha)
         ax.set_title(title, fontsize=20)
         ax.yaxis.grid(True)
         ax.set_xticks(np.arange(1, len(m_labels) + 1))
@@ -120,14 +129,17 @@ def lax_view_pages(method_img_dict: Dict[str, Dict],
         ref_cut = _extract_lax_slice(img, slice_id, x_crop)
     for method, image_dict in method_img_dict.items():
         entry = image_dict[patient_id]
-        img = np.asarray(entry["image"], np.float32)
-        if frame_id is not None and img.ndim == 4:
-            img = img[frame_id]
         spacing = np.asarray(entry.get("spacing", (1.0, 1.0, 1.0)),
                              np.float64)
         if spacing.size > 3:      # 4-D spacing carries a leading t
             spacing = spacing[1:]
-        cut = _extract_lax_slice(img, slice_id, x_crop)
+        if method == "reference" and ref_cut is not None:
+            cut = ref_cut  # already extracted above — one code path
+        else:
+            img = np.asarray(entry["image"], np.float32)
+            if frame_id is not None and img.ndim == 4:
+                img = img[frame_id]
+            cut = _extract_lax_slice(img, slice_id, x_crop)
         out[method] = cut
         # the displayed axes are (z, x): width from the CUT's x extent
         # (after cropping) at the in-plane x spacing, height from z
@@ -317,9 +329,12 @@ def two_method_slice_compare(orig_vol: np.ndarray, m1_vol: np.ndarray,
                              m1_desc: str = "method 1",
                              m2_desc: str = "method 2",
                              frame_id: Optional[int] = None,
+                             downsample_steps: Optional[int] = None,
                              save_path: Optional[str] = None):
-    """Rows of (original | method 1 | method 2) panels with per-slice
-    SSIM/PSNR in the method titles (compare_methods.py:35-149
+    """Rows of (method 1 | ORIGINAL | method 2) panels — the reference's
+    column order — with per-slice SSIM/PSNR in the method titles and,
+    when ``downsample_steps`` is given, the reference's Reconstructed/
+    Synthesized slice annotation (compare_methods.py:35-149
     plot_compare; metrics via the JAX kernels instead of skimage)."""
     from ..ops.metrics import psnr2d, ssim2d
 
@@ -335,15 +350,24 @@ def two_method_slice_compare(orig_vol: np.ndarray, m1_vol: np.ndarray,
                              squeeze=False)
     for r, sid in enumerate(slice_range):
         o = _take_slice(orig, sid, eval_axis, None)
-        panels = [("Original", o)]
+        method_panels = []
         for desc, vol in ((m1_desc, m1_vol), (m2_desc, m2_vol)):
-            cut = _take_slice(np.asarray(vol, np.float32)
-                              if frame_id is None or np.asarray(vol).ndim < 4
-                              else np.asarray(vol, np.float32)[frame_id],
-                              sid, eval_axis, None)
+            # _take_slice owns the 4D frame selection — one code path
+            cut = _take_slice(np.asarray(vol, np.float32), sid,
+                              eval_axis, frame_id)
             s = float(ssim2d(o, cut))
             p = float(psnr2d(o, cut))
-            panels.append((f"{desc}\nSSIM {s:.3f}  PSNR {p:.1f}", cut))
+            # the reference labels method slices Reconstructed (on the
+            # original grid) vs Synthesized (compare_methods.py:92-99)
+            kind = ("Reconstructed"
+                    if downsample_steps and sid % downsample_steps == 0
+                    else "Synthesized" if downsample_steps else "")
+            method_panels.append(
+                (f"{desc} {kind}\nSSIM {s:.3f}  PSNR {p:.1f}", cut))
+        # reference layout: method1 | ORIGINAL | method2
+        # (compare_methods.py:84-99 puts the original in the middle)
+        panels = [method_panels[0], (f"Original slice {sid}", o),
+                  method_panels[1]]
         for c, (title, img) in enumerate(panels):
             ax = axes[r][c]
             ax.imshow(img, cmap="gray", vmin=0, vmax=1,

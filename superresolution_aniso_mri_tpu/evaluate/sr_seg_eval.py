@@ -10,7 +10,7 @@ together by the journal's segmentation experiments).
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -90,9 +90,11 @@ def evaluate_sr_segmentation(pred_dir: str, root_dir: str, fold: int = 0,
         spacings[(d["patient_id"], d["cardiac_phase"])] = d["spacing"]
 
     per_case: Dict = {}
+    n_preds = 0
     for phase in cardiac_phases:
         preds = load_uncertainty_data(pred_dir, phase, "pred_labels",
                                       mc_dropout=mc_dropout)["pred_labels"]
+        n_preds += len(preds)
         for pid, pred in preds.items():
             key = (pid, phase)
             if key not in refs:
@@ -100,6 +102,17 @@ def evaluate_sr_segmentation(pred_dir: str, root_dir: str, fold: int = 0,
             per_case[key] = score_segmentation(
                 np.asarray(pred, np.int32), refs[key],
                 voxelspacing=spacings[key])
+
+    # a cohort that scored NOTHING must not look like one that ran —
+    # typo'd pred_dir / wrong mc_dropout subdir / disjoint patient ids
+    # would otherwise return empty dicts and crash far downstream
+    if not per_case:
+        sub = "pred_labels_mc" if mc_dropout else "pred_labels"
+        raise ValueError(
+            f"evaluate_sr_segmentation scored 0 cases: {n_preds} "
+            f"prediction file(s) under {pred_dir}/{sub} matched "
+            f"{len(refs)} fold-{fold} reference(s) — wrong pred_dir, "
+            f"mc_dropout flag, or patient-id naming?")
 
     agg: Dict[str, Dict[str, tuple]] = {}
     if per_case:

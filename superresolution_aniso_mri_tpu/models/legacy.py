@@ -16,9 +16,19 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .acai import _conv, _leaky
+from .acai import _leaky
 
 Array = jax.Array
+
+
+def _lconv(features: int, kernel: int, name=None) -> nn.Conv:
+    """Legacy-family conv: the reference applies kaiming_normal_ to every
+    Conv2d via weights_init (ae_standard.py:6-10) — NOT the ACAI author
+    init the main family uses."""
+    return nn.Conv(features, (kernel, kernel),
+                   padding="SAME" if kernel > 1 else "VALID",
+                   kernel_init=nn.initializers.kaiming_normal(),
+                   bias_init=nn.initializers.zeros, name=name)
 
 
 class BasicEncoderBlock(nn.Module):
@@ -33,13 +43,16 @@ class BasicEncoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cin = x.shape[-1]
-        x = _leaky(_conv(cin, 3, x.dtype)(x))
-        x = _leaky(_conv(self.channels_out, 3, x.dtype)(x))
+        x = _leaky(_lconv(cin, 3)(x))
+        x = _leaky(_lconv(self.channels_out, 3)(x))
         if self.use_batchnorm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5)(x)
         if self.dropout:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            # reference uses Dropout2d: whole-channel dropout, i.e.
+            # the mask broadcasts over the spatial dims
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
         if self.downsample:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return x
@@ -80,8 +93,8 @@ class BasicDecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         cin = x.shape[-1]
-        x = _leaky(_conv(cin, 3, x.dtype)(x))
-        x = _leaky(_conv(self.channels_out, 3, x.dtype)(x))
+        x = _leaky(_lconv(cin, 3)(x))
+        x = _leaky(_lconv(self.channels_out, 3)(x))
         if self.do_upsample:
             x = bilinear_upsample2x(x)
         return x
@@ -99,8 +112,8 @@ class BlockEncoder(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         for cout, down in zip(self.channel_list, self.downsample_list):
             x = BasicEncoderBlock(cout, downsample=down)(x, train=train)
-        x = _leaky(_conv(x.shape[-1], 3, x.dtype)(x))
-        x = _leaky(_conv(self.latent_dim, 3, x.dtype)(x))
+        x = _leaky(_lconv(x.shape[-1], 3)(x))
+        x = _leaky(_lconv(self.latent_dim, 3)(x))
         return x
 
 
@@ -122,7 +135,7 @@ class BlockDecoder(nn.Module):
         rev_channels = list(self.channel_list)[::-1][1:] + [self.colors]
         for cout, up in zip(rev_channels, self.downsample_list):
             x = BasicDecoderBlock(cout, do_upsample=up)(x, train=train)
-        x = _conv(self.colors, 3, x.dtype)(x)
+        x = _lconv(self.colors, 3)(x)
         if self.use_sigmoid:
             x = nn.sigmoid(x)
         return x
@@ -207,14 +220,42 @@ class DiscriminatorSpatial(nn.Module):
 
 
 class DiscriminatorFakeReal(nn.Module):
-    """Image-space real/fake critic: conv blocks → flatten → sigmoid
-    logit (reference: ae_common.py:180-227)."""
+    """Image-space real/fake critic (reference: ae_common.py:205-227):
+    the VQ-VAE-style stride-16 Encoder (4 strided 4x4 convs alternating
+    channel//2 / channel with ReLU, a 3x3 conv, n_res_block ResBlocks,
+    final ReLU — ae_common.py:70-117), then a BIAS-FREE 1x1 conv to
+    latent_dim_chan and sigmoid over the mean of all flattened features
+    (a parameter-free head, not a learned Dense)."""
 
-    channel_list: Sequence[int] = (32, 64, 128)
+    channel: int = 128
+    latent_dim_chan: int = 64
+    n_res_block: int = 2
+    n_res_channel: int = 32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        for cout in self.channel_list:
-            x = BasicEncoderBlock(cout, downsample=True)(x, train=train)
-        x = x.reshape(x.shape[0], -1)
-        return nn.sigmoid(nn.Dense(1)(x))[:, 0]
+        ch = self.channel
+        x = x.astype(jnp.float32)
+        for cout in (ch // 2, ch, ch // 2, ch):
+            x = nn.relu(nn.Conv(cout, (4, 4), strides=(2, 2),
+                                padding=((1, 1), (1, 1)),
+                                kernel_init=nn.initializers.kaiming_normal(),
+                                bias_init=nn.initializers.zeros)(x))
+        x = nn.Conv(ch, (3, 3), padding="SAME",
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    bias_init=nn.initializers.zeros)(x)
+        for _ in range(self.n_res_block):
+            h = nn.relu(x)
+            h = nn.Conv(self.n_res_channel, (3, 3), padding="SAME",
+                        kernel_init=nn.initializers.kaiming_normal(),
+                        bias_init=nn.initializers.zeros)(h)
+            h = nn.relu(h)
+            h = nn.Conv(ch, (1, 1), padding="VALID",
+                        kernel_init=nn.initializers.kaiming_normal(),
+                        bias_init=nn.initializers.zeros)(h)
+            x = x + h
+        x = nn.relu(x)
+        x = nn.Conv(self.latent_dim_chan, (1, 1), padding="VALID",
+                    use_bias=False,
+                    kernel_init=nn.initializers.kaiming_normal())(x)
+        return nn.sigmoid(jnp.mean(x.reshape(x.shape[0], -1), axis=1))

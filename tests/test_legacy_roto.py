@@ -39,12 +39,25 @@ def test_legacy_discriminators():
     v = ds.init(jax.random.PRNGKey(0), z)
     assert ds.apply(v, z).shape == (3,)
 
-    dfr = DiscriminatorFakeReal(channel_list=(8, 16))
+    # reference architecture: stride-16 strided-conv encoder + ResBlocks
+    # + bias-free 1x1 + sigmoid(mean) (ae_common.py:205-227)
+    dfr = DiscriminatorFakeReal(channel=16, latent_dim_chan=8,
+                                n_res_block=2, n_res_channel=8)
     x = jnp.zeros((3, 32, 32, 1))
     v = dfr.init(jax.random.PRNGKey(0), x, train=False)
     out = dfr.apply(v, x)
     assert out.shape == (3,)
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+    # the head is parameter-free: no Dense layer anywhere in the tree
+    flat = jax.tree_util.tree_flatten_with_path(v["params"])[0]
+    names = {"/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in flat}
+    assert not any("Dense" in n for n in names)
+    # the 1x1 projection is bias-free (reference disc_enc bias=False)
+    conv_ids = sorted({int(n.split("/")[0].split("_")[1])
+                       for n in names if n.startswith("Conv_")})
+    assert f"Conv_{conv_ids[-1]}/kernel" in names
+    assert f"Conv_{conv_ids[-1]}/bias" not in names
 
 
 def test_roto_sampler_feeds_training():
