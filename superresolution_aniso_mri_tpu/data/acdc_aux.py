@@ -116,8 +116,17 @@ class ACDCSRSegImage:
 
     def _frame_index(self, phase: str) -> int:
         fid = self.get_frame_id(phase)
-        # 2-phase files index by position; full 4D files by frame id
+        # 2-phase files: honor an Info.cfg that genuinely indexes the
+        # two frames ({ED,ES} == {0,1} — derived sets can store ES
+        # first); otherwise the metadata is the ORIGINAL acquisition's
+        # 1-based frame numbering and position is the only valid map
+        # (the reference's "STRONG ASSUMPTION", ED=0/ES=1)
         if self.im.ndim == 4 and self.im.shape[0] == 2:
+            ids = {k: int(v) for k, v in self.info().items()
+                   if k in ("ED", "ES")
+                   and str(v).lstrip("-").isdigit()}
+            if sorted(ids.get(k, -1) for k in ("ED", "ES")) == [0, 1]:
+                return ids[phase]
             return 0 if phase == "ED" else 1
         if self.im.ndim == 4:
             # raw ACDC Info.cfg frame ids are 1-based (they match the
@@ -145,6 +154,10 @@ class ACDCSRSegImage:
         spacing = self.original_spacing.copy()
         if self._rescale:
             im = rescale_intensities(im).astype(np.float32)
+        # NOTE: the sub-millimeter clause bypasses both resample=False
+        # and the patient029 pin — reference-faithful bug-for-bug
+        # (sr_seg_test/dataset.py:205 has the identical `or` even though
+        # its line 172-176 pinned 029's _resample to False)
         if self._resample or self.original_spacing[-1] < 1.0:
             im = apply_2d_zoom_3d(im, spacing, ACDC_NEW_SPACING,
                                   do_blur=True)
@@ -360,6 +373,15 @@ def center_4d_volume(img4d: np.ndarray,
     dummy_rot = scipy.ndimage.rotate(dummy, degrees, reshape=False,
                                      order=1, mode="constant")
     ys, xs = np.nonzero(dummy_rot > 1e-6)
+    if ys.size == 0:
+        # the midpoint rotated out of the frame (corner anatomy + a
+        # large centering angle): int(mean([])) would die on a cryptic
+        # NaN-conversion — name the real cause
+        raise ValueError(
+            f"center_4d_volume: the LV/RV midpoint {tuple(avg_cms[1:])} "
+            f"leaves the field of view under the {degrees:.1f} deg "
+            f"centering rotation — segmentation too close to the "
+            f"image border to center")
     new_cms = np.array([int(np.mean(ys)), int(np.mean(xs))])
 
     out = np.zeros_like(img4d, np.float32)

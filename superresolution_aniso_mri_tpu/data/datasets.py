@@ -105,14 +105,31 @@ def _split_patients(patient_ids: Sequence[str], split_file: Optional[str],
 # brain datasets (OASIS / dHCP / ADNI / brainMASI)
 # ---------------------------------------------------------------------------
 
+
+def _warn_empty_split(dataset, split, n_files, splits):
+    """Shared '0 of N volumes selected' diagnostic for the loaders."""
+    import warnings
+    warnings.warn(
+        f"{dataset}: split {split!r} selected 0 of {n_files} "
+        f"volumes (split keys: {sorted(splits)}; check the split "
+        f"file's patient ids)", stacklevel=3)
+
+
 def load_brain_volumes(dataset: str, downsample_steps: int,
                        split: str = "training",
                        limited_load: bool = False,
                        include_hr_images: bool = False,
-                       rescale_int: bool = False,
+                       rescale_int: bool = True,
                        src_path: Optional[str] = None) -> List[Volume]:
     """Load pre-generated synthetic-LR brain volumes
-    (reference: common_brains.py:160-226 get_images)."""
+    (reference: common_brains.py:160-226 get_images).
+
+    ``rescale_int`` defaults TRUE like the reference's dataset builders
+    (OASIS/dHCP dataset.py pass rescale=True; evaluate_model.py
+    rescale_int=True): raw scanner intensities (0..4095) would
+    otherwise flow into a pipeline whose losses, metrics
+    (data_range=1.0) and conventional-interp clipping all assume
+    [0, 1]."""
     cfg = get_config(dataset)
     root = src_path or cfg.image_dir
     suffix = cfg.lr_file_suffix(downsample_steps)
@@ -161,11 +178,7 @@ def load_brain_volumes(dataset: str, downsample_steps: int,
         wanted = set(splits.get(split, []))
         sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
     if not sel and files:
-        import warnings
-        warnings.warn(
-            f"{dataset}: split {split!r} selected 0 of {len(files)} "
-            f"volumes (split keys: {sorted(splits)}; check the split "
-            f"file's patient ids)", stacklevel=2)
+        _warn_empty_split(dataset, split, len(files), splits)
     if limited_load:
         sel = sel[:cfg.limited_load_max]
     # decode the whole split in parallel on the native runtime when it is
@@ -325,16 +338,15 @@ def load_acdc_volumes(split: str = "training",
     wanted = set(splits.get(split, []))
     sel = [(p, f) for p, f in zip(pids, files) if p in wanted]
     if not sel and files:
-        import warnings
-        warnings.warn(
-            f"{dataset}: split {split!r} selected 0 of {len(files)} "
-            f"volumes (split keys: {sorted(splits)}; check the split "
-            f"file's patient ids)", stacklevel=2)
+        _warn_empty_split(dataset, split, len(files), splits)
     if limited_load:
         sel = sel[:cfg.limited_load_max]
+    # native thread-pool decode (same helper as the brain loaders) —
+    # serial gunzip of a 100-patient 4D cohort dominates startup
+    decoded = _read_images_parallel([p for _, p in sel])
     volumes: List[Volume] = []
     for pid, path in sel:
-        arr, spacing, _ = read_image(path)
+        arr, spacing, _ = decoded[path]
         arr = arr.astype(np.float32)
         if arr.ndim == 3:
             arr = arr[None]
@@ -452,22 +464,26 @@ def load_sunnybrook_volumes(src_path: Optional[str] = None,
         base = os.path.basename(fname)
         pid = base.replace(file_suffix, "")
         # anchored suffix swap on the BASENAME — a path component or
-        # patient id containing 'ES' must not be rewritten
-        phases = [("ES", fname)]
-        if "ES" in file_suffix:
-            ed_name = (base[: -len(file_suffix)]
-                       + file_suffix.replace("ES", "ED"))
-            ed_path = os.path.join(os.path.dirname(fname), ed_name)
+        # patient id containing 'ES' must not be rewritten. The phase
+        # label comes FROM the suffix: a hardcoded 'ES' would mislabel
+        # every volume of an ED-suffixed load (and a phase-less suffix
+        # has no companion to derive)
+        first = ("ES" if "ES" in file_suffix
+                 else "ED" if "ED" in file_suffix else "")
+        other = {"ES": "ED", "ED": "ES"}.get(first)
+        phases = [(first, fname)]
+        if other:
+            comp_name = (base[: -len(file_suffix)]
+                         + file_suffix.replace(first, other))
+            comp_path = os.path.join(os.path.dirname(fname), comp_name)
         else:
-            # a suffix without 'ES' has no phase encoding — deriving an
-            # "ED companion" would re-load the SAME file mislabeled
-            ed_path = None
-        if ed_path and os.path.isfile(ed_path):
-            phases.append(("ED", ed_path))
-        elif ed_path:
+            comp_path = None
+        if comp_path and os.path.isfile(comp_path):
+            phases.append((other, comp_path))
+        elif comp_path:
             import warnings
-            warnings.warn(f"sunnybrook: no ED companion for {base} — "
-                          f"loading ES phase only", stacklevel=2)
+            warnings.warn(f"sunnybrook: no {other} companion for {base} "
+                          f"— loading {first} phase only", stacklevel=2)
         for phase, path in phases:
             arr, _sp, _ = read_image(path)
             arr = np.flip(arr.astype(np.float32), axis=2).copy()
@@ -481,7 +497,8 @@ def load_sunnybrook_volumes(src_path: Optional[str] = None,
                 arr = rescale_intensities(arr, percs=(1, 99))
             volumes.append(Volume(image=arr.astype(np.float32),
                                   spacing=spacing,
-                                  patient_id=f"{pid}_{phase}"))
+                                  patient_id=(f"{pid}_{phase}" if phase
+                                              else pid)))
     return volumes
 
 
@@ -529,22 +546,22 @@ def create_dhcp_dataset(src_path: str, out_path: str,
             out = os.path.join(out_path, os.path.basename(path))
         else:
             out = os.path.join(out_path, f"{pid}_t2w.nii.gz")
-            if out in written or os.path.isfile(out):
-                # several sessions/files of the same subject must not
-                # silently overwrite each other — uniquify from the full
-                # source stem, then a counter (same-basename sessions
-                # would collide on the stem too)
-                stem = os.path.basename(path)
-                for ext in (".nii.gz", ".nii"):
-                    if stem.endswith(ext):
-                        stem = stem[: -len(ext)]
-                        break
-                out = os.path.join(out_path, f"{stem}_t2w.nii.gz")
-                k = 2
-                while out in written or os.path.isfile(out):
-                    out = os.path.join(out_path,
-                                       f"{stem}_{k}_t2w.nii.gz")
-                    k += 1
+        if out in written or os.path.isfile(out):
+            # several sessions/files of the same subject must not
+            # silently overwrite each other — BOTH branches (same-named
+            # t2w files from different source subdirs collide too):
+            # uniquify from the full source stem, then a counter
+            stem = os.path.basename(path)
+            for ext in (".nii.gz", ".nii"):
+                if stem.endswith(ext):
+                    stem = stem[: -len(ext)]
+                    break
+            out = os.path.join(out_path, f"{stem}_t2w.nii.gz")
+            k = 2
+            while out in written or os.path.isfile(out):
+                out = os.path.join(out_path,
+                                   f"{stem}_{k}_t2w.nii.gz")
+                k += 1
         write_image(out, cropped, spacing=spacing)
         written.append(out)
     return written
@@ -595,15 +612,21 @@ def load_acdc_labeled_volumes(split: str = "training",
     sel = [(p, f) for p, f in zip(pids, img_files) if p in wanted]
     if limited_load:
         sel = sel[:cfg.limited_load_max]
+    # decode images + their label companions through the shared native
+    # thread pool in one pass
+    gt_of = {p: p.replace(".nii.gz", "_gt.nii.gz") for _, p in sel}
+    to_read = [p for _, p in sel] + [g for g in gt_of.values()
+                                     if os.path.isfile(g)]
+    decoded = _read_images_parallel(to_read)
     volumes = []
     for pid, path in sel:
-        arr, spacing, _ = read_image(path)
+        arr, spacing, _ = decoded[path]
         arr = arr.astype(np.float32)
         spacing = np.asarray(spacing, np.float64)
-        gt_path = path.replace(".nii.gz", "_gt.nii.gz")
+        gt_path = gt_of[path]
         labels = None
-        if os.path.isfile(gt_path):
-            lbl, _, _ = read_image(gt_path)
+        if gt_path in decoded:
+            lbl, _, _ = decoded[gt_path]
             labels = lbl.astype(np.int32)
         # in-plane resample to the shared 1.4mm grid like the plain ACDC
         # pipeline (reference passes new_spacing=(1,1.4,1.4) to the
