@@ -75,12 +75,17 @@ def spie_boxplot_page(res_vectors: Dict[str, Sequence[Sequence[float]]],
         for m_idx, method in enumerate(m_labels):
             color, alpha, conv_seen = _method_style(method, conv_seen)
             style = dict(color=color, alpha=alpha, linewidth=3)
+            # each prop group gets its OWN copy: matplotlib >= 3.10's
+            # boxplot() mutates the boxprops dict in place under
+            # patch_artist ('color' -> 'edgecolor'), which poisons a
+            # shared dict for the Line2D whisker/cap/median artists
             bp = ax.boxplot(np.asarray(res_vectors[key][m_idx]),
                             positions=[m_idx + 1], widths=0.6,
                             patch_artist=use_fill_color,
                             showmeans=show_means,
-                            boxprops=style, capprops=style,
-                            whiskerprops=style, medianprops=style,
+                            boxprops=dict(style), capprops=dict(style),
+                            whiskerprops=dict(style),
+                            medianprops=dict(style),
                             flierprops=dict(markeredgecolor=color,
                                             alpha=alpha))
             if use_fill_color:
