@@ -43,3 +43,20 @@ def test_reuse_overrides_noop_when_matching_or_absent():
     assert rpq.apply_reuse_overrides({}, ns) == []
     assert rpq.apply_reuse_overrides({"width": None}, ns) == []
     assert ns.inplane == 64
+
+
+def test_select_score_checkpoint():
+    import pytest
+    sel = rpq.select_score_checkpoint
+    # auto: EMA only when trained-with-EMA AND the file exists
+    assert sel("auto", 0.999, True, 120) == "ema"
+    assert sel("auto", 0.999, False, 120) == 120
+    assert sel("auto", 0.0, True, 120) == 120   # stray ema.models ignored
+    assert sel("auto", 0.0, False, "caisr") == "caisr"
+    # sweep: forces the epoch even for EMA-trained runs (the
+    # one-training-two-scorings comparison path)
+    assert sel("sweep", 0.999, True, 117) == 117
+    # ema: demands the averaged weights
+    assert sel("ema", 0.999, True, 117) == "ema"
+    with pytest.raises(SystemExit):
+        sel("ema", 0.0, False, 117)

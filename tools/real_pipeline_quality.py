@@ -113,6 +113,24 @@ def apply_reuse_overrides(kept: dict, args) -> list:
     return overrides
 
 
+def select_score_checkpoint(score: str, ema_decay: float,
+                            have_ema: bool, sweep_nbr):
+    """--score resolution → checkpoint identifier to evaluate.
+
+    'auto' scores the EMA weights only when the experiment trained with
+    EMA (decay>0 recorded) AND the rolling ema.models exists; 'sweep'
+    forces the sweep-selected epoch even for EMA-trained runs; 'ema'
+    demands the averaged weights and errors when they don't exist."""
+    if score == "ema":
+        if not have_ema:
+            raise SystemExit("--score ema: no models/ema.models in the "
+                             "experiment (train with --ema_decay)")
+        return "ema"
+    if score == "auto" and ema_decay > 0 and have_ema:
+        return "ema"
+    return sweep_nbr
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=300)
@@ -165,6 +183,14 @@ def main():
                         "score the rolling ema.models checkpoint "
                         "instead of the sweep-selected epoch (typical "
                         "0.999; 0 = off)")
+    p.add_argument("--score", type=str, default="auto",
+                   choices=("auto", "sweep", "ema"),
+                   help="which checkpoint to score: 'auto' = the EMA "
+                        "weights when the experiment trained with "
+                        "--ema_decay, else the sweep-selected epoch; "
+                        "'sweep'/'ema' force one — e.g. --reuse an "
+                        "EMA-trained run with --score sweep to compare "
+                        "both from a single training")
     p.add_argument("--train_timeout_s", type=float, default=0,
                    help="hard wall-clock budget for the training child "
                         "(0 = auto: 4 s/step at the inplane=64 default, "
@@ -284,9 +310,10 @@ def main():
         import re
         m = re.search(r"ssim_synth: epoch (\d+)", r.stdout)
         best_nbr = int(m.group(1)) if m else "caisr"
-        if args.ema_decay > 0 and os.path.isfile(
-                os.path.join(exper, "models", "ema.models")):
-            best_nbr = "ema"  # score the Polyak-averaged weights
+        have_ema = os.path.isfile(
+            os.path.join(exper, "models", "ema.models"))
+        best_nbr = select_score_checkpoint(args.score, args.ema_decay,
+                                           have_ema, best_nbr)
         kind = "EMA" if best_nbr == "ema" else "sweep-selected"
         print(f"[score] using {kind} checkpoint: {best_nbr}", flush=True)
 
