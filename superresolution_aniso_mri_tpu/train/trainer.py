@@ -483,7 +483,10 @@ class Trainer:
                     lambda t: t, out_shardings=replicated(self.mesh))
             aux = self._gather_replicated(aux)
         for k, v in metrics.items():
-            self.losses_test[k].append(float(v))
+            # device scalars, no host sync — the epoch flush
+            # (show_loss_on_tensorboard) fetches each key's stack in one
+            # round trip, same as the train-side metrics
+            self.losses_test[k].append(v)
         self.test_predictions = aux
         return metrics
 
