@@ -167,6 +167,17 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                                      pad_size=pad,
                                      seed=int(merged.get("seed", 0)) + 1,
                                      use_masks=use_masks)
+    # device-resident slice cache: upload the padded stacks once,
+    # gather each batch on device — identical batches/trajectory to the
+    # host path, minus the per-step pixel transfer (data/device_cache.py)
+    from ..data.device_cache import maybe_device_cache
+    multi_device = int(merged.get("num_devices") or 1) > 1
+    sampler = maybe_device_cache(
+        sampler, merged.get("device_data_cache", "auto"),
+        multi_device=multi_device, verbose=verbose)
+    val_sampler = maybe_device_cache(
+        val_sampler, merged.get("device_data_cache", "auto"),
+        multi_device=multi_device)
     aug_cfg = build_augment_config(merged)
     val_cfg = AugmentConfig(patch_size=int(merged["width"]),
                             aug_patch_size=aug_cfg.aug_patch_size,

@@ -65,6 +65,14 @@ def parse_args(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=1,
                         help="optimizer steps scanned inside one device "
                              "program (amortizes per-dispatch transport)")
+    parser.add_argument("--device_data_cache", type=str, default="auto",
+                        choices=["auto", "0", "1"],
+                        help="keep the padded slice stacks resident in "
+                             "HBM and gather training batches on device "
+                             "(per-step host traffic drops to the index "
+                             "scalars); 'auto' enables when they fit "
+                             "SR_DEVICE_CACHE_MB (default 512) on a "
+                             "single-device run")
     parser.add_argument("--auto_resume", action="store_true",
                         help="continue from the newest numbered checkpoint "
                              "in the experiment dir (elastic restarts)")
