@@ -320,8 +320,10 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                       f"val={te:.5f}  ({time.time() - t0:.1f}s)")
 
             # image dumps (reference: base_trainer.py:395-420)
+            dump_every = int(merged.get("image_dump_interval", 1) or 0)
             if main_proc and last_batch is not None \
-                    and trainer.test_predictions:
+                    and trainer.test_predictions \
+                    and dump_every > 0 and epoch % dump_every == 0:
                 grid = generate_recon_grid(
                     np.asarray(val_batch["image"]),
                     np.asarray(trainer.test_predictions["reconstruction"]))

@@ -91,6 +91,12 @@ def parse_args(argv=None):
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")
+    parser.add_argument("--image_dump_interval", type=int, default=1,
+                        help="epochs between val-reconstruction grid "
+                             "dumps (0 disables; the reference dumps "
+                             "every epoch — raise for long runs where "
+                             "thousands of PNGs and their device "
+                             "fetches are dead weight)")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="maintain an exponential moving average of "
                              "the model weights (Polyak averaging) with "
