@@ -97,6 +97,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
     for flag, key, cast in (
             ("downsample_steps", "downsample_steps", int),
             ("inplane", "width", int),
+            ("latent_width", "latent_width", int),
             ("ex_loss_weight", "ex_loss_weight1", float),
             ("lr_schedule", "use_lr_scheduler", bool),
             ("depth", "depth", int),
@@ -146,6 +147,13 @@ def main():
                    help="latent channels (reference OASIS recipe: 128, "
                         "README.md:46; 64 keeps CPU benchmark runs "
                         "affordable)")
+    p.add_argument("--latent_width", type=int, default=0,
+                   help="latent spatial size (0 = inplane//4, the "
+                        "reference's OASIS ratio 64->16, README.md:46). "
+                        "Halving the spatial compression (e.g. 32 at "
+                        "inplane=64) raises the AE reconstruction "
+                        "ceiling that bounds production thick-slice "
+                        "quality (docs/STATUS.md round-3 diagnosis)")
     p.add_argument("--model", type=str, default="ae_combined",
                    choices=["ae_combined", "ae"],
                    help="trainer family: the reference's dHCP tables "
@@ -252,7 +260,8 @@ def main():
             sys.executable, "train_brain_aesr.py", "-d", "OASIS",
             "-m", args.model, "--downsample_steps", str(ds),
             "--width", str(args.inplane), "--latent_width",
-            str(args.inplane // 4), "--latent", str(args.latent),
+            str(args.latent_width or args.inplane // 4),
+            "--latent", str(args.latent),
             "--depth", str(args.depth),
             "--aug_patch_size", str(args.inplane),
             "-b", str(args.batch_size), "--lr", "0.002",
@@ -402,6 +411,8 @@ def main():
                 "ema_decay": args.ema_decay,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
+                "latent_width": int(args.latent_width
+                                    or args.inplane // 4),
                 "inplane": args.inplane, "num_slices": args.num_slices,
                 "n_patients": args.n_patients,
                 "model": {k: round(mv, 5)
