@@ -124,6 +124,14 @@ def generate_hr_volumes(argv=None):
                              "over 4 ('flips') or 8 ('dihedral') in-plane "
                              "symmetries — higher quality at "
                              "~n_variants x the per-volume cost")
+    parser.add_argument("--latent_interp", type=str, default="linear",
+                        choices=["linear", "cubic"],
+                        help="latent z-interpolation: 'linear' = the "
+                             "reference's 2-tap lerp; 'cubic' = 4-tap "
+                             "Catmull-Rom over neighbouring slice "
+                             "latents (the latent-space analogue of "
+                             "lanczos's multi-tap kernel; same cost, "
+                             "no retraining)")
     args = parser.parse_args(argv)
 
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
@@ -136,12 +144,13 @@ def generate_hr_volumes(argv=None):
                                   args.label_suffix):
         _densify_file(trainer, path, args.output_dir,
                       args.num_interpolations, args.label_suffix,
-                      args.num_devices, tta=args.tta)
+                      args.num_devices, tta=args.tta,
+                      latent_interp=args.latent_interp)
 
 
 def _densify_file(trainer, path: str, output_dir: str, n: int,
                   label_suffix: str, num_devices: int = 1,
-                  tta: str | None = None):
+                  tta: str | None = None, latent_interp: str = "linear"):
     """Densify one on-disk volume: read (+ label companion), synthesize
     ``n`` in-between slices per gap, write '<base>_niNN.nii.gz' (and the
     label output when input labels existed). Returns the written paths.
@@ -183,7 +192,8 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
                                   generate_inbetween_slices=False,
                                   labels=(None if lbl_frames is None
                                           else lbl_frames[fi]),
-                                  num_devices=num_devices, tta=tta)
+                                  num_devices=num_devices, tta=tta,
+                                  latent_interp=latent_interp)
         out_frames.append(res["upsampled_image"])
         out_lbl_frames.append(res["upsampled_labels"])
     out = (out_frames[0] if arr.ndim == 3

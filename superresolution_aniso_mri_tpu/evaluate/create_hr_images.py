@@ -122,7 +122,8 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                      resample: bool = False,
                      original_spacing=None,
                      verbose: bool = False,
-                     tta: Optional[str] = None) -> Dict:
+                     tta: Optional[str] = None,
+                     latent_interp: str = "linear") -> Dict:
     """Evaluate SR quality over a dataset of HR volumes.
 
     ``interpol_method``: 'model' → latent-interpolation synthesis;
@@ -134,6 +135,9 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
     volume's own ``original_spacing`` attribute) — reference
     :81-107, 239-424. ``tta``: None | 'flips' | 'dihedral' —
     test-time-augmented model synthesis (infer.create_super_volume).
+    ``latent_interp``: 'linear' | 'cubic' — latent z-interpolation
+    scheme for model synthesis (4-tap Catmull-Rom vs the reference's
+    2-tap lerp; see infer.super_volume.LATENT_INTERP_MODES).
     Returns {'per_volume': {...}, 'aggregate': {...}}.
     """
     alpha_range = np.linspace(0, 1, downsample_steps + 1)[1:-1]
@@ -171,7 +175,8 @@ def create_hr_images(trainer, volumes: Iterable[Volume],
                 trainer, img3d, alpha_range=alpha_range,
                 downsample_steps=downsample_steps,
                 generate_inbetween_slices=True,
-                use_original=use_original, labels=lbl3d, tta=tta)
+                use_original=use_original, labels=lbl3d, tta=tta,
+                latent_interp=latent_interp)
             # upsampled_labels: model-decoded for the multichannel
             # (ACDCLBL) family, ride-along otherwise (grid coincides in
             # the in-between-slices mode, so they return unchanged)

@@ -119,8 +119,35 @@ def clip_with_label_channel(vol, decodes_labels: bool):
     return jnp.clip(vol, 0.0, 1.0)
 
 
+# latent z-interpolation schemes for the synthesis core: 'linear' is the
+# reference's 2-tap lerp (kwatsch/img_interpolation.py:58-92); 'cubic' is
+# a Catmull-Rom spline over the 4 neighbouring kept-slice latents — the
+# latent-space analogue of the 4-tap conventional kernels (lanczos /
+# b-spline) that out-resolve 2-tap linear blending in pixel space. An
+# inference-only quality lever: no retraining, same decoder, same grid.
+LATENT_INTERP_MODES = ("linear", "cubic")
+
+
+def catmull_rom_weights(alphas: Array) -> Array:
+    """[A] mixing coefficients → [A, 4] Catmull-Rom weights over the
+    latent taps (z[i-1], z[i], z[i+1], z[i+2]) for a sample at fractional
+    position t=alpha between z[i] (t=0) and z[i+1] (t=1).
+
+    Properties (pinned by tests/test_latent_interp.py): rows sum to 1,
+    linear precision (collinear equispaced latents reproduce the lerp
+    exactly), and endpoint interpolation (t=0 → z[i], t=1 → z[i+1])."""
+    t = jnp.asarray(alphas)
+    t2, t3 = t * t, t * t * t
+    return 0.5 * jnp.stack(
+        [-t3 + 2.0 * t2 - t,
+         3.0 * t3 - 5.0 * t2 + 2.0,
+         -3.0 * t3 + 4.0 * t2 + t,
+         t3 - t2], axis=-1)
+
+
 def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
-                            packed: bool = False):
+                            packed: bool = False,
+                            latent_interp: str = "linear"):
     """Build the jitted kernel for one model.
 
     Returns synth(params, batch_stats, kept [K,H,W,C], alphas [A],
@@ -140,7 +167,8 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
     the conv, and the depth-to-space reshuffles dominate), so it is off
     by default — kept as an option for other topologies.
     """
-    core = make_synthesis_core(model, decode_batch, packed)
+    core = make_synthesis_core(model, decode_batch, packed,
+                               latent_interp=latent_interp)
 
     @partial(jax.jit, static_argnames=("use_original", "interleave"))
     def synthesize(params, batch_stats, kept: Array, alphas: Array,
@@ -155,12 +183,23 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
 
 
 def make_synthesis_core(model, decode_batch: Optional[int] = None,
-                        packed: bool = False):
+                        packed: bool = False,
+                        latent_interp: str = "linear"):
     """The un-jitted synthesis body shared by the single-volume
     synthesizer and the batched sweep evaluator (evaluate/sweep.py):
     core(variables, kept [K,H,W,C], alphas [A], use_original, interleave)
-    → {'recon', 'interp'[, 'volume']}."""
+    → {'recon', 'interp'[, 'volume']}.
+
+    ``latent_interp='cubic'`` mixes FOUR neighbouring latents per
+    synthesized slice (Catmull-Rom, endpoint taps clamped at the volume
+    edges) instead of the reference's 2-tap lerp. Callers that pad the
+    kept-slice stack (bucket shapes / mesh divisibility) must pad with
+    EDGE replication in this mode — zero-padding would leak encode(0)
+    into the last real pair's z[i+2] tap (create_super_volume does)."""
     cfg = getattr(model, "config", None)
+    if latent_interp not in LATENT_INTERP_MODES:
+        raise ValueError(f"latent_interp must be one of "
+                         f"{LATENT_INTERP_MODES}, got {latent_interp!r}")
 
     # VAE family routes encode through the trained mu bottleneck
     # (heads -> mu -> unflatten), exactly like Trainer._encode_fn — raw
@@ -226,8 +265,22 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         # the decoded stack, and ONE decoder pass covers reconstructions
         # and interpolants (fewer logical ops; the axon transport is
         # op-count-bound at ~20 µs/op, docs/STATUS.md)
-        a = alphas[None, :, None, None, None]   # [1, A, 1, 1, 1]
-        z_mix = a * z[1:, None] + (1.0 - a) * z[:-1, None]  # [K-1, A, ...]
+        if latent_interp == "cubic":
+            # 4-tap Catmull-Rom over (z[i-1], z[i], z[i+1], z[i+2]) with
+            # edge-clamped end taps: for pair j the outer taps are
+            # z[max(j-1,0)] and z[min(j+2,K-1)] — same index clamping as
+            # the pixel-space lanczos/bspline baselines (_interp_weights)
+            w = catmull_rom_weights(alphas)        # [A, 4]
+            w = w[None, :, :, None, None, None]    # [1, A, 4, 1, 1, 1]
+            z_p0 = jnp.concatenate([z[:1], z[:-2]], axis=0)   # z[max(j-1,0)]
+            z_p3 = jnp.concatenate([z[2:], z[-1:]], axis=0)   # z[min(j+2,K-1)]
+            z_mix = (w[:, :, 0] * z_p0[:, None]
+                     + w[:, :, 1] * z[:-1, None]
+                     + w[:, :, 2] * z[1:, None]
+                     + w[:, :, 3] * z_p3[:, None])  # [K-1, A, ...]
+        else:
+            a = alphas[None, :, None, None, None]   # [1, A, 1, 1, 1]
+            z_mix = a * z[1:, None] + (1.0 - a) * z[:-1, None]  # [K-1, A, ...]
         k1, am = z_mix.shape[0], z_mix.shape[1]
         z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
         if use_original:
@@ -368,7 +421,9 @@ def create_super_volume(trainer, images, alpha_range=None,
                         labels=None, pad_to_bucket: bool = True,
                         decode_batch="auto",
                         num_devices: int = 1,
-                        tta: Optional[str] = None) -> Dict[str, np.ndarray]:
+                        tta: Optional[str] = None,
+                        latent_interp: str = "linear"
+                        ) -> Dict[str, np.ndarray]:
     """Host wrapper with the reference's exact tail-slice semantics
     (reference: evaluate/common.py:134-235).
 
@@ -386,6 +441,10 @@ def create_super_volume(trainer, images, alpha_range=None,
     labels/pred_alphas come from the identity variant — class ids
     cannot be averaged). Shape-preserving variants reuse the one
     compiled program, so the cost is ~n_variants x the per-call time.
+    ``latent_interp``: 'linear' (the reference's 2-tap latent lerp) |
+    'cubic' (4-tap Catmull-Rom over neighbouring kept-slice latents —
+    the latent-space analogue of lanczos's multi-tap kernel; an
+    inference-only option the reference lacks).
     Returns {'upsampled_image' [S', H, W], 'pred_alphas', 'upsampled_labels'}.
     """
     if tta:
@@ -395,7 +454,7 @@ def create_super_volume(trainer, images, alpha_range=None,
                       generate_inbetween_slices=generate_inbetween_slices,
                       pad_to_bucket=pad_to_bucket,
                       decode_batch=decode_batch, num_devices=num_devices,
-                      tta=None)
+                      tta=None, latent_interp=latent_interp)
         base = create_super_volume(trainer, images, labels=labels, **kwargs)
         acc = base["upsampled_image"].astype(np.float64).copy()
         for fwd, inv in variants[1:]:
@@ -450,7 +509,13 @@ def create_super_volume(trainer, images, alpha_range=None,
         # slice-axis sharding needs the kept count divisible by the mesh
         k_pad = ((k_pad + num_devices - 1) // num_devices) * num_devices
     if k_pad > k_true:
-        kept = jnp.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3)
+        # cubic: edge-replicate so the last real pair's z[i+2] tap sees
+        # the clamped boundary latent, not encode(zeros); linear pairs
+        # never read padded latents, so zero-pad keeps legacy outputs
+        # bit-identical there
+        kept = jnp.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3,
+                       mode="edge" if latent_interp == "cubic" else
+                       "constant")
 
     if decode_batch == "auto":
         depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
@@ -464,9 +529,10 @@ def create_super_volume(trainer, images, alpha_range=None,
         # per-shard decode chunking keeps the HBM bound on the mesh too
         per_dev = (decode_batch if decode_batch is None
                    else max(32, int(decode_batch) // int(num_devices)))
-        synth = _get_sharded_synthesizer(trainer, num_devices, per_dev)
+        synth = _get_sharded_synthesizer(trainer, num_devices, per_dev,
+                                         latent_interp)
     else:
-        synth = _get_synthesizer(trainer, decode_batch)
+        synth = _get_synthesizer(trainer, decode_batch, latent_interp)
     params_sr = getattr(trainer, "params_sr", None)
     if params_sr is not None:
         # AE+CAISR combo: synthesis from the SR model, reconstructions
@@ -595,22 +661,24 @@ def create_super_volume(trainer, images, alpha_range=None,
 _SYNTH_CACHE: dict = {}
 
 
-def _get_synthesizer(trainer, decode_batch: Optional[int] = None):
+def _get_synthesizer(trainer, decode_batch: Optional[int] = None,
+                     latent_interp: str = "linear"):
     mdl = trainer._ae_model()
-    key = (id(mdl), decode_batch)
+    key = (id(mdl), decode_batch, latent_interp)
     if key not in _SYNTH_CACHE:
         _SYNTH_CACHE[key] = make_volume_synthesizer(
-            mdl, decode_batch=decode_batch)
+            mdl, decode_batch=decode_batch, latent_interp=latent_interp)
     return _SYNTH_CACHE[key]
 
 
 def _get_sharded_synthesizer(trainer, num_devices: int,
-                             decode_batch: Optional[int] = None):
+                             decode_batch: Optional[int] = None,
+                             latent_interp: str = "linear"):
     """Slice-axis-sharded synthesizer over the first N devices
     (parallel.make_sharded_synthesizer), cached per
-    (model, N, decode_batch)."""
+    (model, N, decode_batch, latent_interp)."""
     mdl = trainer._ae_model()
-    key = (id(mdl), "mesh", int(num_devices), decode_batch)
+    key = (id(mdl), "mesh", int(num_devices), decode_batch, latent_interp)
     if key not in _SYNTH_CACHE:
         from ..parallel import create_mesh, make_sharded_synthesizer
 
@@ -621,7 +689,7 @@ def _get_sharded_synthesizer(trainer, num_devices: int,
                 f"device(s) attached")
         _SYNTH_CACHE[key] = make_sharded_synthesizer(
             mdl, create_mesh(devices[:num_devices]),
-            decode_batch=decode_batch)
+            decode_batch=decode_batch, latent_interp=latent_interp)
     return _SYNTH_CACHE[key]
 
 

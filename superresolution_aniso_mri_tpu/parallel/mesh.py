@@ -116,7 +116,8 @@ def make_sharded_train_step(model, loss_config, lpips_params, mesh: Mesh,
 
 
 def make_sharded_synthesizer(model, mesh: Mesh,
-                             decode_batch: Optional[int] = None):
+                             decode_batch: Optional[int] = None,
+                             latent_interp: str = "linear"):
     """Volume synthesizer with the slice axis sharded over the mesh —
     whole-volume inference scales across chips
     (SURVEY.md §2.9: shard the slice axis for volume inference).
@@ -128,7 +129,8 @@ def make_sharded_synthesizer(model, mesh: Mesh,
     synthesizer's HBM budget."""
     from ..infer.super_volume import make_volume_synthesizer
 
-    base = make_volume_synthesizer(model, decode_batch=decode_batch)
+    base = make_volume_synthesizer(model, decode_batch=decode_batch,
+                                   latent_interp=latent_interp)
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
 

@@ -177,6 +177,12 @@ def main():
                         "OASIS recipe uses 0.001, README.md:46 — "
                         "heavier weights steal capacity from the AE "
                         "reconstruction that bounds production quality)")
+    p.add_argument("--latent_interp", type=str, default="linear",
+                   choices=["linear", "cubic"],
+                   help="latent z-interpolation for the model's scoring "
+                        "pass: 'cubic' = 4-tap Catmull-Rom over "
+                        "neighbouring slice latents (inference-side "
+                        "lever like --tta, no retraining)")
     p.add_argument("--tta", type=str, default=None,
                    choices=["flips", "dihedral"],
                    help="test-time augmentation for the model's scoring "
@@ -344,7 +350,7 @@ def main():
         trainer = get_trainer(exper, model_nbr=best_nbr, eval_mode=True)
         rows = {"model (AESR)": create_hr_images(
             trainer, test_vols, downsample_steps=ds,
-            tta=args.tta)["aggregate"]}
+            tta=args.tta, latent_interp=args.latent_interp)["aggregate"]}
         for method in ("linear", "bspline", "lanczos"):
             rows[method] = create_hr_images(
                 None, test_vols, downsample_steps=ds,
@@ -408,6 +414,7 @@ def main():
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
                 "tta": args.tta,
+                "latent_interp": args.latent_interp,
                 "ema_decay": args.ema_decay,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
