@@ -335,6 +335,11 @@ def serve_hr_volumes(argv=None):
                         choices=["flips", "dihedral"],
                         help="test-time augmentation for every served "
                              "volume (see generate_hr_volumes --tta)")
+    parser.add_argument("--latent_interp", type=str, default="linear",
+                        choices=["linear", "cubic"],
+                        help="latent z-interpolation for every served "
+                             "volume (see generate_hr_volumes "
+                             "--latent_interp)")
     parser.add_argument("--synth_timeout_s", type=float, default=0,
                         help="stall watchdog: exit 75 (EX_TEMPFAIL) if "
                              "one volume's synthesis hangs this long "
@@ -414,7 +419,8 @@ def serve_hr_volumes(argv=None):
                 written = _densify_file(
                     trainer, path, args.output_dir,
                     args.num_interpolations, args.label_suffix,
-                    args.num_devices, tta=args.tta)
+                    args.num_devices, tta=args.tta,
+                    latent_interp=args.latent_interp)
             except Exception as exc:    # keep serving on bad volumes
                 print(f"ERROR serving {path}: {exc}", flush=True)
                 processed[path] = sig   # don't retry-loop a poison file
@@ -460,6 +466,11 @@ def find_best_model(argv=None):
     parser.add_argument("--batched", action="store_true",
                         help="one device program per shape-group "
                              "(3.7x faster sweeps)")
+    parser.add_argument("--latent_interp", type=str, default="linear",
+                        choices=["linear", "cubic"],
+                        help="latent z-interpolation for the sweep's "
+                             "synthesis — select checkpoints with the "
+                             "scheme you will serve with")
     args = parser.parse_args(argv)
 
     exper_dir = os.path.expanduser(args.exper_dir)
@@ -477,7 +488,8 @@ def find_best_model(argv=None):
     settings["downsample_steps"] = ds
     _train, val = get_datasets(settings)
     res = find_best_val_model(exper_dir, val, ds, batched=args.batched,
-                              verbose=True)
+                              verbose=True,
+                              latent_interp=args.latent_interp)
     print("best per metric:")
     for metric, info in res["best"].items():
         print(f"  {metric}: epoch {info['epoch']}  value {info['value']:.4f}")

@@ -34,7 +34,8 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
                         downsample_steps: int,
                         epoch_range: Optional[Iterable[int]] = None,
                         batched: bool = False,
-                        verbose: bool = False) -> Dict:
+                        verbose: bool = False,
+                        latent_interp: str = "linear") -> Dict:
     """Sweep checkpoints; returns per-epoch aggregates and the argmax per
     tracked metric. Saves model_perf_*.npz into the experiment dir
     (reference: find_best_model.py:99-108).
@@ -42,7 +43,9 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
     ``batched=True`` runs synthesis + per-slice metrics for all volumes
     of a shape-group in ONE device program per epoch (evaluate/sweep.py)
     — the fast path for long sweeps; scores only the model-generated
-    region (verbatim tail slices excluded)."""
+    region (verbatim tail slices excluded). ``latent_interp`` selects
+    the latent z-mixing scheme ('linear' | 'cubic') so selection can
+    match the serving configuration."""
     from ..train import get_trainer
 
     volumes = list(volumes)
@@ -69,13 +72,14 @@ def find_best_val_model(exper_dir: str, volumes: Iterable[Volume],
             # reference's global per-frame lists (and like the
             # non-batched path); nanmean drops NaN entries (e.g. VIF on
             # an all-uniform volume) instead of poisoning the epoch
-            per_vol = evaluate_prepared(trainer, prep)
+            per_vol = evaluate_prepared(trainer, prep, latent_interp)
             for k in METRICS_TRACKED:
                 history[k].append(float(np.nanmean(
                     [m[k] for m in per_vol.values()])))
         else:
             res = create_hr_images(trainer, volumes, downsample_steps,
-                                   save_volumes=False)
+                                   save_volumes=False,
+                                   latent_interp=latent_interp)
             for k in METRICS_TRACKED:
                 history[k].append(res["aggregate"][k][0])
         if verbose:

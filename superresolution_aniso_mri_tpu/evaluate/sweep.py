@@ -37,14 +37,18 @@ from ..infer.super_volume import (_DECODE_ACT_BUDGET_BYTES,
 from ..ops import psnr_volume, ssim_volume, synth_slice_mask, vif_volume
 
 
-def make_sweep_evaluator(model, decode_batch: Optional[int] = None):
+def make_sweep_evaluator(model, decode_batch: Optional[int] = None,
+                         latent_interp: str = "linear"):
     """evaluate(params, batch_stats, kept [B,K,H,W,C], hr [B,S,H,W],
     alphas [A]) → per-slice metric stacks {'ssim','psnr','vif','sq'}
     each [B, min(S, (K-1)(A+1)+1)]. ``decode_batch`` bounds per-volume
     decoder activations exactly like create_super_volume's auto path
     (under the vmap it chunks each volume's decode, so in-flight bytes
-    are B x decode_batch x HxWxdepth)."""
-    core = make_synthesis_core(model, decode_batch)
+    are B x decode_batch x HxWxdepth). ``latent_interp`` selects the
+    latent z-mixing scheme (see infer.super_volume) — sweeping with the
+    scheme you serve with keeps checkpoint selection aligned."""
+    core = make_synthesis_core(model, decode_batch,
+                               latent_interp=latent_interp)
 
     @jax.jit
     def evaluate(params, batch_stats, kept_stack, hr_stack, alphas):
@@ -73,11 +77,13 @@ def make_sweep_evaluator(model, decode_batch: Optional[int] = None):
 _SWEEP_CACHE: dict = {}
 
 
-def _get_evaluator(trainer, decode_batch: Optional[int] = None):
+def _get_evaluator(trainer, decode_batch: Optional[int] = None,
+                   latent_interp: str = "linear"):
     mdl = trainer._ae_model()
-    key = (id(mdl), decode_batch)
+    key = (id(mdl), decode_batch, latent_interp)
     if key not in _SWEEP_CACHE:
-        _SWEEP_CACHE[key] = make_sweep_evaluator(mdl, decode_batch)
+        _SWEEP_CACHE[key] = make_sweep_evaluator(mdl, decode_batch,
+                                                 latent_interp)
     return _SWEEP_CACHE[key]
 
 
@@ -147,8 +153,14 @@ def prepare_sweep_batches(trainer, volumes: Iterable,
             k_true = kept.shape[0]
             k_pad = bucket_size(k_true)
             n_out = (k_pad - 1) * (a_n + 1) + 1
-            kept_p = np.zeros((k_pad,) + kept.shape[1:], np.float32)
+            # EDGE-replicated padding (not zeros): linear pairs never
+            # read padded latents, but cubic's z[i+2] boundary tap does
+            # — replication gives it the clamped edge latent, matching
+            # create_super_volume's cubic pad rule; linear scores are
+            # unaffected either way (valid masks drop padded outputs)
+            kept_p = np.empty((k_pad,) + kept.shape[1:], np.float32)
             kept_p[:k_true] = kept
+            kept_p[k_true:] = kept[-1]
             hr_p = np.zeros((n_out,) + hr.shape[1:], np.float32)
             n_valid = min((k_true - 1) * (a_n + 1) + 1, hr.shape[0])
             hr_p[:n_valid] = hr[:n_valid]
@@ -179,7 +191,8 @@ def prepare_sweep_batches(trainer, volumes: Iterable,
             "alphas": np.asarray(alpha_range, np.float32), "ds": ds}
 
 
-def evaluate_prepared(trainer, prep: Dict) -> Dict[str, Dict]:
+def evaluate_prepared(trainer, prep: Dict,
+                      latent_interp: str = "linear") -> Dict[str, Dict]:
     """Score prepared batches against the trainer's CURRENT weights.
     Returns per-frame entries (``pid@t`` keys for 4D volumes)."""
     ds = prep["ds"]
@@ -187,7 +200,8 @@ def evaluate_prepared(trainer, prep: Dict) -> Dict[str, Dict]:
     params, batch_stats = trainer._ae_params()
     results: Dict[str, Dict] = {}
     for chunk in prep["chunks"]:
-        evaluator = _get_evaluator(trainer, chunk["decode_batch"])
+        evaluator = _get_evaluator(trainer, chunk["decode_batch"],
+                                   latent_interp)
         per_slice = evaluator(params, batch_stats,
                               jnp.asarray(chunk["kept"]),
                               jnp.asarray(chunk["hr"]), alphas)
@@ -213,7 +227,9 @@ def evaluate_prepared(trainer, prep: Dict) -> Dict[str, Dict]:
 def evaluate_volumes_batched(trainer, volumes: Iterable,
                              downsample_steps: int,
                              alpha_range=None,
-                             per_frame: bool = False) -> Dict[str, Dict]:
+                             per_frame: bool = False,
+                             latent_interp: str = "linear"
+                             ) -> Dict[str, Dict]:
     """Score a dataset of volumes against the trainer's current weights
     with one device program per shape-group. Returns
     {patient_id: metrics} with the create_hr_images metric keys.
@@ -224,7 +240,7 @@ def evaluate_volumes_batched(trainer, volumes: Iterable,
     weigh like the reference's global per-frame lists."""
     prep = prepare_sweep_batches(trainer, volumes, downsample_steps,
                                  alpha_range)
-    results = evaluate_prepared(trainer, prep)
+    results = evaluate_prepared(trainer, prep, latent_interp)
     if not per_frame:
         # fold per-frame entries back to per-patient means
         for pat, n_frames in prep["frame_counts"].items():

@@ -123,6 +123,44 @@ def test_create_hr_images_accepts_latent_interp(trainer):
     assert np.isfinite(out["aggregate"]["ssim"][0])
 
 
+def test_batched_sweep_matches_per_volume_cubic(trainer):
+    """The fused batched evaluator under cubic z-mixing agrees with the
+    per-volume path (the linear equivalence test's cubic twin — also
+    exercises the sweep's edge-replicated kept padding)."""
+    from superresolution_aniso_mri_tpu.evaluate import (
+        create_hr_images, evaluate_volumes_batched,
+    )
+
+    vols = make_toy_dataset(3, 32, 13, seed=21)  # (13-1)%3==0: no tails
+    batched = evaluate_volumes_batched(trainer, vols, downsample_steps=3,
+                                       latent_interp="cubic")
+    ref = create_hr_images(trainer, vols, downsample_steps=3,
+                           latent_interp="cubic")
+    for vol in vols:
+        b = batched[vol.patient_id]
+        r = ref["per_volume"][vol.patient_id]
+        for k in ("ssim", "psnr", "vif", "ssim_synth", "psnr_synth",
+                  "vif_synth", "mse"):
+            np.testing.assert_allclose(b[k], r[k], rtol=2e-4, atol=1e-5)
+
+
+def test_find_best_sweep_latent_interp(tmp_path):
+    """find_best_val_model(latent_interp='cubic') sweeps both paths and
+    scores a different quantity than the linear sweep."""
+    import os
+    from superresolution_aniso_mri_tpu.evaluate import find_best_val_model
+
+    t = _toy_trainer(tmp_path)
+    t.prepare_run()
+    t.save_models(os.path.join(t.dir_models, "1.models"), 1)
+    vols = make_toy_dataset(2, 32, 13, seed=23)
+    lin = find_best_val_model(str(tmp_path), vols, 3, epoch_range=[1],
+                              batched=True)
+    cub = find_best_val_model(str(tmp_path), vols, 3, epoch_range=[1],
+                              batched=True, latent_interp="cubic")
+    assert lin["history"]["ssim_synth"] != cub["history"]["ssim_synth"]
+
+
 def test_invalid_latent_interp_rejected(trainer):
     vol = make_toy_dataset(1, 32, 13, seed=2)[0].image
     with pytest.raises(ValueError, match="latent_interp"):

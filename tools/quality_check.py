@@ -69,6 +69,11 @@ def main():
                         "it is exactly what through-plane interpolation "
                         "blurs away (separates methods on VIF, which "
                         "saturates on smooth phantoms)")
+    p.add_argument("--latent_interp", type=str, default="linear",
+                   choices=["linear", "cubic"],
+                   help="latent z-mixing for the model's scoring pass "
+                        "(4-tap Catmull-Rom vs the reference's 2-tap "
+                        "lerp; inference-only)")
     p.add_argument("--json_out", type=str, default=None,
                    help="append a JSON result line to this file")
     args = p.parse_args()
@@ -140,7 +145,8 @@ def main():
 
     print(f"\n=== {ds}x through-plane SR on held-out volumes ===")
     rows = {}
-    res = create_hr_images(trainer, test_vols, downsample_steps=ds)
+    res = create_hr_images(trainer, test_vols, downsample_steps=ds,
+                           latent_interp=args.latent_interp)
     rows["model (AESR)"] = res["aggregate"]
     for method in ("linear", "bspline", "lanczos"):
         res = create_hr_images(None, test_vols, downsample_steps=ds,
@@ -172,6 +178,7 @@ def main():
     if args.json_out:
         rec = {
             "loss_mode": args.loss_mode, "lpips_mode": lpips_mode,
+            "latent_interp": args.latent_interp,
             "epochs": args.epochs, "depth": args.depth,
             "phantom": args.phantom,
             "downsample_steps": ds,

@@ -314,7 +314,12 @@ def main():
 
         r = _run([sys.executable, "find_best_model.py",
                   "--exper_dir", exper, "--downsample_steps", str(ds),
-                  "--batched"], data_root, "find_best",
+                  "--batched",
+                  # select checkpoints under the same z-mixing scheme
+                  # the scoring pass serves with
+                  *(["--latent_interp", args.latent_interp]
+                    if args.latent_interp != "linear" else [])],
+                 data_root, "find_best",
                  log_path=os.path.join(work, "find_best.log"))
         best_lines = [l for l in r.stdout.splitlines()
                       if "best per metric" in l or "ssim" in l.lower()]
