@@ -20,7 +20,7 @@ import numpy as np
 
 from ..config.net_config import NetworkConfig, merge_args_architecture
 from ..data import AugmentConfig, TripletSampler, augment_batch, \
-    prepare_batch_pairs
+    prepare_batch_pairs, prepare_batch_quintets
 from ..data.datasets import get_datasets
 from ..train import Trainer
 from ..utils.grids import generate_recon_grid, save_image_grid
@@ -69,20 +69,31 @@ def build_augment_config(args: Dict) -> AugmentConfig:
 
 def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
                   with_mask: bool = False,
-                  with_alpha_features: bool = False) -> Dict:
+                  with_alpha_features: bool = False,
+                  latent_taps: int = 2) -> Dict:
     triplet = augment_batch(key, jnp.asarray(raw["triplet"]), aug_cfg)
     loss_mask = None
     if with_mask:
         # the loss mask rode through the augmentation as the last channel
         loss_mask = triplet[..., -1:]
         triplet = triplet[..., :-1]
-    image, between = prepare_batch_pairs(triplet)
+    outer = None
+    if latent_taps == 4:
+        # quintet layout (TripletSampler(latent_taps=4)): the outward
+        # z-neighbour pair rode through the SAME per-item augmentation
+        # warp as its triplet — required for the cubic mix to see a
+        # geometrically consistent 4-slice neighbourhood
+        image, outer, between = prepare_batch_quintets(triplet)
+    else:
+        image, between = prepare_batch_pairs(triplet)
     batch = {
         "image": image,
         "slice_between": between,
         "alpha_from": jnp.asarray(raw["alpha_from"]),
         "alpha_to": jnp.asarray(raw["alpha_to"]),
     }
+    if outer is not None:
+        batch["outer"] = outer
     if "is_inbetween" in raw:
         # weights the synthesis loss: degenerate step-1 triplets
         # (between := endpoint) are monitor-only
@@ -145,7 +156,17 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     ds = int(merged.get("downsample_steps") or 2)
     pad = int(merged.get("aug_patch_size") or merged["width"])
     use_masks = bool(merged.get("get_masks"))
+    # --train_latent_interp cubic: sample quintets (outward z-neighbour
+    # pair rides as extra slots) so the loss can mix 4 latents with the
+    # same spline the cubic inference path decodes
+    latent_taps = (4 if str(merged.get("train_latent_interp") or "linear")
+                   == "cubic" else 2)
     if merged["dataset"] == "MNISTRoto":
+        if latent_taps == 4:
+            raise ValueError(
+                "--train_latent_interp cubic is not supported for "
+                "MNISTRoto (the roto sampler generates rotation "
+                "triplets on the fly, not volume quintets)")
         # on-the-fly rotation triplets (reference: MNIST/data_roto.py
         # MakeRotatedTriple) — NOT the pre-built MNIST3D stacks
         from ..data.synthetic import RotoTripletSampler
@@ -162,11 +183,12 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
         sampler = TripletSampler(
             train_vols, ds, merged.get("slice_selection", "adjacent_plus"),
             pad_size=pad, seed=int(merged.get("seed", 0)),
-            use_masks=use_masks)
+            use_masks=use_masks, latent_taps=latent_taps)
         val_sampler = TripletSampler(val_vols, ds, "adjacent_plus",
                                      pad_size=pad,
                                      seed=int(merged.get("seed", 0)) + 1,
-                                     use_masks=use_masks)
+                                     use_masks=use_masks,
+                                     latent_taps=latent_taps)
     # device-resident slice cache: upload the padded stacks once,
     # gather each batch on device — identical batches/trajectory to the
     # host path, minus the per-step pixel transfer (data/device_cache.py)
@@ -260,7 +282,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
             def to_device(raw, _rng_box=[jax.random.fold_in(rng, epoch)]):
                 _rng_box[0], k = jax.random.split(_rng_box[0])
                 return _device_batch(raw, aug_cfg, k, with_mask=use_masks,
-                                     with_alpha_features=with_alpha_feats)
+                                     with_alpha_features=with_alpha_feats,
+                                     latent_taps=latent_taps)
 
             # background thread keeps 2 device-ready batches ahead;
             # steps_per_dispatch > 1 scans N optimizer steps inside one
@@ -302,7 +325,8 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
                 val_raw = val_sampler.sample_batch(test_batch_size)
                 val_batch = _device_batch(
                     val_raw, val_cfg, k, with_mask=use_masks,
-                    with_alpha_features=with_alpha_feats)
+                    with_alpha_features=with_alpha_feats,
+                    latent_taps=latent_taps)
                 trainer.validate(val_batch)
                 _beat()
             trainer.show_loss_on_tensorboard("train")

@@ -6,7 +6,8 @@ from .volume import (
     determine_interpol_coefficients, get_paired_frames, get_paired_slices,
 )
 from .transforms import (
-    AugmentConfig, augment_batch, prepare_batch_pairs, pad_to_size,
+    AugmentConfig, augment_batch, prepare_batch_pairs,
+    prepare_batch_quintets, pad_to_size,
     center_crop,
 )
 from .pairs import TripletSampler
@@ -16,7 +17,8 @@ __all__ = [
     "Volume", "rescale_intensities", "simulate_thick_slices",
     "create_lr_volume", "apply_2d_zoom_3d", "apply_2d_zoom_4d",
     "get_random_adjacent_slice", "determine_interpol_coefficients",
-    "AugmentConfig", "augment_batch", "prepare_batch_pairs", "pad_to_size",
+    "AugmentConfig", "augment_batch", "prepare_batch_pairs",
+    "prepare_batch_quintets", "pad_to_size",
     "center_crop", "TripletSampler", "make_toy_dataset",
     "make_rotated_volume",
 ]

@@ -34,14 +34,14 @@ DEFAULT_BUDGET_MB = 512.0
 
 
 @partial(jax.jit, static_argnames=("has_labels", "use_masks"))
-def _gather_triplets(flat_img, flat_lbl, flat_mask, s_from, s_to, between,
-                     has_labels: bool, use_masks: bool):
-    """[B] flat slice indices -> [B, P, P, C] triplet batch, slot-major
-    channel layout identical to TripletSampler._item_chans (from | to |
-    between, image then label per slot, loss mask of the between slice
-    last)."""
+def _gather_slots(flat_img, flat_lbl, flat_mask, slot_idx, between,
+                  has_labels: bool, use_masks: bool):
+    """Tuple of [B] flat slice indices -> [B, P, P, C] batch, slot-major
+    channel layout identical to TripletSampler._item_chans ((from | to
+    [| outer_from | outer_to] | between), image then label per slot,
+    loss mask of the between slice last)."""
     chans = []
-    for idx in (s_from, s_to, between):
+    for idx in slot_idx:
         chans.append(flat_img[idx])
         if has_labels:
             chans.append(flat_lbl[idx])
@@ -88,6 +88,10 @@ class DeviceCachedSampler:
         return self.s.use_masks
 
     @property
+    def latent_taps(self) -> int:
+        return getattr(self.s, "latent_taps", 2)
+
+    @property
     def volumes(self):
         return self.s.volumes
 
@@ -95,14 +99,19 @@ class DeviceCachedSampler:
     def _assemble(self, idxs) -> Dict[str, np.ndarray]:
         specs = [self.s._item_spec(int(i)) for i in idxs]
         base = self._base[np.array([sp["vi"] for sp in specs])]
-        f = base + np.array([sp["s_from"] for sp in specs])
-        t = base + np.array([sp["s_to"] for sp in specs])
-        b = base + np.array([sp["between"] for sp in specs])
-        triplet = _gather_triplets(
-            self.flat_img, self.flat_lbl, self.flat_mask,
-            jnp.asarray(f, jnp.int32), jnp.asarray(t, jnp.int32),
-            jnp.asarray(b, jnp.int32),
-            has_labels=self.s.has_labels, use_masks=self.s.use_masks)
+
+        def flat(key):
+            return jnp.asarray(
+                base + np.array([sp[key] for sp in specs]), jnp.int32)
+
+        b = flat("between")
+        slot_idx = [flat("s_from"), flat("s_to")]
+        if getattr(self.s, "latent_taps", 2) == 4:
+            slot_idx += [flat("s_outer_from"), flat("s_outer_to")]
+        slot_idx.append(b)
+        triplet = _gather_slots(
+            self.flat_img, self.flat_lbl, self.flat_mask, tuple(slot_idx),
+            b, has_labels=self.s.has_labels, use_masks=self.s.use_masks)
         return {
             "triplet": triplet,
             "alpha_from": np.array([sp["a_from"] for sp in specs],

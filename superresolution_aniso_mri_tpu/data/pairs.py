@@ -33,9 +33,20 @@ class TripletSampler:
     def __init__(self, volumes: Sequence[Volume], downsample_steps: int,
                  slice_selection: str = "adjacent_plus",
                  pad_size: int | None = None,
-                 seed: int = 1234, use_masks: bool = False):
+                 seed: int = 1234, use_masks: bool = False,
+                 latent_taps: int = 2):
         if slice_selection not in ("adjacent", "adjacent_plus", "mix"):
             raise ValueError(f"bad slice_selection {slice_selection!r}")
+        if latent_taps not in (2, 4):
+            raise ValueError(f"latent_taps must be 2 (triplets) or 4 "
+                             f"(quintets for cubic-aligned training), "
+                             f"got {latent_taps}")
+        # 4-tap mode: each item also carries the outward z-neighbours
+        # (outer_from/outer_to, one pair step beyond from/to, clamped at
+        # the volume edges like inference's cubic boundary taps) so the
+        # training loss can mix latents with the same Catmull-Rom spline
+        # the cubic inference path uses
+        self.latent_taps = int(latent_taps)
         self.volumes = list(volumes)
         if not self.volumes:
             # fail HERE with the real cause — downstream it surfaces as
@@ -129,10 +140,19 @@ class TripletSampler:
         n_frames = float(getattr(vol, "num_frames", 1) or 1)
         feats = (float(s_from + 1) / n, float(s_to + 1) / n,
                  (frame + 1.0) / n_frames, float(vol.spacing[0]), float(n))
-        return {"vi": int(vi), "s_from": s_from, "s_to": s_to,
+        spec = {"vi": int(vi), "s_from": s_from, "s_to": s_to,
                 "between": between, "a_from": a_from, "a_to": a_to,
                 "is_inbetween": float(hi - lo > 1),
                 "alpha_features": feats}
+        if self.latent_taps == 4:
+            # outward neighbours continue the from→to direction one pair
+            # step beyond each end, clamped at the volume edges — the
+            # training-time twin of the cubic inference taps
+            # z[max(j-1,0)] / z[min(j+2,K-1)] on the kept grid
+            d = s_to - s_from
+            spec["s_outer_from"] = int(np.clip(s_from - d, 0, n - 1))
+            spec["s_outer_to"] = int(np.clip(s_to + d, 0, n - 1))
+        return spec
 
     def _item_chans(self, spec) -> list:
         """The C channel planes (contiguous [H, W] float32 views) of one
@@ -140,14 +160,22 @@ class TripletSampler:
         vi = spec["vi"]
         s_from, s_to, between = spec["s_from"], spec["s_to"], spec["between"]
         img = self._padded[vi]
+        # slot order: (from, to[, outer_from, outer_to], between) — the
+        # between slot stays LAST so prepare_batch_pairs/_quintets and
+        # the riding-mask split share one layout rule
+        slots = [s_from, s_to]
+        if self.latent_taps == 4:
+            slots += [spec["s_outer_from"], spec["s_outer_to"]]
+        slots.append(between)
         if self.has_labels:
             lbl = self._padded_labels[vi]
-            # slot-major channel layout (from | to | between), C=2 each —
+            # slot-major channel layout, C=2 (image, label) per slot —
             # prepare_batch_pairs slices per slot
-            chans = [img[s_from], lbl[s_from], img[s_to], lbl[s_to],
-                     img[between], lbl[between]]
+            chans = []
+            for s in slots:
+                chans += [img[s], lbl[s]]
         else:
-            chans = [img[s_from], img[s_to], img[between]]
+            chans = [img[s] for s in slots]
         if self.use_masks:
             # mask of the between slice, appended as the LAST channel so
             # it rides through the device-side augmentation with the

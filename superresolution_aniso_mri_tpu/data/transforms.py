@@ -351,3 +351,27 @@ def prepare_batch_pairs(triplet: Array):
     between = triplet[..., 2 * c:3 * c]
     image = jnp.concatenate([a, b], axis=0)
     return image, between
+
+
+def prepare_batch_quintets(quintet: Array):
+    """[B, H, W, 5C] → (image [2B, H, W, C], outer [2B, H, W, C],
+    slice_between [B, H, W, C]).
+
+    The quintet layout (from | to | outer_from | outer_to | between,
+    TripletSampler(latent_taps=4)) extends the reference's (2B ∥ B)
+    contract with the outward z-neighbours the cubic-aligned training
+    loss mixes (ops.latent_mix_cubic); ``image``/``slice_between`` are
+    laid out exactly like prepare_batch_pairs' so every downstream
+    consumer of the 2-tap contract is unchanged."""
+    if quintet.shape[-1] % 5 != 0:
+        raise ValueError(
+            f"prepare_batch_quintets expects 5C channels "
+            f"(from|to|outer_from|outer_to|between), got "
+            f"{quintet.shape[-1]} — split any riding mask channel off "
+            f"first (see cli/train_loop._device_batch)")
+    c = quintet.shape[-1] // 5
+    image = jnp.concatenate([quintet[..., 0:c], quintet[..., c:2 * c]],
+                            axis=0)
+    outer = jnp.concatenate([quintet[..., 2 * c:3 * c],
+                             quintet[..., 3 * c:4 * c]], axis=0)
+    return image, outer, quintet[..., 4 * c:5 * c]

@@ -127,22 +127,9 @@ def clip_with_label_channel(vol, decodes_labels: bool):
 # inference-only quality lever: no retraining, same decoder, same grid.
 LATENT_INTERP_MODES = ("linear", "cubic")
 
-
-def catmull_rom_weights(alphas: Array) -> Array:
-    """[A] mixing coefficients → [A, 4] Catmull-Rom weights over the
-    latent taps (z[i-1], z[i], z[i+1], z[i+2]) for a sample at fractional
-    position t=alpha between z[i] (t=0) and z[i+1] (t=1).
-
-    Properties (pinned by tests/test_latent_interp.py): rows sum to 1,
-    linear precision (collinear equispaced latents reproduce the lerp
-    exactly), and endpoint interpolation (t=0 → z[i], t=1 → z[i+1])."""
-    t = jnp.asarray(alphas)
-    t2, t3 = t * t, t * t * t
-    return 0.5 * jnp.stack(
-        [-t3 + 2.0 * t2 - t,
-         3.0 * t3 - 5.0 * t2 + 2.0,
-         -3.0 * t3 + 4.0 * t2 + t,
-         t3 - t2], axis=-1)
+# canonical definition lives in ops.losses (shared with the
+# cubic-aligned training loss); re-exported here for inference callers
+from ..ops import catmull_rom_weights  # noqa: E402
 
 
 def make_volume_synthesizer(model, decode_batch: Optional[int] = None,

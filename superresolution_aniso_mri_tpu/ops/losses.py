@@ -57,3 +57,36 @@ def latent_mix(z: Array, alpha_from: Array, alpha_to: Array) -> Array:
     a_f = jnp.reshape(alpha_from, (b,) + (1,) * (z.ndim - 1))
     a_t = jnp.reshape(alpha_to, (b,) + (1,) * (z.ndim - 1))
     return a_f * z[:b] + a_t * z[b:]
+
+
+def catmull_rom_weights(t: Array) -> Array:
+    """[...] fractional positions → [..., 4] Catmull-Rom weights over
+    taps (z[i-1], z[i], z[i+1], z[i+2]) for a sample at t between z[i]
+    (t=0) and z[i+1] (t=1). Rows sum to 1, linear precision, endpoint
+    interpolation (pinned by tests/test_latent_interp.py). Shared by
+    inference (infer.super_volume cubic z-mixing) and the cubic-aligned
+    training loss so the two cannot drift."""
+    t = jnp.asarray(t)
+    t2, t3 = t * t, t * t * t
+    return 0.5 * jnp.stack(
+        [-t3 + 2.0 * t2 - t,
+         3.0 * t3 - 5.0 * t2 + 2.0,
+         -3.0 * t3 + 4.0 * t2 + t,
+         t3 - t2], axis=-1)
+
+
+def latent_mix_cubic(z: Array, z_outer: Array, alpha_to: Array) -> Array:
+    """4-tap Catmull-Rom latent mix — the training twin of inference's
+    ``latent_interp='cubic'`` (infer.super_volume).
+
+    ``z`` is [2B, ...] (from ∥ to), ``z_outer`` is [2B, ...] with the
+    outward z-neighbours (outer_from ∥ outer_to — one pair step beyond
+    from/to, edge-clamped by the sampler), ``alpha_to`` [B] is the
+    in-between slice's fractional position from 'from' toward 'to'
+    (exactly linear_mix's parameterization: t=alpha_to reproduces the
+    lerp when the four latents are collinear)."""
+    b = z.shape[0] // 2
+    w = catmull_rom_weights(jnp.reshape(alpha_to, (b,)))   # [B, 4]
+    w = jnp.reshape(w, (b, 4) + (1,) * (z.ndim - 1))
+    return (w[:, 0] * z_outer[:b] + w[:, 1] * z[:b]
+            + w[:, 2] * z[b:] + w[:, 3] * z_outer[b:])

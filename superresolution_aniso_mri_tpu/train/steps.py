@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (bce_sum_over_batch, dice_loss, kl_standard_normal,
-                   lap_loss, latent_mix, lpips_distance, mse)
+                   lap_loss, latent_mix, latent_mix_cubic, lpips_distance,
+                   mse)
 
 Array = jax.Array
 
@@ -66,6 +67,12 @@ class LossConfig:
     image_mix_loss_func: Optional[str] = None  # 'mse' | 'perceptual' | None
     use_extra_latent_loss: bool = False
     use_masks: bool = False
+    # 'cubic' trains the synthesis loss through the same 4-tap
+    # Catmull-Rom latent mix the cubic inference path decodes
+    # (ops.latent_mix_cubic) — the batch then carries an 'outer' key
+    # (outward z-neighbour pair, TripletSampler(latent_taps=4)).
+    # ae/ae_combined family only; an extension the reference lacks.
+    train_latent_interp: str = "linear"
     # VAE
     vae_beta: float = 0.0
     lamb: float = 1.0
@@ -194,6 +201,28 @@ def _wmse(a: Array, b: Array, sample_weight) -> Array:
         jnp.sum(sample_weight), 1.0)
 
 
+def _train_latent_mix(model, cfg, params, batch_stats, z, batch,
+                      train: bool = True):
+    """The (ae-family) training latent mix: the reference's 2-tap lerp,
+    or the 4-tap Catmull-Rom spline when cfg.train_latent_interp is
+    'cubic' — then the outward-neighbour pair (batch['outer'],
+    TripletSampler(latent_taps=4)) is encoded under the already-updated
+    batch statistics (auxiliary encode: batch-stat normalisation without
+    advancing the running stats, like the other aux encodes here)."""
+    if cfg.train_latent_interp == "cubic":
+        if "outer" not in batch:
+            raise ValueError(
+                "train_latent_interp='cubic' needs the batch to carry "
+                "'outer' (outward z-neighbour pair) — build batches "
+                "from TripletSampler(latent_taps=4) via "
+                "prepare_batch_quintets")
+        z_outer, _ = _apply(model, params, batch_stats,
+                            lambda mdl, img: mdl.encode(img, train=train),
+                            batch["outer"], train=train)
+        return latent_mix_cubic(z, z_outer, batch["alpha_to"])
+    return latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+
+
 def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
                mix_weight):
     """'ae' and 'ae_combined' families
@@ -211,7 +240,7 @@ def _ae_losses(model, cfg, lpips_params, params, batch_stats, batch,
     (z, out), new_bs = _apply(model, params, batch_stats, fwd, x, train=True)
     loss_ae, loss_dist, loss_lap = _recon_loss(cfg, lpips_params, out, x)
 
-    z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
+    z_mix = _train_latent_mix(model, cfg, params, new_bs, z, batch)
     # decode of the mix and auxiliary encodes run with batch-statistics
     # normalisation (train mode) but do not advance running stats — the
     # single canonical BN update comes from the main forward above.
@@ -825,6 +854,11 @@ def make_eval_step(model, cfg: LossConfig, lpips_params=None):
             z_mix = alpha_mix(alpha, z[:b], z[b:], cfg.num_alphas,
                               cfg.latent, cfg.alpha_scheme)
             aux_extra["pred_alphas"] = alpha
+        elif family in ("ae", "ae_combined"):
+            # cubic-aligned training validates through the same 4-tap
+            # mix it trains (and serves) with; linear configs unchanged
+            z_mix = _train_latent_mix(model, cfg, params, batch_stats, z,
+                                      batch, train=False)
         else:
             z_mix = latent_mix(z, batch["alpha_from"], batch["alpha_to"])
         if family == "alpha" and "decoder_mix" in model:

@@ -31,7 +31,8 @@ from ..ops import get_lpips_params
 from .checkpoint import (load_checkpoint, load_checkpoint_raw,
                          save_checkpoint)
 from .state import SRTrainState, create_train_state, make_optimizer
-from .steps import LossConfig, make_eval_step, make_train_step
+from .steps import (FAMILY_OF_MODEL, LossConfig, make_eval_step,
+                    make_train_step)
 
 
 def alpha_num_coefficients(alpha_class: str, latent: int,
@@ -100,6 +101,14 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
                 args.get("alpha_class") or "AlphaProbe16v1"),
             latent=int(args["latent"]),
         )
+    tli = str(args.get("train_latent_interp") or "linear")
+    if tli != "linear" and FAMILY_OF_MODEL.get(model_name) not in (
+            "ae", "ae_combined"):
+        raise ValueError(
+            f"--train_latent_interp {tli!r} is only supported for the "
+            f"ae/ae_combined families (got model={model_name!r}) — the "
+            f"other families' mixes are defined by their own objectives "
+            f"(probe-predicted alphas, ACAI's critic, VAE mu lerp)")
     return LossConfig(
         model=model_name,
         recon_loss="perceptual" if args.get("use_percept_loss") else "mse",
@@ -108,6 +117,7 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
         image_mix_loss_func=_mix_fallback("image_mix_loss_func"),
         use_extra_latent_loss=bool(args.get("use_extra_latent_loss", False)),
         use_masks=bool(args.get("get_masks", False)),
+        train_latent_interp=tli,
         vae_beta=float(args.get("vae_beta") or 0.0),
         # explicit lamb=0 (recon-term ablation) must survive — `or`
         # would silently turn it into 1.0

@@ -4,6 +4,8 @@ alternative to the reference's 2-tap latent lerp
 edge-pad rule that keeps bucket padding out of the boundary taps, and
 the plumbing through create_super_volume / create_hr_images / the CLI.
 """
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -189,3 +191,168 @@ def test_cli_flag_plumbs_through(tmp_path, trainer):
     b, _, _ = read_image(out_cub + "/v_ni02.nii.gz")
     assert a.shape == b.shape
     assert np.abs(a - b).max() > 1e-5
+
+
+# ---------------------------------------------------------------------------
+# training-time cubic alignment (--train_latent_interp cubic)
+# ---------------------------------------------------------------------------
+
+def test_quintet_sampler_geometry():
+    """latent_taps=4: outward neighbours continue the from→to direction
+    one pair step beyond each end, clamped at the volume edges."""
+    from superresolution_aniso_mri_tpu.data import TripletSampler
+
+    vols = make_toy_dataset(2, 16, 9, seed=31)
+    s = TripletSampler(vols, 3, "adjacent_plus", seed=5, latent_taps=4)
+    for i in range(40):
+        sp = s._item_spec(i % len(s))
+        n = vols[sp["vi"]].num_slices
+        d = sp["s_to"] - sp["s_from"]
+        assert sp["s_outer_from"] == int(np.clip(sp["s_from"] - d, 0, n - 1))
+        assert sp["s_outer_to"] == int(np.clip(sp["s_to"] + d, 0, n - 1))
+    item = s.sample_item(0)
+    assert item["triplet"].shape[-1] == 5  # from|to|outer_f|outer_t|between
+
+
+def test_prepare_batch_quintets_layout():
+    from superresolution_aniso_mri_tpu.data import prepare_batch_quintets
+
+    q = jnp.arange(2 * 4 * 4 * 5, dtype=jnp.float32).reshape(2, 4, 4, 5)
+    image, outer, between = prepare_batch_quintets(q)
+    assert image.shape == (4, 4, 4, 1)
+    assert outer.shape == (4, 4, 4, 1)
+    assert between.shape == (2, 4, 4, 1)
+    np.testing.assert_allclose(image[:2, ..., 0], q[..., 0])
+    np.testing.assert_allclose(image[2:, ..., 0], q[..., 1])
+    np.testing.assert_allclose(outer[:2, ..., 0], q[..., 2])
+    np.testing.assert_allclose(outer[2:, ..., 0], q[..., 3])
+    np.testing.assert_allclose(between[..., 0], q[..., 4])
+    with pytest.raises(ValueError, match="5C"):
+        prepare_batch_quintets(q[..., :3])
+
+
+def test_latent_mix_cubic_linear_precision():
+    """Collinear equispaced latents reproduce the lerp exactly, and the
+    endpoint positions hit from/to."""
+    from superresolution_aniso_mri_tpu.ops import (latent_mix,
+                                                   latent_mix_cubic)
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(3, 4, 4, 2)).astype(np.float32)
+    step = rng.normal(size=(3, 4, 4, 2)).astype(np.float32)
+    # taps at positions -1, 0, 1, 2 along a latent line
+    z = jnp.concatenate([jnp.asarray(base),            # from  (pos 0)
+                         jnp.asarray(base + step)])    # to    (pos 1)
+    z_outer = jnp.concatenate([jnp.asarray(base - step),    # outer_from
+                               jnp.asarray(base + 2 * step)])  # outer_to
+    t = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+    cub = latent_mix_cubic(z, z_outer, t)
+    lin = latent_mix(z, 1.0 - t, t)
+    np.testing.assert_allclose(np.asarray(cub), np.asarray(lin),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cubic_train_step_runs_and_uses_outer(tmp_path):
+    """One ae_combined train step with train_latent_interp='cubic':
+    runs, and perturbing ONLY the outer slices changes the loss (the
+    spline actually reads the 4-tap neighbourhood)."""
+    import jax
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    args = {
+        "dataset": "MNIST3D", "model": "ae_combined",
+        "ae_class": "VanillaACAI", "width": 32, "latent_width": 16,
+        "depth": 8, "latent": 8, "colors": 1, "lr": 1e-3,
+        "weight_decay": 0.0, "batch_size": 4, "epochs": 1,
+        "epoch_threshold": -1, "ex_loss_weight1": 0.1,
+        "use_batchnorm": False, "use_sigmoid": True,
+        "use_laploss": False, "use_percept_loss": False,
+        "image_mix_loss_func": "mse", "downsample_steps": 2, "seed": 0,
+        "output_dir": None, "train_latent_interp": "cubic",
+    }
+    trainer = Trainer(args)
+    rng = np.random.default_rng(1)
+    b = 4
+    batch = {
+        "image": jnp.asarray(rng.uniform(size=(2 * b, 32, 32, 1)),
+                             jnp.float32),
+        "outer": jnp.asarray(rng.uniform(size=(2 * b, 32, 32, 1)),
+                             jnp.float32),
+        "slice_between": jnp.asarray(rng.uniform(size=(b, 32, 32, 1)),
+                                     jnp.float32),
+        "alpha_from": jnp.full((b,), 0.5, jnp.float32),
+        "alpha_to": jnp.full((b,), 0.5, jnp.float32),
+    }
+    m1 = {k: float(v) for k, v in trainer.validate(batch).items()
+          if np.ndim(v) == 0}
+    batch2 = dict(batch)
+    batch2["outer"] = batch["outer"][::-1]
+    m2 = {k: float(v) for k, v in trainer.validate(batch2).items()
+          if np.ndim(v) == 0}
+    assert m1["loss_ae_dist_extra"] != m2["loss_ae_dist_extra"]
+    # and a real optimizer step executes
+    out = trainer.train(batch)
+    assert np.isfinite(float(out["loss_ae"]))
+
+
+def test_cubic_train_step_requires_outer():
+    import jax
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.train import create_train_state
+    from superresolution_aniso_mri_tpu.train.steps import (LossConfig,
+                                                           make_train_step)
+
+    cfg = AEConfig(width=16, latent_width=8, depth=4, latent=4, colors=1,
+                   use_batchnorm=False, use_sigmoid=True)
+    model = VanillaACAI(cfg)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((2, 16, 16, 1)), lr=1e-3)
+    lc = LossConfig(model="ae_combined", recon_loss="mse",
+                    image_mix_loss_func="mse",
+                    train_latent_interp="cubic")
+    step = make_train_step(model, lc, donate=False)
+    batch = {
+        "image": jnp.zeros((4, 16, 16, 1)),
+        "slice_between": jnp.zeros((2, 16, 16, 1)),
+        "alpha_from": jnp.full((2,), 0.5),
+        "alpha_to": jnp.full((2,), 0.5),
+    }
+    with pytest.raises(ValueError, match="outer"):
+        step(state, batch, jax.random.PRNGKey(0), jnp.float32(0.1))
+
+
+def test_train_latent_interp_rejected_for_other_families():
+    from superresolution_aniso_mri_tpu.train.trainer import (
+        loss_config_from_args,
+    )
+
+    args = {"model": "vae", "dataset": "MNIST3D", "latent": 8,
+            "latent_width": 16, "train_latent_interp": "cubic"}
+    with pytest.raises(ValueError, match="ae/ae_combined"):
+        loss_config_from_args(args)
+
+
+def test_cubic_training_cli_end_to_end(tmp_path):
+    """train_brain_aesr --train_latent_interp cubic trains, records the
+    flag in settings.yaml, and the experiment serves volumes with
+    cubic inference."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, "train_brain_aesr.py", "-d", "MNIST3D",
+         "-m", "ae_combined", "--downsample_steps", "2",
+         "--width", "32", "--latent_width", "16", "--latent", "8",
+         "--depth", "8", "-b", "4", "-e", "1", "--epoch_threshold", "-1",
+         "--image_mix_loss_func", "mse", "--use_batchnorm", "0",
+         "--volume_preview_interval", "0",
+         "--train_latent_interp", "cubic",
+         "-o", str(out), "-id", "exp"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    import yaml
+    settings = yaml.safe_load(open(out / "exp" / "settings.yaml"))
+    assert settings["train_latent_interp"] == "cubic"

@@ -104,6 +104,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("latent", "latent", int),
             ("batch_size", "batch_size", int),
             ("ema_decay", "ema_decay", float),
+            ("train_latent_interp", "train_latent_interp", str),
             ("model", "model", str)):
         if kept.get(key) is None:
             continue
@@ -183,6 +184,12 @@ def main():
                         "pass: 'cubic' = 4-tap Catmull-Rom over "
                         "neighbouring slice latents (inference-side "
                         "lever like --tta, no retraining)")
+    p.add_argument("--train_latent_interp", type=str, default="linear",
+                   choices=["linear", "cubic"],
+                   help="latent z-mixing for the TRAINING synthesis "
+                        "loss (--train_latent_interp of the train CLI): "
+                        "'cubic' trains through the same 4-tap spline "
+                        "the cubic scoring pass decodes")
     p.add_argument("--tta", type=str, default=None,
                    choices=["flips", "dihedral"],
                    help="test-time augmentation for the model's scoring "
@@ -280,6 +287,8 @@ def main():
               if args.use_batchnorm is not None else []),
             *(["--ema_decay", str(args.ema_decay)]
               if args.ema_decay > 0 else []),
+            *(["--train_latent_interp", args.train_latent_interp]
+              if args.train_latent_interp != "linear" else []),
             # steps-per-epoch UPPER bound (train split <= n_patients
             # volumes of num_slices triplets): overestimating
             # decay_steps only leaves the cosine tail slightly above 0
@@ -420,6 +429,8 @@ def main():
                 "lr_schedule": bool(args.lr_schedule),
                 "tta": args.tta,
                 "latent_interp": args.latent_interp,
+                "train_latent_interp": trainer.args.get(
+                    "train_latent_interp", "linear"),
                 "ema_decay": args.ema_decay,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
