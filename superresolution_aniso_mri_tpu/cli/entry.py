@@ -125,7 +125,7 @@ def generate_hr_volumes(argv=None):
                              "symmetries — higher quality at "
                              "~n_variants x the per-volume cost")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic"],
+                        choices=["linear", "cubic", "lanczos3"],
                         help="latent z-interpolation: 'linear' = the "
                              "reference's 2-tap lerp; 'cubic' = 4-tap "
                              "Catmull-Rom over neighbouring slice "
@@ -336,7 +336,7 @@ def serve_hr_volumes(argv=None):
                         help="test-time augmentation for every served "
                              "volume (see generate_hr_volumes --tta)")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic"],
+                        choices=["linear", "cubic", "lanczos3"],
                         help="latent z-interpolation for every served "
                              "volume (see generate_hr_volumes "
                              "--latent_interp)")
@@ -467,7 +467,7 @@ def find_best_model(argv=None):
                         help="one device program per shape-group "
                              "(3.7x faster sweeps)")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic"],
+                        choices=["linear", "cubic", "lanczos3"],
                         help="latent z-interpolation for the sweep's "
                              "synthesis — select checkpoints with the "
                              "scheme you will serve with")

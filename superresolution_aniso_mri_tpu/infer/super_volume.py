@@ -125,11 +125,44 @@ def clip_with_label_channel(vol, decodes_labels: bool):
 # latent-space analogue of the 4-tap conventional kernels (lanczos /
 # b-spline) that out-resolve 2-tap linear blending in pixel space. An
 # inference-only quality lever: no retraining, same decoder, same grid.
-LATENT_INTERP_MODES = ("linear", "cubic")
+LATENT_INTERP_MODES = ("linear", "cubic", "lanczos3")
 
 # canonical definition lives in ops.losses (shared with the
 # cubic-aligned training loss); re-exported here for inference callers
 from ..ops import catmull_rom_weights  # noqa: E402
+
+
+# tap offsets relative to the pair (z[i], z[i+1]) per multi-tap scheme:
+# 'cubic' = Catmull-Rom over the 4 neighbours; 'lanczos3' = the radius-3
+# lanczos kernel over 6 neighbours — the exact latent twin of the pixel
+# baseline _interp_weights('lanczos') below. Edge taps clamp at the
+# volume boundary (same index clamping as the pixel baselines).
+_LATENT_TAP_OFFSETS = {"cubic": (-1, 0, 1, 2),
+                       "lanczos3": (-2, -1, 0, 1, 2, 3)}
+
+
+def lanczos3_weights(alphas: Array) -> Array:
+    """[A] fractional positions → [A, 6] normalized lanczos(radius=3)
+    weights over taps at offsets (-2..3). At integer t the kernel is a
+    delta, so t=0/t=1 reproduce z[i]/z[i+1] exactly; rows sum to 1."""
+    t = jnp.asarray(alphas)[..., None]
+    x = jnp.asarray(_LATENT_TAP_OFFSETS["lanczos3"], t.dtype) - t
+    r = 3.0
+    px = jnp.pi * jnp.where(x == 0, 1e-12, x)
+    w = jnp.where(jnp.abs(x) < r,
+                  r * jnp.sin(px) * jnp.sin(px / r) / (px * px), 0.0)
+    # x==0 → weight exactly 1 (the 1e-12 guard leaves it ~1 already)
+    w = jnp.where(x == 0, 1.0, w)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def latent_tap_weights(mode: str, alphas: Array) -> Array:
+    """[A] → [A, n_taps] mixing weights for a multi-tap latent scheme."""
+    if mode == "cubic":
+        return catmull_rom_weights(alphas)
+    if mode == "lanczos3":
+        return lanczos3_weights(alphas)
+    raise ValueError(f"no tap weights for latent_interp={mode!r}")
 
 
 def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
@@ -252,19 +285,22 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         # the decoded stack, and ONE decoder pass covers reconstructions
         # and interpolants (fewer logical ops; the axon transport is
         # op-count-bound at ~20 µs/op, docs/STATUS.md)
-        if latent_interp == "cubic":
-            # 4-tap Catmull-Rom over (z[i-1], z[i], z[i+1], z[i+2]) with
-            # edge-clamped end taps: for pair j the outer taps are
-            # z[max(j-1,0)] and z[min(j+2,K-1)] — same index clamping as
-            # the pixel-space lanczos/bspline baselines (_interp_weights)
-            w = catmull_rom_weights(alphas)        # [A, 4]
-            w = w[None, :, :, None, None, None]    # [1, A, 4, 1, 1, 1]
-            z_p0 = jnp.concatenate([z[:1], z[:-2]], axis=0)   # z[max(j-1,0)]
-            z_p3 = jnp.concatenate([z[2:], z[-1:]], axis=0)   # z[min(j+2,K-1)]
-            z_mix = (w[:, :, 0] * z_p0[:, None]
-                     + w[:, :, 1] * z[:-1, None]
-                     + w[:, :, 2] * z[1:, None]
-                     + w[:, :, 3] * z_p3[:, None])  # [K-1, A, ...]
+        if latent_interp in _LATENT_TAP_OFFSETS:
+            # multi-tap spline over neighbouring kept-slice latents with
+            # edge-clamped taps: for pair j, tap at offset o reads
+            # z[clip(j+o, 0, K-1)] — the same index clamping as the
+            # pixel-space lanczos/bspline baselines (_interp_weights).
+            # NB callers that pad the kept stack must edge-replicate so
+            # the clamp lands on the true boundary latent.
+            w = latent_tap_weights(latent_interp, alphas)  # [A, n_taps]
+            w = w[None, :, :, None, None, None]   # [1, A, n, 1, 1, 1]
+            k = z.shape[0]
+            pair = jnp.arange(k - 1)
+            z_mix = jnp.zeros((k - 1, alphas.shape[0]) + z.shape[1:],
+                              z.dtype)
+            for ti, off in enumerate(_LATENT_TAP_OFFSETS[latent_interp]):
+                tap = jnp.take(z, jnp.clip(pair + off, 0, k - 1), axis=0)
+                z_mix = z_mix + w[:, :, ti] * tap[:, None]
         else:
             a = alphas[None, :, None, None, None]   # [1, A, 1, 1, 1]
             z_mix = a * z[1:, None] + (1.0 - a) * z[:-1, None]  # [K-1, A, ...]
@@ -501,7 +537,7 @@ def create_super_volume(trainer, images, alpha_range=None,
         # never read padded latents, so zero-pad keeps legacy outputs
         # bit-identical there
         kept = jnp.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3,
-                       mode="edge" if latent_interp == "cubic" else
+                       mode="edge" if latent_interp != "linear" else
                        "constant")
 
     if decode_batch == "auto":

@@ -70,7 +70,7 @@ def main():
                         "blurs away (separates methods on VIF, which "
                         "saturates on smooth phantoms)")
     p.add_argument("--latent_interp", type=str, default="linear",
-                   choices=["linear", "cubic"],
+                   choices=["linear", "cubic", "lanczos3"],
                    help="latent z-mixing for the model's scoring pass "
                         "(4-tap Catmull-Rom vs the reference's 2-tap "
                         "lerp; inference-only)")

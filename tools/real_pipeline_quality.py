@@ -179,7 +179,7 @@ def main():
                         "heavier weights steal capacity from the AE "
                         "reconstruction that bounds production quality)")
     p.add_argument("--latent_interp", type=str, default="linear",
-                   choices=["linear", "cubic"],
+                   choices=["linear", "cubic", "lanczos3"],
                    help="latent z-interpolation for the model's scoring "
                         "pass: 'cubic' = 4-tap Catmull-Rom over "
                         "neighbouring slice latents (inference-side "
