@@ -357,3 +357,65 @@ def test_create_super_volume_num_devices_matches_local(tmp_path):
                                    local["upsampled_image"], atol=1e-5)
         np.testing.assert_array_equal(sharded["pred_alphas"],
                                       local["pred_alphas"])
+
+
+def test_dp_step_matches_single_device_cubic_training(setup):
+    """--train_latent_interp cubic under data parallelism: the 'outer'
+    batch key shards over the mesh like 'image', and the DP step matches
+    the single-device trajectory."""
+    cfg, model, state, _lc, batch = setup
+    loss_cfg = LossConfig(model="ae_combined", recon_loss="mse",
+                          image_mix_loss_func="mse",
+                          train_latent_interp="cubic")
+    rng = np.random.RandomState(7)
+    batch = dict(batch)
+    batch["outer"] = rng.rand(*batch["image"].shape).astype(np.float32)
+
+    single_step = make_train_step(model, loss_cfg, None, donate=False)
+    s1, m1 = single_step(state, {k: jnp.asarray(v)
+                                 for k, v in batch.items()},
+                         jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    mesh = create_mesh(jax.devices()[:8])
+    step = make_sharded_train_step(model, loss_cfg, None, mesh)
+    with mesh:
+        st = replicate_state(mesh, state)
+        db = shard_batch(mesh, batch)
+        s8, m8 = step(st, db, jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=1e-7)
+
+
+def test_sharded_synthesizer_multitap_matches_local(setup):
+    """Slice-axis-sharded synthesis under cubic/lanczos3: the cross-
+    shard neighbour gathers (GSPMD collectives) produce outputs
+    identical to the single-device path."""
+    cfg, model, state, _lc, _b = setup
+    from superresolution_aniso_mri_tpu.parallel import (
+        make_sharded_synthesizer,
+    )
+
+    rng = np.random.RandomState(3)
+    kept = jnp.asarray(rng.rand(16, 16, 16, 1).astype(np.float32))
+    alphas = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    mesh = create_mesh(jax.devices()[:8])
+    for mode in ("cubic", "lanczos3"):
+        local = make_volume_synthesizer(model, latent_interp=mode)
+        out_l = local(state.params, {}, kept, alphas, use_original=False)
+        sharded = make_sharded_synthesizer(model, mesh, latent_interp=mode)
+        with mesh:
+            out_s = sharded(state.params, {}, kept, alphas,
+                            use_original=False)
+        np.testing.assert_allclose(np.asarray(out_s["interp"]),
+                                   np.asarray(out_l["interp"]),
+                                   atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(out_s["recon"]),
+                                   np.asarray(out_l["recon"]),
+                                   atol=1e-5, err_msg=mode)

@@ -434,6 +434,7 @@ def main():
                 "ema_decay": args.ema_decay,
                 "ex_loss_weight": args.ex_loss_weight,
                 "downsample_steps": ds,
+                "latent": int(args.latent), "depth": int(args.depth),
                 "latent_width": int(args.latent_width
                                     or args.inplane // 4),
                 "inplane": args.inplane, "num_slices": args.num_slices,
