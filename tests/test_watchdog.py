@@ -130,6 +130,48 @@ def test_supervise_restarts_on_75_and_stops_on_0(tmp_path):
     assert rc == 75
 
 
+def test_run_child_stall_restarts(tmp_path, monkeypatch):
+    """tools/_subproc.run_child(stall_restarts=N): re-run on stall-exit
+    75 (tunneled backend wedged, the quality campaign's training child),
+    fail fast on any other nonzero status."""
+    import sys
+    sys.path.insert(0, "tools")
+    import _subproc
+
+    monkeypatch.setattr(_subproc.time, "sleep", lambda s: None)
+    marker = tmp_path / "count"
+    marker.write_text("0")
+    child = [sys.executable, "-c",
+             f"import sys,pathlib; p=pathlib.Path({str(marker)!r}); "
+             "n=int(p.read_text()); p.write_text(str(n+1)); "
+             "sys.exit(75 if n < 2 else 0)"]
+    log = tmp_path / "child.log"
+    r = _subproc.run_child(child, str(tmp_path), "t", log_path=str(log),
+                           timeout=60, force_cpu=True, verbose=False,
+                           stall_restarts=5)
+    assert r.returncode == 0
+    assert marker.read_text() == "3"
+    # the log appends across attempts instead of erasing earlier ones
+    assert log.read_text().count("--- stderr ---") == 3
+
+    # restarts exhausted -> SystemExit (still a failure, not a hang)
+    marker.write_text("0")
+    child75 = [sys.executable, "-c", "import sys; sys.exit(75)"]
+    with pytest.raises(SystemExit):
+        _subproc.run_child(child75, str(tmp_path), "t", timeout=60,
+                           force_cpu=True, verbose=False, stall_restarts=1)
+
+    # a real error is never retried
+    marker.write_text("0")
+    child_err = [sys.executable, "-c",
+                 f"import sys,pathlib; p=pathlib.Path({str(marker)!r}); "
+                 "p.write_text(str(int(p.read_text())+1)); sys.exit(3)"]
+    with pytest.raises(SystemExit):
+        _subproc.run_child(child_err, str(tmp_path), "t", timeout=60,
+                           force_cpu=True, verbose=False, stall_restarts=5)
+    assert marker.read_text() == "1"
+
+
 def test_pause_covers_peer_serial_window_and_beat_rearms():
     """Cross-host pattern (cli/train_loop.py): a non-main host pauses
     before blocking in the next epoch's first collective while main runs

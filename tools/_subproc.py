@@ -34,11 +34,41 @@ def child_env(data_root, force_cpu=False):
     return env
 
 
+STALL_EXIT_CODE = 75  # keep in sync with utils/watchdog.py / tools/supervise.py
+
+
 def run_child(cmd, data_root, what, log_path=None, timeout=7200,
-              force_cpu=False, verbose=True):
+              force_cpu=False, verbose=True, stall_restarts=0):
     """Run a child CLI; on failure raise SystemExit with the output
     tails (full output goes to ``log_path`` when given — callers should
-    put it somewhere that survives their cleanup)."""
+    put it somewhere that survives their cleanup).
+
+    ``stall_restarts`` > 0 re-runs the child when it exits with the
+    watchdog's stall status (75, utils/watchdog.py — the tunneled
+    device backend wedged mid-step), up to that many times; the command
+    should pass ``--auto_resume`` so each attempt continues from the
+    rolling checkpoint. Any other nonzero status still fails fast.
+    """
+    attempts = 0
+    while True:
+        r = _run_once(cmd, data_root, what, log_path, timeout, force_cpu)
+        if r.returncode == STALL_EXIT_CODE and attempts < stall_restarts:
+            attempts += 1
+            print(f"[{what}] device backend stalled (exit 75) — "
+                  f"restart {attempts}/{stall_restarts}", flush=True)
+            time.sleep(5.0)
+            continue
+        break
+    if r.returncode != 0:
+        raise SystemExit(
+            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
+            f"\n{r.stderr[-4000:]}")
+    if verbose:
+        print(f"[{what}] done in {r.elapsed_s:.0f}s", flush=True)
+    return r
+
+
+def _run_once(cmd, data_root, what, log_path, timeout, force_cpu):
     t0 = time.time()
     try:
         r = subprocess.run(cmd, cwd=REPO,
@@ -61,12 +91,8 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
             f"TIMEOUT [{what}] after {timeout}s: {' '.join(cmd)}\n"
             f"{(out or '')[-2000:]}\n{(err or '')[-4000:]}")
     if log_path:
-        with open(log_path, "w") as f:
+        # append so a stall-restart doesn't erase the first attempt's log
+        with open(log_path, "a") as f:
             f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
-    if r.returncode != 0:
-        raise SystemExit(
-            f"FAIL [{what}]: {' '.join(cmd)}\n{r.stdout[-2000:]}"
-            f"\n{r.stderr[-4000:]}")
-    if verbose:
-        print(f"[{what}] done in {time.time() - t0:.0f}s", flush=True)
+    r.elapsed_s = time.time() - t0
     return r

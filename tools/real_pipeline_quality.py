@@ -212,6 +212,12 @@ def main():
                         "'sweep'/'ema' force one — e.g. --reuse an "
                         "EMA-trained run with --score sweep to compare "
                         "both from a single training")
+    p.add_argument("--step_timeout_s", type=float, default=0,
+                   help="per-step watchdog for the training child (the "
+                        "tunneled TPU backend can wedge forever, "
+                        "utils/watchdog.py): the child exits 75 on a "
+                        "stall and is restarted with --auto_resume from "
+                        "the rolling checkpoint, up to 10 times")
     p.add_argument("--train_timeout_s", type=float, default=0,
                    help="hard wall-clock budget for the training child "
                         "(0 = auto: 4 s/step at the inplane=64 default, "
@@ -289,6 +295,9 @@ def main():
               if args.ema_decay > 0 else []),
             *(["--train_latent_interp", args.train_latent_interp]
               if args.train_latent_interp != "linear" else []),
+            *(["--step_timeout_s", str(args.step_timeout_s),
+               "--auto_resume"]
+              if args.step_timeout_s > 0 else []),
             # steps-per-epoch UPPER bound (train split <= n_patients
             # volumes of num_slices triplets): overestimating
             # decay_steps only leaves the cosine tail slightly above 0
@@ -318,7 +327,8 @@ def main():
                       else max(7200, int(steps * per_step)))
             _run(train_cmd, data_root, "train",
                  log_path=os.path.join(work, "train.log"),
-                 timeout=budget)
+                 timeout=budget,
+                 stall_restarts=10 if args.step_timeout_s > 0 else 0)
         exper = os.path.join(exper_root, "rpq")
 
         r = _run([sys.executable, "find_best_model.py",
