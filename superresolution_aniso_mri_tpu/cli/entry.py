@@ -125,19 +125,24 @@ def generate_hr_volumes(argv=None):
                              "symmetries — higher quality at "
                              "~n_variants x the per-volume cost")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic", "lanczos3"],
+                        choices=["linear", "cubic", "lanczos3", "fitted"],
                         help="latent z-interpolation: 'linear' = the "
                              "reference's 2-tap lerp; 'cubic' = 4-tap "
                              "Catmull-Rom over neighbouring slice "
                              "latents (the latent-space analogue of "
                              "lanczos's multi-tap kernel; same cost, "
-                             "no retraining)")
+                             "no retraining); 'fitted' = the "
+                             "experiment's learned tap table "
+                             "(fit_latent_taps.py)")
     args = parser.parse_args(argv)
 
+    from ..infer import resolve_latent_interp
+
+    exper_dir = os.path.expanduser(args.exper_dir)
     model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
                  else args.model_nbr)
-    trainer = get_trainer(os.path.expanduser(args.exper_dir),
-                          model_nbr=model_nbr, eval_mode=True)
+    trainer = get_trainer(exper_dir, model_nbr=model_nbr, eval_mode=True)
+    latent_interp = resolve_latent_interp(args.latent_interp, exper_dir)
     os.makedirs(args.output_dir, exist_ok=True)
 
     for path in _load_image_paths(os.path.expanduser(args.data_input_dir),
@@ -145,7 +150,7 @@ def generate_hr_volumes(argv=None):
         _densify_file(trainer, path, args.output_dir,
                       args.num_interpolations, args.label_suffix,
                       args.num_devices, tta=args.tta,
-                      latent_interp=args.latent_interp)
+                      latent_interp=latent_interp)
 
 
 def _densify_file(trainer, path: str, output_dir: str, n: int,
@@ -336,7 +341,7 @@ def serve_hr_volumes(argv=None):
                         help="test-time augmentation for every served "
                              "volume (see generate_hr_volumes --tta)")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic", "lanczos3"],
+                        choices=["linear", "cubic", "lanczos3", "fitted"],
                         help="latent z-interpolation for every served "
                              "volume (see generate_hr_volumes "
                              "--latent_interp)")
@@ -363,6 +368,9 @@ def serve_hr_volumes(argv=None):
                  else args.model_nbr)
     trainer = get_trainer(os.path.expanduser(args.exper_dir),
                           model_nbr=model_nbr, eval_mode=True)
+    from ..infer import resolve_latent_interp
+    latent_interp = resolve_latent_interp(
+        args.latent_interp, os.path.expanduser(args.exper_dir))
     os.makedirs(args.output_dir, exist_ok=True)
 
     stop = {"flag": False}
@@ -420,7 +428,7 @@ def serve_hr_volumes(argv=None):
                     trainer, path, args.output_dir,
                     args.num_interpolations, args.label_suffix,
                     args.num_devices, tta=args.tta,
-                    latent_interp=args.latent_interp)
+                    latent_interp=latent_interp)
             except Exception as exc:    # keep serving on bad volumes
                 print(f"ERROR serving {path}: {exc}", flush=True)
                 processed[path] = sig   # don't retry-loop a poison file
@@ -467,7 +475,7 @@ def find_best_model(argv=None):
                         help="one device program per shape-group "
                              "(3.7x faster sweeps)")
     parser.add_argument("--latent_interp", type=str, default="linear",
-                        choices=["linear", "cubic", "lanczos3"],
+                        choices=["linear", "cubic", "lanczos3", "fitted"],
                         help="latent z-interpolation for the sweep's "
                              "synthesis — select checkpoints with the "
                              "scheme you will serve with")
@@ -487,12 +495,75 @@ def find_best_model(argv=None):
     # scores (toy slice counts and brain LR simulation depend on it)
     settings["downsample_steps"] = ds
     _train, val = get_datasets(settings)
-    res = find_best_val_model(exper_dir, val, ds, batched=args.batched,
-                              verbose=True,
-                              latent_interp=args.latent_interp)
+    from ..infer import resolve_latent_interp
+    res = find_best_val_model(
+        exper_dir, val, ds, batched=args.batched, verbose=True,
+        latent_interp=resolve_latent_interp(args.latent_interp, exper_dir))
     print("best per metric:")
     for metric, info in res["best"].items():
         print(f"  {metric}: epoch {info['epoch']}  value {info['value']:.4f}")
+    return res
+
+
+def fit_latent_taps(argv=None):
+    """Fit the learned per-alpha latent tap table on the validation
+    split (infer/latent_taps.py) and save it next to the checkpoints as
+    <exper>/models/latent_taps.npz — serve with --latent_interp fitted.
+    An inference-only quality lever the reference lacks."""
+    from ..config.settings import load_settings
+    from ..data.datasets import get_datasets
+    from ..infer.latent_taps import fit_latent_taps as _fit
+    from ..infer.latent_taps import save_latent_taps
+    from ..train import get_trainer
+
+    parser = argparse.ArgumentParser(
+        description="Fit learned latent tap weights on the val split")
+    parser.add_argument("--exper_dir", type=str, required=True)
+    parser.add_argument("--model_nbr", type=str, default="caisr",
+                        help="checkpoint to fit against — use the one "
+                             "you will serve (epoch number, 'caisr', "
+                             "'ae' or 'ema')")
+    parser.add_argument("--downsample_steps", type=int, default=None)
+    parser.add_argument("--limited_load", action="store_true")
+    parser.add_argument("--use_synthetic_data", action="store_true")
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--lr", type=float, default=0.02)
+    parser.add_argument("--batch_pairs", type=int, default=16)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    exper_dir = os.path.expanduser(args.exper_dir)
+    settings = load_settings(os.path.join(exper_dir, "settings.yaml"))
+    if args.limited_load:
+        settings["limited_load"] = True
+    if args.use_synthetic_data:
+        settings["use_synthetic_data"] = True
+    ds = (args.downsample_steps if args.downsample_steps is not None
+          else int(settings.get("downsample_steps") or 2))
+    if ds < 2:
+        raise SystemExit(f"--downsample_steps must be >= 2, got {ds}")
+    settings["downsample_steps"] = ds
+    _train, val = get_datasets(settings)
+
+    model_nbr = (int(args.model_nbr) if args.model_nbr.isdigit()
+                 else args.model_nbr)
+    trainer = get_trainer(exper_dir, model_nbr=model_nbr, eval_mode=True)
+    res = _fit(trainer, val, ds, steps=args.steps, lr=args.lr,
+               batch_pairs=args.batch_pairs, seed=args.seed, verbose=True)
+    out = os.path.join(exper_dir, "models", "latent_taps.npz")
+    save_latent_taps(out, res["offsets"], res["alphas"], res["weights"],
+                     meta={"downsample_steps": ds,
+                           "model_nbr": str(model_nbr),
+                           "loss_init": res["loss_init"],
+                           "loss_final": res["loss_final"],
+                           "n_pairs": res["n_pairs"]})
+    gain = (1.0 - res["loss_final"] / res["loss_init"]
+            if res["loss_init"] > 0 else 0.0)
+    print(f"fitted {res['weights'].shape} tap table on "
+          f"{res['n_pairs']} pairs: val synthesis MSE "
+          f"{res['loss_init']:.6f} → {res['loss_final']:.6f} "
+          f"({100 * gain:.1f}% lower than lanczos3 init)")
+    print(f"saved {out} — serve with --latent_interp fitted")
     return res
 
 
@@ -527,4 +598,9 @@ def find_best_model_main() -> int:
 
 def serve_hr_volumes_main() -> int:
     serve_hr_volumes()
+    return 0
+
+
+def fit_latent_taps_main() -> int:
+    fit_latent_taps()
     return 0

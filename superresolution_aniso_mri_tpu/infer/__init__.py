@@ -24,3 +24,11 @@ from .alpha_interp import (  # noqa: E402
 
 __all__ += ["latent_space_interp_pred_alpha", "create_features",
             "synthesize_cardiac_features", "get_alpha_probe_features"]
+
+from .latent_taps import (  # noqa: E402
+    fit_latent_taps, fitted_tap_weights, load_latent_taps,
+    resolve_latent_interp, save_latent_taps,
+)
+
+__all__ += ["fit_latent_taps", "fitted_tap_weights", "load_latent_taps",
+            "resolve_latent_interp", "save_latent_taps"]

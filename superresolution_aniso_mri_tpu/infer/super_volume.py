@@ -125,7 +125,7 @@ def clip_with_label_channel(vol, decodes_labels: bool):
 # latent-space analogue of the 4-tap conventional kernels (lanczos /
 # b-spline) that out-resolve 2-tap linear blending in pixel space. An
 # inference-only quality lever: no retraining, same decoder, same grid.
-LATENT_INTERP_MODES = ("linear", "cubic", "lanczos3")
+LATENT_INTERP_MODES = ("linear", "cubic", "lanczos3", "fitted")
 
 # canonical definition lives in ops.losses (shared with the
 # cubic-aligned training loss); re-exported here for inference callers
@@ -217,9 +217,25 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
     EDGE replication in this mode — zero-padding would leak encode(0)
     into the last real pair's z[i+2] tap (create_super_volume does)."""
     cfg = getattr(model, "config", None)
-    if latent_interp not in LATENT_INTERP_MODES:
+    from .latent_taps import (fitted_tap_weights, fitted_table_path,
+                              is_fitted_mode, load_latent_taps)
+    if is_fitted_mode(latent_interp):
+        # 'fitted:<path>' — learned per-alpha tap weights (see
+        # infer/latent_taps.py); table loaded once at build time, rows
+        # interpolated in alpha inside the program
+        table = load_latent_taps(fitted_table_path(latent_interp))
+        tap_offsets = tuple(int(o) for o in table["offsets"])
+        tap_weight_fn = partial(fitted_tap_weights, table["alphas"],
+                                table["weights"])
+    elif latent_interp in _LATENT_TAP_OFFSETS:
+        tap_offsets = _LATENT_TAP_OFFSETS[latent_interp]
+        tap_weight_fn = partial(latent_tap_weights, latent_interp)
+    elif latent_interp == "linear":
+        tap_offsets = tap_weight_fn = None
+    else:
         raise ValueError(f"latent_interp must be one of "
-                         f"{LATENT_INTERP_MODES}, got {latent_interp!r}")
+                         f"{LATENT_INTERP_MODES} (fitted as "
+                         f"'fitted:<table path>'), got {latent_interp!r}")
 
     # VAE family routes encode through the trained mu bottleneck
     # (heads -> mu -> unflatten), exactly like Trainer._encode_fn — raw
@@ -285,20 +301,21 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         # the decoded stack, and ONE decoder pass covers reconstructions
         # and interpolants (fewer logical ops; the axon transport is
         # op-count-bound at ~20 µs/op, docs/STATUS.md)
-        if latent_interp in _LATENT_TAP_OFFSETS:
-            # multi-tap spline over neighbouring kept-slice latents with
-            # edge-clamped taps: for pair j, tap at offset o reads
-            # z[clip(j+o, 0, K-1)] — the same index clamping as the
-            # pixel-space lanczos/bspline baselines (_interp_weights).
-            # NB callers that pad the kept stack must edge-replicate so
-            # the clamp lands on the true boundary latent.
-            w = latent_tap_weights(latent_interp, alphas)  # [A, n_taps]
+        if tap_offsets is not None:
+            # multi-tap scheme (analytic spline or fitted table) over
+            # neighbouring kept-slice latents with edge-clamped taps:
+            # for pair j, tap at offset o reads z[clip(j+o, 0, K-1)] —
+            # the same index clamping as the pixel-space lanczos/bspline
+            # baselines (_interp_weights). NB callers that pad the kept
+            # stack must edge-replicate so the clamp lands on the true
+            # boundary latent.
+            w = tap_weight_fn(alphas)             # [A, n_taps]
             w = w[None, :, :, None, None, None]   # [1, A, n, 1, 1, 1]
             k = z.shape[0]
             pair = jnp.arange(k - 1)
             z_mix = jnp.zeros((k - 1, alphas.shape[0]) + z.shape[1:],
                               z.dtype)
-            for ti, off in enumerate(_LATENT_TAP_OFFSETS[latent_interp]):
+            for ti, off in enumerate(tap_offsets):
                 tap = jnp.take(z, jnp.clip(pair + off, 0, k - 1), axis=0)
                 z_mix = z_mix + w[:, :, ti] * tap[:, None]
         else:

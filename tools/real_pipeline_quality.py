@@ -179,11 +179,15 @@ def main():
                         "heavier weights steal capacity from the AE "
                         "reconstruction that bounds production quality)")
     p.add_argument("--latent_interp", type=str, default="linear",
-                   choices=["linear", "cubic", "lanczos3"],
+                   choices=["linear", "cubic", "lanczos3", "fitted"],
                    help="latent z-interpolation for the model's scoring "
                         "pass: 'cubic' = 4-tap Catmull-Rom over "
                         "neighbouring slice latents (inference-side "
-                        "lever like --tta, no retraining)")
+                        "lever like --tta, no retraining); 'fitted' = "
+                        "learn the tap table on the val split "
+                        "(fit_latent_taps.py runs automatically: once "
+                        "before the sweep, refit on the selected "
+                        "checkpoint before scoring)")
     p.add_argument("--train_latent_interp", type=str, default="linear",
                    choices=["linear", "cubic"],
                    help="latent z-mixing for the TRAINING synthesis "
@@ -331,6 +335,19 @@ def main():
                  stall_restarts=10 if args.step_timeout_s > 0 else 0)
         exper = os.path.join(exper_root, "rpq")
 
+        def _fit_taps(model_nbr, what):
+            _run([sys.executable, "fit_latent_taps.py",
+                  "--exper_dir", exper, "--downsample_steps", str(ds),
+                  "--model_nbr", str(model_nbr)],
+                 data_root, what,
+                 log_path=os.path.join(work, f"{what}.log"))
+
+        if args.latent_interp == "fitted":
+            # the sweep needs a table before it can select under the
+            # fitted scheme; fit against the min-val-loss alias first,
+            # refit on the actually-selected checkpoint before scoring
+            _fit_taps("caisr", "fit_taps")
+
         r = _run([sys.executable, "find_best_model.py",
                   "--exper_dir", exper, "--downsample_steps", str(ds),
                   "--batched",
@@ -356,6 +373,14 @@ def main():
         kind = "EMA" if best_nbr == "ema" else "sweep-selected"
         print(f"[score] using {kind} checkpoint: {best_nbr}", flush=True)
 
+        score_latent_interp = args.latent_interp
+        if args.latent_interp == "fitted":
+            _fit_taps(best_nbr, "fit_taps_refit")
+            from superresolution_aniso_mri_tpu.infer import (
+                resolve_latent_interp,
+            )
+            score_latent_interp = resolve_latent_interp("fitted", exper)
+
         # ------------------------------------------------------------------
         # held-out test scoring, CPU, in-process
         # ------------------------------------------------------------------
@@ -374,7 +399,7 @@ def main():
         trainer = get_trainer(exper, model_nbr=best_nbr, eval_mode=True)
         rows = {"model (AESR)": create_hr_images(
             trainer, test_vols, downsample_steps=ds,
-            tta=args.tta, latent_interp=args.latent_interp)["aggregate"]}
+            tta=args.tta, latent_interp=score_latent_interp)["aggregate"]}
         for method in ("linear", "bspline", "lanczos"):
             rows[method] = create_hr_images(
                 None, test_vols, downsample_steps=ds,
