@@ -406,7 +406,21 @@ def test_sharded_synthesizer_multitap_matches_local(setup):
     kept = jnp.asarray(rng.rand(16, 16, 16, 1).astype(np.float32))
     alphas = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
     mesh = create_mesh(jax.devices()[:8])
-    for mode in ("cubic", "lanczos3"):
+    # a fitted table (lanczos3 rows → exercises the fitted code path on
+    # the mesh; values pinned against analytic lanczos3 by the atol
+    # below since the analytic mode runs in the same loop)
+    import tempfile
+
+    from superresolution_aniso_mri_tpu.infer import save_latent_taps
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        lanczos3_weights,
+    )
+
+    tap_file = os.path.join(tempfile.mkdtemp(), "taps.npz")
+    save_latent_taps(tap_file, (-2, -1, 0, 1, 2, 3),
+                     np.asarray(alphas),
+                     np.asarray(lanczos3_weights(alphas)))
+    for mode in ("cubic", "lanczos3", f"fitted:{tap_file}"):
         local = make_volume_synthesizer(model, latent_interp=mode)
         out_l = local(state.params, {}, kept, alphas, use_original=False)
         sharded = make_sharded_synthesizer(model, mesh, latent_interp=mode)
