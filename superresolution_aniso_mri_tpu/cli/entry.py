@@ -530,6 +530,15 @@ def fit_latent_taps(argv=None):
     parser.add_argument("--lr", type=float, default=0.02)
     parser.add_argument("--batch_pairs", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--l2_to_init", type=float, default=0.0,
+                        help="trust-region penalty toward the lanczos3 "
+                             "init (lambda * ||W - W0||^2): damps "
+                             "overfitting to a small validation split")
+    parser.add_argument("--holdout_frac", type=float, default=0.2,
+                        help="fraction of fitting pairs held out to "
+                             "gate weight selection (the returned table "
+                             "is the best-holdout candidate, analytic "
+                             "init included); 0 disables")
     args = parser.parse_args(argv)
 
     exper_dir = os.path.expanduser(args.exper_dir)
@@ -549,7 +558,9 @@ def fit_latent_taps(argv=None):
                  else args.model_nbr)
     trainer = get_trainer(exper_dir, model_nbr=model_nbr, eval_mode=True)
     res = _fit(trainer, val, ds, steps=args.steps, lr=args.lr,
-               batch_pairs=args.batch_pairs, seed=args.seed, verbose=True)
+               batch_pairs=args.batch_pairs, seed=args.seed,
+               l2_to_init=args.l2_to_init,
+               holdout_frac=args.holdout_frac, verbose=True)
     out = os.path.join(exper_dir, "models", "latent_taps.npz")
     save_latent_taps(out, res["offsets"], res["alphas"], res["weights"],
                      meta={"downsample_steps": ds,

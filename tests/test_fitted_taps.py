@@ -156,6 +156,24 @@ def test_fit_never_ships_worse_than_init(trainer, monkeypatch):
         atol=1e-6)
 
 
+def test_l2_to_init_trust_region(trainer):
+    """A dominant trust-region penalty keeps the table near the
+    analytic init (within Adam's ~lr-scale oscillation — Adam
+    normalizes gradient magnitude, so 'pinned' means small, not zero),
+    while a zero penalty moves substantially further."""
+    vols = make_toy_dataset(1, 32, 13, seed=19)
+    w0 = None
+    dists = {}
+    for lam in (0.0, 1e6):
+        res = fit_latent_taps(trainer, vols, 3, steps=40, lr=0.02,
+                              batch_pairs=4, seed=0, l2_to_init=lam)
+        if w0 is None:
+            w0 = np.asarray(lanczos3_weights(jnp.asarray(res["alphas"])))
+        dists[lam] = float(np.abs(res["weights"] - w0).max())
+    assert dists[1e6] < 0.05          # a few lr-sized steps from init
+    assert dists[0.0] > 2 * dists[1e6]
+
+
 def test_fitted_synthesis_beats_analytic_after_fit(tmp_path, trainer):
     """End to end: fit on toy val volumes, save, synthesize with
     'fitted:<path>' — the fitted scheme's synthesis MSE on the fitting
