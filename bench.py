@@ -117,6 +117,24 @@ def main():
         per_rep.append((time.perf_counter() - t0) / n)
     latency = float(np.median(per_rep))
 
+    # multi-tap serving cost: the lanczos3 latent scheme (the quality-
+    # winning serving configuration, docs/STATUS.md) does one extra
+    # 6-way gather+mix per synthesized slice — report its synchronous
+    # latency next to the reference 2-tap path to show cost parity
+    synth_l3 = make_volume_synthesizer(model, latent_interp="lanczos3")
+
+    def run_l3():
+        return synth_l3(params, batch_stats, volume, alphas,
+                        use_original=False, interleave=True)["volume"]
+
+    jax.block_until_ready(run_l3())  # compile + warm up
+    l3_times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_l3())
+        l3_times.append(time.perf_counter() - t0)
+    latency_l3 = float(np.median(l3_times))
+
     # bf16-vs-f32 output delta: same weights through a float32-compute
     # synthesizer; 1 - SSIM(bf16, f32) quantifies the numeric cost of
     # the bfloat16 inference path on this volume
@@ -148,6 +166,7 @@ def main():
         "vs_baseline": round(baseline_s / latency_sync, 3),
         "value_sync": round(latency_sync, 5),
         "value_amortized": round(latency, 5),
+        "value_sync_lanczos3": round(latency_l3, 5),
         "readback_f32_s": round(readback_f32, 5),
         "readback_bf16_s": round(readback_bf16, 5),
         "tunnel_link_mbps": round(link_mbps, 1),

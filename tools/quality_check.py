@@ -70,10 +70,12 @@ def main():
                         "blurs away (separates methods on VIF, which "
                         "saturates on smooth phantoms)")
     p.add_argument("--latent_interp", type=str, default="linear",
-                   choices=["linear", "cubic", "lanczos3"],
+                   choices=["linear", "cubic", "lanczos3", "fitted"],
                    help="latent z-mixing for the model's scoring pass "
                         "(4-tap Catmull-Rom vs the reference's 2-tap "
-                        "lerp; inference-only)")
+                        "lerp; inference-only). 'fitted' learns the tap "
+                        "table on freshly built validation phantoms "
+                        "(infer/latent_taps.py) before scoring")
     p.add_argument("--json_out", type=str, default=None,
                    help="append a JSON result line to this file")
     args = p.parse_args()
@@ -143,10 +145,29 @@ def main():
     print(f"trained {steps} steps in {dt:.1f}s "
           f"({steps / dt:.1f} steps/s)")
 
+    score_latent_interp = args.latent_interp
+    if args.latent_interp == "fitted":
+        # fit the tap table on val phantoms disjoint from train AND test
+        import tempfile
+
+        from superresolution_aniso_mri_tpu.infer import (
+            fit_latent_taps, save_latent_taps,
+        )
+
+        val_vols = build_vols(3, seed=2000)
+        fit = fit_latent_taps(trainer, val_vols, ds, verbose=True)
+        tap_path = os.path.join(tempfile.mkdtemp(prefix="sr_taps_"),
+                                "latent_taps.npz")
+        save_latent_taps(tap_path, fit["offsets"], fit["alphas"],
+                         fit["weights"])
+        print(f"fitted taps: holdout mse {fit['loss_init']:.6f} -> "
+              f"{fit['loss_final']:.6f}")
+        score_latent_interp = f"fitted:{tap_path}"
+
     print(f"\n=== {ds}x through-plane SR on held-out volumes ===")
     rows = {}
     res = create_hr_images(trainer, test_vols, downsample_steps=ds,
-                           latent_interp=args.latent_interp)
+                           latent_interp=score_latent_interp)
     rows["model (AESR)"] = res["aggregate"]
     for method in ("linear", "bspline", "lanczos"):
         res = create_hr_images(None, test_vols, downsample_steps=ds,
