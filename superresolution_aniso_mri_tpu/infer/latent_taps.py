@@ -168,9 +168,22 @@ def _gather_pairs(trainer, volumes, downsample_steps: int,
         if ph or pw:
             kept = jnp.pad(kept, ((0, 0), (0, ph), (0, pw), (0, 0)),
                            mode="reflect")
-        return trainer.encode(kept)
+        # chunked: a 500-slice volume must not hold every encoder
+        # activation in flight at once
+        chunk = 64
+        if kept.shape[0] <= chunk:
+            return np.asarray(trainer.encode(kept))
+        return np.concatenate(
+            [np.asarray(trainer.encode(kept[i:i + chunk]))
+             for i in range(0, kept.shape[0], chunk)])
 
-    taps_all, tgt_all = [], []
+    # fitting pairs are stacked into one array, so every volume must
+    # share an in-plane shape — ragged datasets (e.g. ACDC) contribute
+    # their DOMINANT shape and the rest are skipped with a warning
+    # (weights are per-alpha scalars; the dominant-shape pairs carry
+    # the same signal)
+    taps_by_shape: Dict[tuple, list] = {}
+    tgt_by_shape: Dict[tuple, list] = {}
     for vol in volumes:
         img = np.asarray(vol.image, np.float32)
         hr = (np.asarray(vol.image_hr, np.float32)
@@ -182,7 +195,7 @@ def _gather_pairs(trainer, volumes, downsample_steps: int,
             k = kept.shape[0]
             if k < 2:
                 continue
-            z = np.asarray(enc(jnp.asarray(kept)[..., None]))
+            z = enc(jnp.asarray(kept)[..., None])
             pair = np.arange(k - 1)
             taps = np.stack(
                 [z[np.clip(pair + o, 0, k - 1)] for o in offsets],
@@ -191,12 +204,20 @@ def _gather_pairs(trainer, volumes, downsample_steps: int,
             tgt = np.stack(
                 [hr3d[pair * ds + m] for m in range(1, ds)],
                 axis=1)[..., None]                     # [K-1, A, H, W, 1]
-            taps_all.append(taps)
-            tgt_all.append(tgt)
-    if not taps_all:
+            shape = img3d.shape[1:]
+            taps_by_shape.setdefault(shape, []).append(taps)
+            tgt_by_shape.setdefault(shape, []).append(tgt)
+    if not taps_by_shape:
         raise ValueError("no kept-slice pairs in the fitting volumes")
-    return (np.concatenate(taps_all, axis=0),
-            np.concatenate(tgt_all, axis=0))
+    best = max(taps_by_shape,
+               key=lambda s: sum(t.shape[0] for t in taps_by_shape[s]))
+    if len(taps_by_shape) > 1:
+        skipped = sorted(s for s in taps_by_shape if s != best)
+        print(f"[fit_taps] WARNING: ragged in-plane shapes — fitting on "
+              f"the dominant {best}, skipping volumes of {skipped}",
+              flush=True)
+    return (np.concatenate(taps_by_shape[best], axis=0),
+            np.concatenate(tgt_by_shape[best], axis=0))
 
 
 def fit_latent_taps(trainer, volumes, downsample_steps: int, *,

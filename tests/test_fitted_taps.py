@@ -202,6 +202,17 @@ def test_fitted_synthesis_beats_analytic_after_fit(tmp_path, trainer):
     assert synth_mse(f"fitted:{path}") < synth_mse("lanczos3")
 
 
+def test_fit_handles_ragged_inplane_shapes(trainer, capsys):
+    """Mixed in-plane sizes (ACDC-style): the fitter uses the dominant
+    shape and warns about the rest instead of dying in a concatenate."""
+    vols = make_toy_dataset(2, 32, 13, seed=29)
+    odd = make_toy_dataset(1, 48, 13, seed=31)
+    res = fit_latent_taps(trainer, vols + odd, 3, steps=10,
+                          batch_pairs=4, seed=0)
+    assert res["n_pairs"] == 2 * 4          # only the dominant 32x32 pairs
+    assert "ragged" in capsys.readouterr().out
+
+
 def test_fit_latent_taps_cli(tmp_path):
     """fit_latent_taps CLI over a real (toy) experiment dir: writes
     models/latent_taps.npz with fitting metadata, and find_best_model
