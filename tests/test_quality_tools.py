@@ -60,3 +60,32 @@ def test_select_score_checkpoint():
     assert sel("ema", 0.999, True, 117) == "ema"
     with pytest.raises(SystemExit):
         sel("ema", 0.0, False, 117)
+
+
+def test_make_extra_test_volumes():
+    """Extra held-out fabrication: LR/HR pair with loader-matching
+    preprocessing, deterministic per seed, disjoint from the training
+    tree's 10_000+i seed range."""
+    import numpy as np
+
+    vols = rpq.make_extra_test_volumes(3, 2, 32, 13)
+    assert len(vols) == 2
+    for v in vols:
+        assert v.image.shape == (13, 32, 32)
+        assert v.image_hr.shape == (13, 32, 32)
+        # loader-matching (0,100) rescale pins the range to [0, 1]
+        assert v.image.min() == 0.0 and v.image.max() == 1.0
+        # LR is the PSF-blurred HR, not a copy
+        assert np.abs(v.image - v.image_hr).max() > 1e-3
+        assert v.patient_id.startswith("EXTRA_")
+    again = rpq.make_extra_test_volumes(3, 2, 32, 13)
+    np.testing.assert_array_equal(vols[0].image, again[0].image)
+    # different from the training tree's seed-10_000 fabrication
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_textured_rotated_volume,
+    )
+    tree0 = make_textured_rotated_volume(size=32, num_slices=13,
+                                         seed=10_000).image
+    assert np.abs(vols[0].image_hr
+                  - (tree0 - tree0.min())
+                  / max(tree0.max() - tree0.min(), 1e-9)).max() > 1e-3
