@@ -79,8 +79,10 @@ _SWEEP_CACHE: dict = {}
 
 def _get_evaluator(trainer, decode_batch: Optional[int] = None,
                    latent_interp: str = "linear"):
+    from ..infer.latent_taps import latent_interp_cache_token
+
     mdl = trainer._ae_model()
-    key = (id(mdl), decode_batch, latent_interp)
+    key = (id(mdl), decode_batch, latent_interp_cache_token(latent_interp))
     if key not in _SWEEP_CACHE:
         _SWEEP_CACHE[key] = make_sweep_evaluator(mdl, decode_batch,
                                                  latent_interp)

@@ -116,7 +116,27 @@ def load_latent_taps(path: str) -> Dict[str, np.ndarray]:
                                 out["offsets"].shape[0]):
         raise ValueError(f"{path}: weights {out['weights'].shape} "
                          f"inconsistent with alphas/offsets")
+    if not np.all(np.diff(out["alphas"]) > 0):
+        # jnp.interp silently mis-reads a non-ascending grid
+        raise ValueError(f"{path}: alphas must be strictly ascending "
+                         f"(save_latent_taps sorts them; hand-built "
+                         f"tables must too)")
     return out
+
+
+def latent_interp_cache_token(mode: str):
+    """Cache-key component for synthesizer caches: analytic modes key on
+    the string alone; 'fitted:<path>' additionally keys on the table
+    file's mtime/size so refitting in the same process doesn't serve a
+    stale compiled table."""
+    if is_fitted_mode(mode) and ":" in mode:
+        path = fitted_table_path(mode)
+        try:
+            st = os.stat(path)
+            return (mode, st.st_mtime_ns, st.st_size)
+        except OSError:
+            return (mode, None, None)
+    return mode
 
 
 def fitted_tap_weights(table_alphas, table_weights, alphas) -> jnp.ndarray:

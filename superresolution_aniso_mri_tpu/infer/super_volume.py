@@ -703,8 +703,10 @@ _SYNTH_CACHE: dict = {}
 
 def _get_synthesizer(trainer, decode_batch: Optional[int] = None,
                      latent_interp: str = "linear"):
+    from .latent_taps import latent_interp_cache_token
+
     mdl = trainer._ae_model()
-    key = (id(mdl), decode_batch, latent_interp)
+    key = (id(mdl), decode_batch, latent_interp_cache_token(latent_interp))
     if key not in _SYNTH_CACHE:
         _SYNTH_CACHE[key] = make_volume_synthesizer(
             mdl, decode_batch=decode_batch, latent_interp=latent_interp)
@@ -717,8 +719,11 @@ def _get_sharded_synthesizer(trainer, num_devices: int,
     """Slice-axis-sharded synthesizer over the first N devices
     (parallel.make_sharded_synthesizer), cached per
     (model, N, decode_batch, latent_interp)."""
+    from .latent_taps import latent_interp_cache_token
+
     mdl = trainer._ae_model()
-    key = (id(mdl), "mesh", int(num_devices), decode_batch, latent_interp)
+    key = (id(mdl), "mesh", int(num_devices), decode_batch,
+           latent_interp_cache_token(latent_interp))
     if key not in _SYNTH_CACHE:
         from ..parallel import create_mesh, make_sharded_synthesizer
 

@@ -202,6 +202,34 @@ def test_fitted_synthesis_beats_analytic_after_fit(tmp_path, trainer):
     assert synth_mse(f"fitted:{path}") < synth_mse("lanczos3")
 
 
+def test_refit_invalidates_synthesizer_cache(tmp_path, trainer):
+    """Re-writing the tap table must not serve the stale compiled
+    synthesizer: the cache keys on the file's mtime/size."""
+    path = str(tmp_path / "taps.npz")
+    alphas = [0.5]
+    _lanczos3_table(path, alphas)
+    vol = make_toy_dataset(1, 32, 9, seed=33)[0].image
+    kw = dict(alpha_range=alphas, downsample_steps=2,
+              generate_inbetween_slices=True, use_original=True,
+              latent_interp=f"fitted:{path}")
+    out1 = create_super_volume(trainer, vol, **kw)["upsampled_image"]
+    # overwrite with a visibly different table (pure 2-tap average)
+    w = np.zeros((1, 6), np.float32)
+    w[0, 2] = w[0, 3] = 0.5
+    save_latent_taps(path, OFFSETS, np.asarray(alphas, np.float32), w)
+    out2 = create_super_volume(trainer, vol, **kw)["upsampled_image"]
+    assert np.abs(out1[1::2] - out2[1::2]).max() > 1e-6
+
+    # unsorted hand-built tables are rejected at load
+    import numpy.lib.format  # noqa: F401  (np.savez path)
+    bad = str(tmp_path / "unsorted.npz")
+    np.savez(bad, offsets=np.asarray(OFFSETS, np.int32),
+             alphas=np.array([0.75, 0.25], np.float32),
+             weights=np.zeros((2, 6), np.float32))
+    with pytest.raises(ValueError, match="ascending"):
+        load_latent_taps(bad)
+
+
 def test_fit_handles_ragged_inplane_shapes(trainer, capsys):
     """Mixed in-plane sizes (ACDC-style): the fitter uses the dominant
     shape and warns about the rest instead of dying in a concatenate."""
