@@ -83,6 +83,12 @@ def save_latent_taps(path: str, offsets: Sequence[int],
         raise ValueError(f"weights {weights.shape} != "
                          f"(n_alphas={alphas.shape[0]}, "
                          f"n_taps={offsets.shape[0]})")
+    for tap_offset in (0, 1):
+        if not np.any(offsets == tap_offset):
+            raise ValueError(
+                f"offsets {tuple(offsets)} must include the pair taps 0 "
+                f"and 1 — the alpha-0/1 identity boundary rows place "
+                f"their delta weight there")
     rows = [alphas]
     wrows = [weights]
     for boundary, tap_offset in ((0.0, 0), (1.0, 1)):
@@ -177,6 +183,10 @@ def _gather_pairs(trainer, volumes, downsample_steps: int,
 
     ds = int(downsample_steps)
     # trainer.encode: jitted host API with the VAE bottleneck routing;
+    # use_sr_model=True so the AE+CAISR combo fits through the SAME
+    # model that serves the synthesis (create_super_volume runs the
+    # interpolants through params_sr when loaded; a table optimized
+    # through the primary AE would be wrong for that decoder);
     # reflect-pad in-plane to the encoder's total stride like the
     # synthesis core (odd sizes would decode back smaller)
     cfg = getattr(trainer._ae_model(), "config", None)
@@ -192,9 +202,10 @@ def _gather_pairs(trainer, volumes, downsample_steps: int,
         # activation in flight at once
         chunk = 64
         if kept.shape[0] <= chunk:
-            return np.asarray(trainer.encode(kept))
+            return np.asarray(trainer.encode(kept, use_sr_model=True))
         return np.concatenate(
-            [np.asarray(trainer.encode(kept[i:i + chunk]))
+            [np.asarray(trainer.encode(kept[i:i + chunk],
+                                       use_sr_model=True))
              for i in range(0, kept.shape[0], chunk)])
 
     # fitting pairs are stacked into one array, so every volume must
@@ -304,9 +315,10 @@ def fit_latent_taps(trainer, volumes, downsample_steps: int, *,
 
     # jitted decode is still differentiable; params/batch_stats are
     # closed over (frozen) so grads flow only to the weight table. The
-    # multichannel family decodes {'image', 'soft_probs'} — fit on the
-    # image head.
-    p, bs = trainer._ae_params()
+    # SR-model params serve the synthesis when loaded (AE+CAISR combo)
+    # — fit through the same decoder. The multichannel family decodes
+    # {'image', 'soft_probs'} — fit on the image head.
+    p, bs = trainer._sr_params(use_sr_model=True)
     decode_fn = trainer._decode_fn()
 
     def dec(zz):
@@ -339,6 +351,17 @@ def fit_latent_taps(trainer, volumes, downsample_steps: int, *,
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(w, updates), opt_state, loss
 
+    def pair_losses(w, tap_b, tgt_b):
+        # per-pair mean squared error (mean over alphas/pixels) — the
+        # per-item twin of batch_loss, for exact set means under padding
+        z_mix = jnp.einsum("at,bt...->ba...", w, tap_b)
+        flat = z_mix.reshape((-1,) + z_mix.shape[2:])
+        out = dec(flat)
+        out = out.reshape(tgt_b.shape[:2] + out.shape[1:])
+        out = out[..., :tgt_b.shape[2], :tgt_b.shape[3], :1]
+        return jnp.mean((out - tgt_b) ** 2,
+                        axis=tuple(range(1, tgt_b.ndim)))
+
     def make_set_loss(tp_all, tg_all):
         n = tp_all.shape[0]
         chunk = max(1, min(n, 64))
@@ -346,7 +369,9 @@ def fit_latent_taps(trainer, volumes, downsample_steps: int, *,
 
         @jax.jit
         def set_loss(w):
-            # memory-bounded full-set evaluation
+            # memory-bounded exact mean: per-pair losses, padded tail
+            # entries masked out (a chunk-mean reweighting would
+            # over-weight the duplicated edge pair)
             tp = jnp.pad(tp_all,
                          ((0, pad),) + ((0, 0),) * (tp_all.ndim - 1),
                          mode="edge")
@@ -355,13 +380,10 @@ def fit_latent_taps(trainer, volumes, downsample_steps: int, *,
                          mode="edge")
             tp = tp.reshape((-1, chunk) + tp.shape[1:])
             tg = tg.reshape((-1, chunk) + tg.shape[1:])
-            losses = jax.lax.map(lambda ab: batch_loss(w, ab[0], ab[1]),
-                                 (tp, tg))
-            # padded tail pairs repeat real ones — weight the last chunk
-            # by its real fraction for an exact mean
-            n_chunks = losses.shape[0]
-            wts = jnp.ones((n_chunks,)).at[-1].set((chunk - pad) / chunk)
-            return jnp.sum(losses * wts) / jnp.sum(wts)
+            per_pair = jax.lax.map(
+                lambda ab: pair_losses(w, ab[0], ab[1]),
+                (tp, tg)).reshape(-1)               # [n + pad]
+            return jnp.sum(per_pair[:n]) / n
 
         return set_loss
 

@@ -148,18 +148,37 @@ def test_run_child_stall_restarts(tmp_path, monkeypatch):
     log = tmp_path / "child.log"
     r = _subproc.run_child(child, str(tmp_path), "t", log_path=str(log),
                            timeout=60, force_cpu=True, verbose=False,
-                           stall_restarts=5)
+                           stall_restarts=5, min_stall_uptime_s=0.0)
     assert r.returncode == 0
     assert marker.read_text() == "3"
     # the log appends across attempts instead of erasing earlier ones
     assert log.read_text().count("--- stderr ---") == 3
+
+    # ... but a NEW run_child call truncates it (no stale cross-run logs)
+    ok = [sys.executable, "-c", "print('fresh')"]
+    _subproc.run_child(ok, str(tmp_path), "t", log_path=str(log),
+                       timeout=60, force_cpu=True, verbose=False)
+    assert log.read_text().count("--- stderr ---") == 1
+    assert "fresh" in log.read_text()
 
     # restarts exhausted -> SystemExit (still a failure, not a hang)
     marker.write_text("0")
     child75 = [sys.executable, "-c", "import sys; sys.exit(75)"]
     with pytest.raises(SystemExit):
         _subproc.run_child(child75, str(tmp_path), "t", timeout=60,
-                           force_cpu=True, verbose=False, stall_restarts=1)
+                           force_cpu=True, verbose=False, stall_restarts=1,
+                           min_stall_uptime_s=0.0)
+
+    # two consecutive sub-min-uptime stalls abort even with restarts left
+    marker.write_text("0")
+    count_child = [sys.executable, "-c",
+                   f"import sys,pathlib; p=pathlib.Path({str(marker)!r}); "
+                   "p.write_text(str(int(p.read_text())+1)); sys.exit(75)"]
+    with pytest.raises(SystemExit):
+        _subproc.run_child(count_child, str(tmp_path), "t", timeout=60,
+                           force_cpu=True, verbose=False,
+                           stall_restarts=50, min_stall_uptime_s=9999.0)
+    assert marker.read_text() == "2"     # first + one restart, then abort
 
     # a real error is never retried
     marker.write_text("0")

@@ -5,9 +5,17 @@ dress_rehearsal.py and real_pipeline_quality.py can't drift apart.
 """
 import os
 import subprocess
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# one definition repo-wide (utils/watchdog.py); tools/supervise.py and
+# this module share the same restart-on-75 contract
+from superresolution_aniso_mri_tpu.utils.watchdog import (  # noqa: E402
+    STALL_EXIT_CODE,
+)
 
 
 def child_env(data_root, force_cpu=False):
@@ -34,11 +42,15 @@ def child_env(data_root, force_cpu=False):
     return env
 
 
-STALL_EXIT_CODE = 75  # keep in sync with utils/watchdog.py / tools/supervise.py
+# a stall-restart that dies again faster than this was never really
+# running (import-time failure, backend down for good) — same idea as
+# tools/supervise.py's min-uptime guard
+_MIN_STALL_UPTIME_S = 30.0
 
 
 def run_child(cmd, data_root, what, log_path=None, timeout=7200,
-              force_cpu=False, verbose=True, stall_restarts=0):
+              force_cpu=False, verbose=True, stall_restarts=0,
+              min_stall_uptime_s=_MIN_STALL_UPTIME_S):
     """Run a child CLI; on failure raise SystemExit with the output
     tails (full output goes to ``log_path`` when given — callers should
     put it somewhere that survives their cleanup).
@@ -47,12 +59,28 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
     watchdog's stall status (75, utils/watchdog.py — the tunneled
     device backend wedged mid-step), up to that many times; the command
     should pass ``--auto_resume`` so each attempt continues from the
-    rolling checkpoint. Any other nonzero status still fails fast.
+    rolling checkpoint. Any other nonzero status still fails fast, and
+    two consecutive stalls faster than 30 s abort the loop (restart
+    storm / dead backend, not a transient wedge).
+
+    The log is truncated at the START of each run_child call and
+    appended across its stall restarts: one invocation's log holds all
+    of its attempts and nothing from previous invocations.
     """
+    if log_path:
+        open(log_path, "w").close()
     attempts = 0
+    fast_deaths = 0
     while True:
         r = _run_once(cmd, data_root, what, log_path, timeout, force_cpu)
         if r.returncode == STALL_EXIT_CODE and attempts < stall_restarts:
+            fast_deaths = (fast_deaths + 1
+                           if r.elapsed_s < min_stall_uptime_s else 0)
+            if fast_deaths >= 2:
+                print(f"[{what}] two consecutive "
+                      f"sub-{min_stall_uptime_s:.0f}s stalls — backend "
+                      f"looks dead, not wedged; giving up", flush=True)
+                break
             attempts += 1
             print(f"[{what}] device backend stalled (exit 75) — "
                   f"restart {attempts}/{stall_restarts}", flush=True)
@@ -76,7 +104,8 @@ def _run_once(cmd, data_root, what, log_path, timeout, force_cpu):
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired as e:
         # preserve whatever the child printed before the hang — a
-        # 30-minute stall with zero diagnostics is undebuggable
+        # 30-minute stall with zero diagnostics is undebuggable — and
+        # APPEND so earlier stall-restart attempts' logs survive too
         out = (e.stdout or b"") if isinstance(e.stdout, (bytes, type(None))) \
             else e.stdout
         err = (e.stderr or b"") if isinstance(e.stderr, (bytes, type(None))) \
@@ -84,14 +113,14 @@ def _run_once(cmd, data_root, what, log_path, timeout, force_cpu):
         out = out.decode(errors="replace") if isinstance(out, bytes) else out
         err = err.decode(errors="replace") if isinstance(err, bytes) else err
         if log_path:
-            with open(log_path, "w") as f:
+            with open(log_path, "a") as f:
                 f.write((out or "") + "\n--- stderr ---\n" + (err or "")
                         + f"\n--- TIMEOUT after {timeout}s ---\n")
         raise SystemExit(
             f"TIMEOUT [{what}] after {timeout}s: {' '.join(cmd)}\n"
             f"{(out or '')[-2000:]}\n{(err or '')[-4000:]}")
     if log_path:
-        # append so a stall-restart doesn't erase the first attempt's log
+        # append: stall restarts within this run_child call accumulate
         with open(log_path, "a") as f:
             f.write(r.stdout + "\n--- stderr ---\n" + r.stderr)
     r.elapsed_s = time.time() - t0
