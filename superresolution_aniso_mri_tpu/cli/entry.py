@@ -161,7 +161,7 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
     label output when input labels existed). Returns the written paths.
     Shared by the batch CLI and the serving daemon."""
     from ..data.volume import rescale_intensities
-    from ..infer import create_super_volume
+    from ..infer import create_super_volumes
     from ..utils import read_image, write_image
 
     arr, spacing, affine = read_image(path)
@@ -184,23 +184,21 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
     frames = arr[None] if arr.ndim == 3 else arr
     lbl_frames = (None if lbl_arr is None
                   else (lbl_arr[None] if lbl_arr.ndim == 3 else lbl_arr))
-    out_frames, out_lbl_frames = [], []
-    for fi, frame in enumerate(frames):
-        # percentile-normalize if outside [0,1]
-        # (reference: generate_hr_volumes.py:104-111,130-133)
-        if frame.min() < 0 or frame.max() > 1:
-            frame = rescale_intensities(frame, percs=(1, 99))
-        res = create_super_volume(trainer, frame,
-                                  alpha_range=alpha_range,
-                                  use_original=True,
-                                  downsample_steps=None,
-                                  generate_inbetween_slices=False,
-                                  labels=(None if lbl_frames is None
-                                          else lbl_frames[fi]),
-                                  num_devices=num_devices, tta=tta,
-                                  latent_interp=latent_interp)
-        out_frames.append(res["upsampled_image"])
-        out_lbl_frames.append(res["upsampled_labels"])
+    # percentile-normalize frames outside [0,1]
+    # (reference: generate_hr_volumes.py:104-111,130-133)
+    frames = [frame if frame.min() >= 0 and frame.max() <= 1
+              else rescale_intensities(frame, percs=(1, 99))
+              for frame in frames]
+    # all frames of a 4D sequence share a shape → they synthesize as
+    # ONE batched device program (create_super_volumes groups them);
+    # 3D inputs are a single-volume call, unchanged
+    res_list = create_super_volumes(
+        trainer, frames, alpha_range=alpha_range, use_original=True,
+        downsample_steps=None, generate_inbetween_slices=False,
+        labels_list=(None if lbl_frames is None else list(lbl_frames)),
+        num_devices=num_devices, tta=tta, latent_interp=latent_interp)
+    out_frames = [r["upsampled_image"] for r in res_list]
+    out_lbl_frames = [r["upsampled_labels"] for r in res_list]
     out = (out_frames[0] if arr.ndim == 3
            else np.stack(out_frames, axis=0))
     # only emit a label output when INPUT labels existed — a

@@ -1,12 +1,15 @@
 """Inference: whole-volume super-resolution kernels + baselines."""
 from .super_volume import (
     apply_blur_filter, rescale_volume,
-    create_super_volume, create_simple_interpolation, simple_interpolation,
-    latent_space_interp, make_volume_synthesizer, interleave_volume,
+    create_super_volume, create_super_volumes,
+    create_simple_interpolation, simple_interpolation,
+    latent_space_interp, make_volume_synthesizer,
+    make_batched_synthesizer, interleave_volume,
 )
 
 __all__ = [
-    "create_super_volume", "create_simple_interpolation",
+    "create_super_volume", "create_super_volumes",
+    "make_batched_synthesizer", "create_simple_interpolation",
     "simple_interpolation", "latent_space_interp",
     "make_volume_synthesizer", "interleave_volume",
 ]

@@ -202,6 +202,41 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
     return synthesize
 
 
+def make_batched_synthesizer(model, decode_batch: Optional[int] = None,
+                             latent_interp: str = "linear"):
+    """Jitted MULTI-volume kernel: one program synthesizes a stack of
+    same-shaped volumes.
+
+    Returns synth(params, batch_stats, kept [B,K,H,W,C], alphas [A],
+    use_original) → interleaved+clamped volumes [B,(K-1)(A+1)+1,H,W,C].
+
+    Batching volumes recovers the MXU efficiency the per-volume program
+    leaves on the table at small slice counts: the encoder runs at
+    ~4x higher throughput on 128-slice batches than on a single 30-slice
+    OASIS volume (measured on v5e — 0.074 vs 0.308 ms/slice), and one
+    dispatch covers B volumes, so the per-program launch floor of the
+    tunneled chip amortizes too. ``decode_batch`` bounds PER-VOLUME
+    in-flight decode slices exactly like the single-volume path (under
+    vmap the in-flight bytes scale as B x decode_batch)."""
+    core = make_synthesis_core(model, decode_batch,
+                               latent_interp=latent_interp)
+
+    @partial(jax.jit, static_argnames=("use_original",))
+    def synthesize(params, batch_stats, kept: Array, alphas: Array,
+                   use_original: bool = False) -> Array:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def one(kept_one):
+            return core(variables, kept_one, alphas, use_original,
+                        True)["volume"]
+
+        return jax.vmap(one)(kept)
+
+    return synthesize
+
+
 def make_synthesis_core(model, decode_batch: Optional[int] = None,
                         packed: bool = False,
                         latent_interp: str = "linear"):
@@ -627,6 +662,25 @@ def create_super_volume(trainer, images, alpha_range=None,
             vol = out["volume"]
         # valid prefix of the padded interleaved volume
         new_volume = vol[:(k_true - 1) * (a_n + 1) + 1]
+    return _finalize_volume_outputs(
+        new_volume, orig_images=orig_images, labels=labels,
+        alpha_range=alpha_range, downsample_steps=downsample_steps,
+        generate_inbetween_slices=generate_inbetween_slices,
+        remain=remain, k_true=k_true, decodes_labels=decodes_labels,
+        orig_num_slices=orig_num_slices)
+
+
+def _finalize_volume_outputs(new_volume, *, orig_images, labels,
+                             alpha_range, downsample_steps,
+                             generate_inbetween_slices, remain: int,
+                             k_true: int, decodes_labels: bool,
+                             orig_num_slices: int) -> Dict[str, np.ndarray]:
+    """Host post-processing shared by create_super_volume and the
+    batched create_super_volumes: channel split, verbatim-tail
+    re-append, clamp, pred_alphas, label ride-along. ``new_volume`` is
+    the device output [S', H, W, C] with any kept-slice padding already
+    stripped (S' = (k_true-1)*(len(alpha_range)+1)+1)."""
+    a_n = int(len(alpha_range))
     new_volume = np.asarray(new_volume)
     # decoded labels (MultiChannelAE only): argmax(soft_probs) rides as
     # output channel 1 through the same interleave — the reference's
@@ -698,6 +752,178 @@ def create_super_volume(trainer, images, alpha_range=None,
             "pred_alphas": pred_alphas}
 
 
+# HBM budget for the MULTI-volume program: B x per-volume in-flight
+# decode activations. Larger than the per-volume budget because the
+# whole point of batching is to fill the chip (v5e has 16 GB; the
+# dominant tensor is the full-res decode stack, budgeted at float32
+# with 2x headroom).
+_BATCH_ACT_BUDGET_BYTES = 4 << 30
+
+
+def _batch_volume_cap(k_pad: int, a_n: int, h: int, w: int,
+                      depth: int) -> tuple:
+    """(decode_batch, max_b): per-volume decode chunk + how many
+    volumes fit one batched program under _BATCH_ACT_BUDGET_BYTES."""
+    n_dec = k_pad + (k_pad - 1) * a_n
+    decode_batch = _auto_decode_batch(n_dec, h, w, depth)
+    in_flight = n_dec if decode_batch is None else decode_batch
+    per_vol = in_flight * h * w * max(depth, 32) * 4 * 2
+    return decode_batch, max(1, int(_BATCH_ACT_BUDGET_BYTES
+                                    // max(per_vol, 1)))
+
+
+def create_super_volumes(trainer, images_list: Sequence,
+                         alpha_range=None,
+                         use_original: bool = False,
+                         downsample_steps: Optional[int] = None,
+                         generate_inbetween_slices: bool = False,
+                         labels_list: Optional[Sequence] = None,
+                         pad_to_bucket: bool = True,
+                         decode_batch="auto",
+                         num_devices: int = 1,
+                         tta: Optional[str] = None,
+                         latent_interp: str = "linear"
+                         ) -> list:
+    """Batched multi-volume synthesis: same semantics as calling
+    ``create_super_volume`` once per volume, but same-shaped volumes
+    (e.g. the frames of a 4D cardiac sequence, or a directory of
+    conformed brains) run through ONE vmapped device program per shape
+    group — the encoder/decoder see B-fold larger batches (~4x MXU
+    throughput at OASIS slice counts) and the per-program dispatch
+    cost amortizes over the group. Returns a list of per-volume result
+    dicts in input order.
+
+    Configurations the batched program does not cover fall back to the
+    per-volume path transparently: TTA averaging, mesh-sharded
+    inference (``num_devices > 1``) and the AE+CAISR combo
+    (``trainer.params_sr``) each orchestrate multiple program calls per
+    volume already.
+    """
+    images_list = list(images_list)
+    if labels_list is None:
+        labels_list = [None] * len(images_list)
+    labels_list = list(labels_list)
+    if len(labels_list) != len(images_list):
+        raise ValueError(
+            f"labels_list has {len(labels_list)} entries for "
+            f"{len(images_list)} volumes")
+    kwargs = dict(alpha_range=alpha_range, use_original=use_original,
+                  downsample_steps=downsample_steps,
+                  generate_inbetween_slices=generate_inbetween_slices,
+                  pad_to_bucket=pad_to_bucket, decode_batch=decode_batch,
+                  num_devices=num_devices, tta=tta,
+                  latent_interp=latent_interp)
+    if (tta or (num_devices and num_devices > 1)
+            or getattr(trainer, "params_sr", None) is not None
+            or len(images_list) <= 1):
+        return [create_super_volume(trainer, img, labels=lbl, **kwargs)
+                for img, lbl in zip(images_list, labels_list)]
+
+    if alpha_range is None:
+        alpha_range = [0.25, 0.5, 0.75]
+    alpha_range = np.asarray(list(alpha_range), np.float32)
+    a_n = int(len(alpha_range))
+    if generate_inbetween_slices and downsample_steps is None:
+        downsample_steps = a_n + 1
+    if generate_inbetween_slices and downsample_steps != a_n + 1:
+        raise ValueError(
+            f"generate_inbetween_slices needs len(alpha_range) "
+            f"({a_n}) == downsample_steps-1 ({downsample_steps - 1})")
+
+    needs_label_channel, decodes_labels = model_label_semantics(trainer)
+    depth = getattr(getattr(trainer, "model_config", None), "depth", 32)
+
+    # per-volume prep mirrors create_super_volume exactly (same kept
+    # grid, label channel, bucket padding and pad mode) so the batched
+    # outputs are the single path's outputs
+    groups: Dict[tuple, list] = {}
+    prepped = []
+    for idx, (img, lbl) in enumerate(zip(images_list, labels_list)):
+        img = np.asarray(img, np.float32)
+        orig_images, orig_num_slices, remain = img, img.shape[0], 0
+        if downsample_steps is not None or generate_inbetween_slices:
+            img, remain = kept_slice_grid(img, downsample_steps)
+        kept = img[..., None]
+        if needs_label_channel:
+            lbl_in = make_kept_label_channel(
+                img, lbl, downsample_steps, remain,
+                "create_super_volumes")
+            kept = np.concatenate(
+                [kept, np.asarray(lbl_in, np.float32)[..., None]],
+                axis=-1)
+        k_true = kept.shape[0]
+        k_pad = bucket_size(k_true) if pad_to_bucket else k_true
+        if k_pad > k_true:
+            # same pad rule as the single path: edge-replicate for
+            # multi-tap schemes (boundary taps read the clamped edge
+            # latent), zero-pad for linear (bit-identical legacy)
+            kept = np.pad(kept, ((0, k_pad - k_true),) + ((0, 0),) * 3,
+                          mode="edge" if latent_interp != "linear"
+                          else "constant")
+        meta = dict(index=idx, orig_images=orig_images, labels=lbl,
+                    remain=remain, k_true=k_true,
+                    orig_num_slices=orig_num_slices)
+        key = (k_pad,) + kept.shape[1:]
+        groups.setdefault(key, []).append((kept, meta))
+        prepped.append(meta)
+
+    results: list = [None] * len(images_list)
+    alphas_dev = jnp.asarray(alpha_range)
+    for (k_pad, h, w, _c), items in groups.items():
+        if decode_batch == "auto":
+            db, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth)
+        else:
+            db = decode_batch
+            _, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth)
+        if len(items) == 1:
+            # lone shape: the single-volume program (shared cache with
+            # create_super_volume) beats compiling a B=1 vmap twin
+            kept, meta = items[0]
+            synth = _get_synthesizer(trainer, db, latent_interp)
+            params, batch_stats = trainer._ae_params()
+            out = synth(params, batch_stats, jnp.asarray(kept),
+                        alphas_dev, use_original=use_original,
+                        interleave=True)
+            vol = out["volume"][:(meta["k_true"] - 1) * (a_n + 1) + 1]
+            results[meta["index"]] = _finalize_volume_outputs(
+                vol, orig_images=meta["orig_images"],
+                labels=meta["labels"], alpha_range=alpha_range,
+                downsample_steps=downsample_steps,
+                generate_inbetween_slices=generate_inbetween_slices,
+                remain=meta["remain"], k_true=meta["k_true"],
+                decodes_labels=decodes_labels,
+                orig_num_slices=meta["orig_num_slices"])
+            continue
+        synth = _get_batched_synthesizer(trainer, db, latent_interp)
+        params, batch_stats = trainer._ae_params()
+        # fixed chunk size B: ONE compiled program shape per group;
+        # the last partial chunk pads by repeating its final volume
+        b = min(max_b, len(items))
+        for start in range(0, len(items), b):
+            part = items[start:start + b]
+            pad_n = b - len(part)
+            stack = np.stack([it[0] for it in part]
+                             + [part[-1][0]] * pad_n)
+            vols = synth(params, batch_stats, jnp.asarray(stack),
+                         alphas_dev, use_original=use_original)
+            # one transfer for the chunk, trimmed to the longest valid
+            # prefix (padded tail slices never leave the device)
+            s_max = max((it[1]["k_true"] - 1) * (a_n + 1) + 1
+                        for it in part)
+            vols = np.asarray(vols[:len(part), :s_max])
+            for j, (_kept, meta) in enumerate(part):
+                s_j = (meta["k_true"] - 1) * (a_n + 1) + 1
+                results[meta["index"]] = _finalize_volume_outputs(
+                    vols[j, :s_j], orig_images=meta["orig_images"],
+                    labels=meta["labels"], alpha_range=alpha_range,
+                    downsample_steps=downsample_steps,
+                    generate_inbetween_slices=generate_inbetween_slices,
+                    remain=meta["remain"], k_true=meta["k_true"],
+                    decodes_labels=decodes_labels,
+                    orig_num_slices=meta["orig_num_slices"])
+    return results
+
+
 _SYNTH_CACHE: dict = {}
 
 
@@ -709,6 +935,19 @@ def _get_synthesizer(trainer, decode_batch: Optional[int] = None,
     key = (id(mdl), decode_batch, latent_interp_cache_token(latent_interp))
     if key not in _SYNTH_CACHE:
         _SYNTH_CACHE[key] = make_volume_synthesizer(
+            mdl, decode_batch=decode_batch, latent_interp=latent_interp)
+    return _SYNTH_CACHE[key]
+
+
+def _get_batched_synthesizer(trainer, decode_batch: Optional[int] = None,
+                             latent_interp: str = "linear"):
+    from .latent_taps import latent_interp_cache_token
+
+    mdl = trainer._ae_model()
+    key = (id(mdl), "batched", decode_batch,
+           latent_interp_cache_token(latent_interp))
+    if key not in _SYNTH_CACHE:
+        _SYNTH_CACHE[key] = make_batched_synthesizer(
             mdl, decode_batch=decode_batch, latent_interp=latent_interp)
     return _SYNTH_CACHE[key]
 
