@@ -117,6 +117,28 @@ def main():
         per_rep.append((time.perf_counter() - t0) / n)
     latency = float(np.median(per_rep))
 
+    # batched multi-volume throughput: same-shaped volumes (4D frames,
+    # conformed brain cohorts) share one vmapped program
+    # (make_batched_synthesizer; the generate CLI routes 4D sequences
+    # through it) — the encoder's small-batch MXU inefficiency and the
+    # per-program dispatch amortize over the stack
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        make_batched_synthesizer,
+    )
+    bsynth = make_batched_synthesizer(model)
+    vols8 = jnp.asarray(rng.rand(8, num_lr_slices, hw, hw, 1), jnp.float32)
+    out_b = bsynth(params, batch_stats, vols8, alphas)  # compile+warm
+    float(jnp.sum(out_b))
+    per_rep_b = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = None
+        for _ in range(2):
+            res = bsynth(params, batch_stats, vols8, alphas)
+        float(jnp.sum(res))
+        per_rep_b.append((time.perf_counter() - t0) / 2 / 8)
+    latency_batched = float(np.median(per_rep_b))
+
     # multi-tap serving cost: the lanczos3 latent scheme (the quality-
     # winning serving configuration, docs/STATUS.md) does one extra
     # 6-way gather+mix per synthesized slice — report its synchronous
@@ -166,6 +188,7 @@ def main():
         "vs_baseline": round(baseline_s / latency_sync, 3),
         "value_sync": round(latency_sync, 5),
         "value_amortized": round(latency, 5),
+        "value_amortized_batched8": round(latency_batched, 5),
         "value_sync_lanczos3": round(latency_l3, 5),
         "readback_f32_s": round(readback_f32, 5),
         "readback_bf16_s": round(readback_bf16, 5),

@@ -1,0 +1,113 @@
+"""Roofline probe for the volume-synthesis inference path.
+
+Reports, for the bench.py OASIS configuration (220x220, 30 LR slices,
+ds=6 → 175 output slices):
+  - XLA cost analysis per volume (FLOPs, bytes accessed)
+  - single-volume sync + amortized latency → MFU / HBM utilization
+  - compute and bandwidth floors (time at 100% of peak)
+  - batched multi-volume throughput (make_batched_synthesizer) at
+    several batch sizes — the serving-throughput configuration
+
+Peaks default to TPU v5e (197 bf16 TFLOP/s, 819 GB/s HBM); override
+with --peak_tflops / --peak_gbps for other chips.
+
+Usage: python tools/infer_roofline.py [--batches 1 2 4 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--peak_tflops", type=float, default=197.0,
+                    help="bf16 peak TFLOP/s (v5e default)")
+    ap.add_argument("--peak_gbps", type=float, default=819.0,
+                    help="HBM peak GB/s (v5e default)")
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        make_batched_synthesizer, make_volume_synthesizer,
+    )
+
+    cfg = AEConfig(width=64, latent_width=16, depth=32, latent=128,
+                   colors=1, use_batchnorm=True, use_sigmoid=True,
+                   compute_dtype="bfloat16")
+    model = VanillaACAI(cfg)
+    num_lr_slices, hw, ds = 30, 220, 6
+    alphas = jnp.asarray(np.linspace(0, 1, ds + 1)[1:-1], jnp.float32)
+    rng = np.random.RandomState(0)
+    volume = jnp.asarray(rng.rand(num_lr_slices, hw, hw, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), volume[:1], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    reduce = jax.jit(jnp.sum)
+
+    synth = make_volume_synthesizer(model)
+    lowered = jax.jit(lambda p, bs, v, a: synth(
+        p, bs, v, a, use_original=False, interleave=True)["volume"])
+    compiled = lowered.lower(params, batch_stats, volume, alphas).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", float("nan")))
+    bytes_acc = float(ca.get("bytes accessed", float("nan")))
+    print(f"flops/volume: {flops/1e9:.1f} G")
+    print(f"bytes accessed/volume: {bytes_acc/1e9:.3f} GB")
+    print(f"compute floor @ {args.peak_tflops:.0f} TF/s: "
+          f"{flops/args.peak_tflops/1e9:.2f} ms")
+    print(f"bandwidth floor @ {args.peak_gbps:.0f} GB/s: "
+          f"{bytes_acc/args.peak_gbps/1e6:.2f} ms")
+
+    out = compiled(params, batch_stats, volume, alphas)
+    float(reduce(out))
+    # amortized: enqueue reps, read back the last
+    t0 = time.perf_counter()
+    res = None
+    for _ in range(args.reps):
+        res = compiled(params, batch_stats, volume, alphas)
+    float(reduce(res))
+    amort = (time.perf_counter() - t0) / args.reps
+    # sync: block per call
+    ts = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(params, batch_stats, volume, alphas))
+        ts.append(time.perf_counter() - t0)
+    sync = float(np.median(ts))
+    print(f"single volume: sync {sync*1e3:.2f} ms   "
+          f"amortized {amort*1e3:.2f} ms")
+    print(f"  MFU {flops/amort/args.peak_tflops/1e12*100:.1f}%   "
+          f"HBM util {bytes_acc/amort/args.peak_gbps/1e9*100:.1f}%")
+
+    for b in args.batches:
+        if b <= 1:
+            continue
+        bsynth = make_batched_synthesizer(model)
+        vols = jnp.asarray(rng.rand(b, num_lr_slices, hw, hw, 1),
+                           jnp.float32)
+        out = bsynth(params, batch_stats, vols, alphas)
+        float(reduce(out))
+        t0 = time.perf_counter()
+        res = None
+        for _ in range(args.reps):
+            res = bsynth(params, batch_stats, vols, alphas)
+        float(reduce(res))
+        per_vol = (time.perf_counter() - t0) / args.reps / b
+        print(f"batched B={b}: {per_vol*1e3:6.2f} ms/volume  "
+              f"(MFU {flops/per_vol/args.peak_tflops/1e12*100:.1f}%, "
+              f"HBM {bytes_acc/per_vol/args.peak_gbps/1e9*100:.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
