@@ -331,6 +331,14 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
                                                method=model.encode)
 
         z = _chunked_call(encode_fn, kept, decode_batch)  # [K, lw, lw, c]
+        if cfg is not None:
+            # carry latents in the model's COMPUTE dtype through the
+            # mix: the [K + (K-1)A, 55, 55, C]-scale latent stacks are
+            # the largest intermediates of the whole program, and the
+            # decoder stem rounds to this dtype at its first conv
+            # anyway — float32 plumbing would double their HBM traffic
+            # for bf16 models (f32 models: identity)
+            z = z.astype(cfg.dtype)
 
         # mixed latents laid out [K-1, A, ...] directly — no transpose of
         # the decoded stack, and ONE decoder pass covers reconstructions
@@ -343,8 +351,13 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             # the same index clamping as the pixel-space lanczos/bspline
             # baselines (_interp_weights). NB callers that pad the kept
             # stack must edge-replicate so the clamp lands on the true
-            # boundary latent.
-            w = tap_weight_fn(alphas)             # [A, n_taps]
+            # boundary latent. Weights compute in f32 then mix in the
+            # LATENT's dtype: f32 coefficients would promote the whole
+            # [K-1, A, 55, 55, C] mixed-latent stack to float32 — for
+            # bf16 models that doubles the largest intermediate's HBM
+            # traffic for precision the decoder stem immediately rounds
+            # away at its first bf16 conv.
+            w = tap_weight_fn(alphas).astype(z.dtype)  # [A, n_taps]
             w = w[None, :, :, None, None, None]   # [1, A, n, 1, 1, 1]
             k = z.shape[0]
             pair = jnp.arange(k - 1)
@@ -354,8 +367,10 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
                 tap = jnp.take(z, jnp.clip(pair + off, 0, k - 1), axis=0)
                 z_mix = z_mix + w[:, :, ti] * tap[:, None]
         else:
-            a = alphas[None, :, None, None, None]   # [1, A, 1, 1, 1]
-            z_mix = a * z[1:, None] + (1.0 - a) * z[:-1, None]  # [K-1, A, ...]
+            # lerp in the latent's dtype (see multi-tap note above)
+            a = alphas.astype(z.dtype)[None, :, None, None, None]
+            one = jnp.ones((), z.dtype)
+            z_mix = a * z[1:, None] + (one - a) * z[:-1, None]  # [K-1, A, ...]
         k1, am = z_mix.shape[0], z_mix.shape[1]
         z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
         if use_original:

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--peak_gbps", type=float, default=819.0,
                     help="HBM peak GB/s (v5e default)")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--split", action="store_true",
+                    help="also time encode/decode stages separately")
     args = ap.parse_args()
 
     from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
@@ -89,6 +91,59 @@ def main():
           f"amortized {amort*1e3:.2f} ms")
     print(f"  MFU {flops/amort/args.peak_tflops/1e12*100:.1f}%   "
           f"HBM util {bytes_acc/amort/args.peak_gbps/1e9*100:.1f}%")
+
+    if args.split:
+        # stage split: time encode / decode / mix+interleave separately
+        # (amortized over reps) at the batched-B=8 shapes so the "where
+        # do the ms go" claim is measured, not asserted
+        b = 8
+        k, a_n = num_lr_slices, int(alphas.shape[0])
+        n_dec = k + (k - 1) * a_n
+        vols = jnp.asarray(rng.rand(b, k, hw, hw, 1), jnp.float32)
+
+        def enc(v):
+            flat = v.reshape((-1,) + v.shape[2:])
+            z = model.apply({"params": params, "batch_stats": batch_stats},
+                            flat, train=False, method=model.encode)
+            return z.reshape(v.shape[:2] + z.shape[1:])
+
+        encj = jax.jit(enc)
+        z8 = encj(vols)
+        float(reduce(z8))
+
+        def dec(zz):
+            flat = zz.reshape((-1,) + zz.shape[2:])
+            y = model.apply({"params": params, "batch_stats": batch_stats},
+                            flat, method=model.decode)
+            return y.reshape(zz.shape[:2] + y.shape[1:])
+
+        zdec = jnp.asarray(
+            rng.rand(b, n_dec, *np.asarray(z8.shape[2:])), z8.dtype)
+        decj = jax.jit(dec)
+        y8 = decj(zdec)
+        float(reduce(y8))
+
+        def stage_time(fn, *xs):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(args.reps):
+                r = fn(*xs)
+            float(reduce(r))
+            return (time.perf_counter() - t0) / args.reps / b
+
+        t_enc = stage_time(encj, vols)
+        t_dec = stage_time(decj, zdec)
+        print(f"stage split (B={b}, per volume): "
+              f"encode[{k}sl] {t_enc*1e3:.2f} ms   "
+              f"decode[{n_dec}sl] {t_dec*1e3:.2f} ms")
+        dflops = float(jax.jit(dec).lower(zdec).compile().cost_analysis()
+                       .get("flops", float("nan")))
+        dbytes = float(jax.jit(dec).lower(zdec).compile().cost_analysis()
+                       .get("bytes accessed", float("nan")))
+        print(f"  decode alone: {dflops/b/1e9:.1f} GF/vol, "
+              f"{dbytes/b/1e9:.2f} GB/vol → "
+              f"MFU {dflops/b/t_dec/args.peak_tflops/1e12*100:.1f}%, "
+              f"HBM {dbytes/b/t_dec/args.peak_gbps/1e9*100:.1f}%")
 
     for b in args.batches:
         if b <= 1:
