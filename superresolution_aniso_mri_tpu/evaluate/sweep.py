@@ -56,9 +56,14 @@ def make_sweep_evaluator(model, decode_batch: Optional[int] = None,
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        def one(kept, hr):
-            out = core(variables, kept, alphas, False, True)
-            vol = out["volume"][..., 0]            # [S_out, H, W]
+        # synthesis runs flat-batched over the whole stack (the core
+        # folds the volume axis into the conv batch — measured ~1.5x
+        # over vmapping the core; see make_synthesis_core); only the
+        # per-volume metrics vmap
+        vols = core(variables, kept_stack, alphas, False, True)["volume"]
+        vols = vols[..., 0]                        # [B, S_out, H, W]
+
+        def one(vol, hr):
             n = min(vol.shape[0], hr.shape[0])     # static per group
             r, u = hr[:n], vol[:n]
             win = 7 if min(r.shape[1], r.shape[2]) >= 8 else 5
@@ -69,7 +74,7 @@ def make_sweep_evaluator(model, decode_batch: Optional[int] = None,
                 "sq": jnp.mean((r - u) ** 2, axis=(1, 2)),
             }
 
-        return jax.vmap(one)(kept_stack, hr_stack)
+        return jax.vmap(one)(vols, hr_stack)
 
     return evaluate
 

@@ -215,9 +215,12 @@ def make_batched_synthesizer(model, decode_batch: Optional[int] = None,
     ~4x higher throughput on 128-slice batches than on a single 30-slice
     OASIS volume (measured on v5e — 0.074 vs 0.308 ms/slice), and one
     dispatch covers B volumes, so the per-program launch floor of the
-    tunneled chip amortizes too. ``decode_batch`` bounds PER-VOLUME
-    in-flight decode slices exactly like the single-volume path (under
-    vmap the in-flight bytes scale as B x decode_batch)."""
+    tunneled chip amortizes too. The volume axis folds into the model's
+    batch axis (flat [B*K] conv batches) rather than vmapping the core —
+    measured 18.4 → 12 ms/volume on the v5e bench config; see the core's
+    note. ``decode_batch`` bounds PER-VOLUME in-flight decode slices
+    exactly like the single-volume path (in-flight bytes scale as
+    B x decode_batch)."""
     core = make_synthesis_core(model, decode_batch,
                                latent_interp=latent_interp)
 
@@ -227,12 +230,8 @@ def make_batched_synthesizer(model, decode_batch: Optional[int] = None,
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-
-        def one(kept_one):
-            return core(variables, kept_one, alphas, use_original,
-                        True)["volume"]
-
-        return jax.vmap(one)(kept)
+        return core(variables, kept, alphas, use_original,
+                    True)["volume"]
 
     return synthesize
 
@@ -241,9 +240,11 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
                         packed: bool = False,
                         latent_interp: str = "linear"):
     """The un-jitted synthesis body shared by the single-volume
-    synthesizer and the batched sweep evaluator (evaluate/sweep.py):
-    core(variables, kept [K,H,W,C], alphas [A], use_original, interleave)
-    → {'recon', 'interp'[, 'volume']}.
+    synthesizer, the multi-volume synthesizer and the batched sweep
+    evaluator (evaluate/sweep.py):
+    core(variables, kept [K,H,W,C] or [B,K,H,W,C], alphas [A],
+    use_original, interleave) → {'recon', 'interp'[, 'volume']}, with
+    a leading volume axis on every output when the input carried one.
 
     ``latent_interp='cubic'`` mixes FOUR neighbouring latents per
     synthesized slice (Catmull-Rom, endpoint taps clamped at the volume
@@ -289,23 +290,43 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
     def core(variables, kept: Array, alphas: Array,
              use_original: bool = False,
              interleave: bool = False) -> Dict[str, Array]:
+        # accepts [K, H, W, C] (one volume) or [B, K, H, W, C] (a stack
+        # of same-shaped volumes). The batched form folds the volume
+        # axis into the model's batch axis — one flat [B*K] conv batch —
+        # instead of vmapping the whole core over volumes: measured on
+        # the v5e bench config, the vmapped-core program ran 18.4
+        # ms/volume where the flat-batch program runs ~12 (the vmap
+        # batch dim defeats layout/fusion choices XLA makes for the
+        # plain conv stack). Per-volume results are bit-identical
+        # either way (convs are per-sample; pinned by the batched-vs-
+        # single equivalence tests).
+        single = kept.ndim == 4
+        if single:
+            kept = kept[None]
+        b, k = kept.shape[0], kept.shape[1]
+
         # in-plane sizes not divisible by the encoder's total stride
         # (2^scales) would come back smaller from the decoder (AvgPool
         # floors; e.g. ACDC's 1.4mm resample commonly yields odd dims) —
         # reflect-pad up front and crop every output back. The reference
         # torch pipeline simply crashes on such volumes (generate_hr_
         # volumes.py:56-60 torch.cat of mismatched sizes).
-        h, w = kept.shape[1], kept.shape[2]
+        h, w = kept.shape[2], kept.shape[3]
         div = (2 ** cfg.scales) if cfg is not None else 1
         ph, pw = (-h) % div, (-w) % div
         if ph or pw:
-            kept = jnp.pad(kept, ((0, 0), (0, ph), (0, pw), (0, 0)),
+            kept = jnp.pad(kept,
+                           ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)),
                            mode="reflect")
 
         def _crop(arr, axes):
             idx = [slice(None)] * arr.ndim
             idx[axes[0]], idx[axes[1]] = slice(0, h), slice(0, w)
             return arr[tuple(idx)]
+
+        # decode_batch bounds PER-VOLUME in-flight slices (the single-
+        # volume contract); the flat batch holds b volumes in flight
+        chunk = None if decode_batch is None else decode_batch * b
 
         from .packed_decoder import make_packed_decoder, packable
         if packed and cfg is not None and packable(cfg, variables):
@@ -330,7 +351,9 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             encode_fn = lambda xx: model.apply(variables, xx,
                                                method=model.encode)
 
-        z = _chunked_call(encode_fn, kept, decode_batch)  # [K, lw, lw, c]
+        kept_flat = kept.reshape((b * k,) + kept.shape[2:])
+        z = _chunked_call(encode_fn, kept_flat, chunk)  # [B*K, lw, lw, c]
+        z = z.reshape((b, k) + z.shape[1:])
         if cfg is not None:
             # carry latents in the model's COMPUTE dtype through the
             # mix: the [K + (K-1)A, 55, 55, C]-scale latent stacks are
@@ -357,38 +380,44 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             # bf16 models that doubles the largest intermediate's HBM
             # traffic for precision the decoder stem immediately rounds
             # away at its first bf16 conv.
-            w = tap_weight_fn(alphas).astype(z.dtype)  # [A, n_taps]
-            w = w[None, :, :, None, None, None]   # [1, A, n, 1, 1, 1]
-            k = z.shape[0]
+            wts = tap_weight_fn(alphas).astype(z.dtype)  # [A, n_taps]
+            # [1, 1, A, n, 1, 1, 1] — broadcast over volumes and pairs
+            wts = wts[None, None, :, :, None, None, None]
             pair = jnp.arange(k - 1)
-            z_mix = jnp.zeros((k - 1, alphas.shape[0]) + z.shape[1:],
+            z_mix = jnp.zeros((b, k - 1, alphas.shape[0]) + z.shape[2:],
                               z.dtype)
             for ti, off in enumerate(tap_offsets):
-                tap = jnp.take(z, jnp.clip(pair + off, 0, k - 1), axis=0)
-                z_mix = z_mix + w[:, :, ti] * tap[:, None]
+                tap = jnp.take(z, jnp.clip(pair + off, 0, k - 1), axis=1)
+                z_mix = z_mix + wts[:, :, :, ti] * tap[:, :, None]
         else:
             # lerp in the latent's dtype (see multi-tap note above)
-            a = alphas.astype(z.dtype)[None, :, None, None, None]
+            a = alphas.astype(z.dtype)[None, None, :, None, None, None]
             one = jnp.ones((), z.dtype)
-            z_mix = a * z[1:, None] + (one - a) * z[:-1, None]  # [K-1, A, ...]
-        k1, am = z_mix.shape[0], z_mix.shape[1]
-        z_flat = z_mix.reshape((k1 * am,) + z_mix.shape[2:])
+            z_mix = (a * z[:, 1:, None]
+                     + (one - a) * z[:, :-1, None])  # [B, K-1, A, ...]
+        k1, am = z_mix.shape[1], z_mix.shape[2]
+        z_flat = z_mix.reshape((b, k1 * am) + z_mix.shape[3:])
         if use_original:
-            dec = _chunked_call(decode_fn, z_flat, decode_batch)
+            dec = _chunked_call(
+                decode_fn,
+                z_flat.reshape((b * k1 * am,) + z_flat.shape[2:]), chunk)
             # multichannel kept is already [image, label] — matches the
             # 2-channel decode output (reference use_original keeps the
             # input labels verbatim, evaluate/common.py:190-193)
             recon = kept
-            interp = dec.reshape((k1, am) + dec.shape[1:])
+            interp = dec.reshape((b, k1, am) + dec.shape[1:])
         else:
-            dec = _chunked_call(decode_fn,
-                                jnp.concatenate([z, z_flat], axis=0),
-                                decode_batch)
-            recon = dec[:z.shape[0]]
-            interp = dec[z.shape[0]:].reshape((k1, am) + dec.shape[1:])
+            z_all = jnp.concatenate([z, z_flat], axis=1)
+            n_dec = z_all.shape[1]
+            dec = _chunked_call(
+                decode_fn,
+                z_all.reshape((b * n_dec,) + z_all.shape[2:]), chunk)
+            dec = dec.reshape((b, n_dec) + dec.shape[1:])
+            recon = dec[:, :k]
+            interp = dec[:, k:].reshape((b, k1, am) + dec.shape[2:])
         if ph or pw:
-            recon = _crop(recon, (1, 2))
-            interp = _crop(interp, (2, 3))
+            recon = _crop(recon, (2, 3))
+            interp = _crop(interp, (3, 4))
         out = {"recon": recon, "interp": interp}
         if interleave:
             # full interleaved volume (+clamp) inside the same program —
@@ -396,20 +425,25 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             # label channel holds class ids and must not be clamped
             out["volume"] = clip_with_label_channel(
                 interleave_volume(recon, interp), is_multichannel)
+        if single:
+            out = {key: val[0] for key, val in out.items()}
         return out
 
     return core
 
 
 def interleave_volume(recon: Array, interp: Array) -> Array:
-    """[K,H,W,C] + [K-1,A,H,W,C] → [(K-1)(A+1)+1, H, W, C]
-    (the reference's per-pair concat loop, evaluate/common.py:207-215,
-    as one reshape)."""
-    k = recon.shape[0]
-    a = interp.shape[1]
-    body = jnp.concatenate([recon[:-1, None], interp], axis=1)
-    body = body.reshape(((k - 1) * (a + 1),) + recon.shape[1:])
-    return jnp.concatenate([body, recon[-1:]], axis=0)
+    """[..., K, H, W, C] + [..., K-1, A, H, W, C] →
+    [..., (K-1)(A+1)+1, H, W, C] (the reference's per-pair concat loop,
+    evaluate/common.py:207-215, as one reshape). Leading batch dims
+    (a stack of same-shaped volumes) pass through."""
+    k = recon.shape[-4]
+    a = interp.shape[-4]
+    lead = recon.shape[:-4]
+    body = jnp.concatenate(
+        [recon[..., :-1, None, :, :, :], interp], axis=-4)
+    body = body.reshape(lead + ((k - 1) * (a + 1),) + recon.shape[-3:])
+    return jnp.concatenate([body, recon[..., -1:, :, :, :]], axis=-4)
 
 
 def latent_space_interp(trainer, alpha: float, img1, img2):
