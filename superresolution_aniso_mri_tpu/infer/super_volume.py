@@ -185,7 +185,11 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
     results are bit-identical. Measured on the v5e it is ~8% SLOWER than
     the plain path (XLA already fuses the reshape-broadcast upsample into
     the conv, and the depth-to-space reshuffles dominate), so it is off
-    by default — kept as an option for other topologies.
+    by default — kept as an option for other topologies. Re-measured in
+    the flat-batch B=8 regime (where decode is ~78% of the program and
+    the hypothesis was MXU-lane-bound): still 16% slower (13.5 vs 11.6
+    ms/volume) — that regime is HBM-bound (74.6% util, roofline tool),
+    and the packed layout's reshuffles add bytes, not lanes.
     """
     core = make_synthesis_core(model, decode_batch, packed,
                                latent_interp=latent_interp)
@@ -203,7 +207,8 @@ def make_volume_synthesizer(model, decode_batch: Optional[int] = None,
 
 
 def make_batched_synthesizer(model, decode_batch: Optional[int] = None,
-                             latent_interp: str = "linear"):
+                             latent_interp: str = "linear",
+                             packed: bool = False):
     """Jitted MULTI-volume kernel: one program synthesizes a stack of
     same-shaped volumes.
 
@@ -221,7 +226,7 @@ def make_batched_synthesizer(model, decode_batch: Optional[int] = None,
     note. ``decode_batch`` bounds PER-VOLUME in-flight decode slices
     exactly like the single-volume path (in-flight bytes scale as
     B x decode_batch)."""
-    core = make_synthesis_core(model, decode_batch,
+    core = make_synthesis_core(model, decode_batch, packed,
                                latent_interp=latent_interp)
 
     @partial(jax.jit, static_argnames=("use_original",))

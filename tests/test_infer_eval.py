@@ -408,6 +408,26 @@ def test_synthesizer_packed_vs_unpacked(trainer, toy_volume):
                                np.asarray(b["interp"]), atol=1e-6)
 
 
+def test_batched_synthesizer_packed_vs_unpacked(trainer, toy_volume):
+    """Multi-volume (flat-batch) synthesis is identical with the packed
+    decoder — the batched serving path may enable it independently."""
+    from superresolution_aniso_mri_tpu.infer.super_volume import (
+        make_batched_synthesizer,
+    )
+
+    model = trainer._ae_model()
+    params, batch_stats = trainer._ae_params()
+    kept = jnp.asarray(np.asarray(toy_volume.image[:6],
+                                  np.float32))[..., None]
+    vols = jnp.stack([kept, kept[::-1]])
+    alphas = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    a = make_batched_synthesizer(model, packed=True)(
+        params, batch_stats, vols, alphas)
+    b = make_batched_synthesizer(model, packed=False)(
+        params, batch_stats, vols, alphas)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_batched_sweep_matches_per_volume(trainer):
     """The fused batched evaluator (one program per shape-group) must
     agree with the per-volume metric path on tail-free volumes."""

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--split", action="store_true",
                     help="also time encode/decode stages separately")
+    ap.add_argument("--packed", action="store_true",
+                    help="also time the batched path with the "
+                         "space-to-depth packed decoder")
     args = ap.parse_args()
 
     from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
@@ -148,20 +151,22 @@ def main():
     for b in args.batches:
         if b <= 1:
             continue
-        bsynth = make_batched_synthesizer(model)
         vols = jnp.asarray(rng.rand(b, num_lr_slices, hw, hw, 1),
                            jnp.float32)
-        out = bsynth(params, batch_stats, vols, alphas)
-        float(reduce(out))
-        t0 = time.perf_counter()
-        res = None
-        for _ in range(args.reps):
-            res = bsynth(params, batch_stats, vols, alphas)
-        float(reduce(res))
-        per_vol = (time.perf_counter() - t0) / args.reps / b
-        print(f"batched B={b}: {per_vol*1e3:6.2f} ms/volume  "
-              f"(MFU {flops/per_vol/args.peak_tflops/1e12*100:.1f}%, "
-              f"HBM {bytes_acc/per_vol/args.peak_gbps/1e9*100:.1f}%)")
+        for packed in ([False, True] if args.packed else [False]):
+            bsynth = make_batched_synthesizer(model, packed=packed)
+            out = bsynth(params, batch_stats, vols, alphas)
+            float(reduce(out))
+            t0 = time.perf_counter()
+            res = None
+            for _ in range(args.reps):
+                res = bsynth(params, batch_stats, vols, alphas)
+            float(reduce(res))
+            per_vol = (time.perf_counter() - t0) / args.reps / b
+            tag = " packed" if packed else ""
+            print(f"batched B={b}{tag}: {per_vol*1e3:6.2f} ms/volume  "
+                  f"(MFU {flops/per_vol/args.peak_tflops/1e12*100:.1f}%, "
+                  f"HBM {bytes_acc/per_vol/args.peak_gbps/1e9*100:.1f}%)")
 
 
 if __name__ == "__main__":
