@@ -144,6 +144,109 @@ def make_anatomy3d_volume(size: int = 64, num_slices: int = 37,
                   patient_id=f"anat{seed:03d}")
 
 
+def make_cardiac4d_volume(size: int = 64, num_slices: int = 15,
+                          num_frames: int = 6, seed: int = 0,
+                          texture_amp: float = 0.5) -> np.ndarray:
+    """A 4-D cine-MRI-like phantom [frames, slices, H, W] in [0, 1].
+
+    The through-plane statistics mirror short-axis cardiac cine
+    (reference training data: datasets/ACDC/data.py): a bright
+    ventricle-like blood pool inside a darker myocardial shell that
+    CONTRACTS over the frame axis (end-diastole at t=0, end-systole at
+    the middle frame), surrounded by anatomy3d-style drifting ellipsoid
+    'tissue' structures (edges that shift/grow/vanish between slices —
+    the regime where latent synthesis beats linear blending) plus
+    band-limited 3-D texture, all shared across frames so the ONLY
+    frame-to-frame change is deformation, like real cine.
+
+    Used by the cardiac production-pipeline quality benchmark
+    (tools/real_pipeline_quality.py --dataset_shape ACDC).
+    """
+    rs = np.random.RandomState(seed)
+    zz, yy, xx = np.mgrid[0:num_slices, 0:size, 0:size].astype(np.float32)
+    cz, c = (num_slices - 1) / 2.0, (size - 1) / 2.0
+
+    # static chest-like outer ellipsoid (bounds every structure)
+    rz0 = rs.uniform(0.80, 0.95) * cz
+    r0 = rs.uniform(0.72, 0.88) * c
+    chest = (((zz - cz) / rz0) ** 2 + ((yy - c) / r0) ** 2
+             + ((xx - c) / r0) ** 2)
+    base = 0.45 * np.clip(1.15 - chest, 0.0, 1.0)
+
+    def _sig(q):  # sharp tissue-like boundary (see make_anatomy3d_volume)
+        return 1.0 / (1.0 + np.exp(np.minimum((q - 1.0) / 0.10, 60.0)))
+
+    # ventricle geometry (drawn once; radii deform per frame)
+    lv_cy = c + rs.uniform(-0.12, 0.12) * size
+    lv_cx = c + rs.uniform(-0.12, 0.12) * size
+    lv_r = rs.uniform(0.14, 0.20) * size      # end-diastolic LV radius
+    lv_rz = rs.uniform(0.65, 0.85) * cz       # long-axis (z) extent
+    wall0 = rs.uniform(0.28, 0.42) * lv_r     # ED wall thickness
+    # RV: crescent approximated by a laterally offset ellipsoid
+    rv_cy = lv_cy + rs.uniform(-0.06, 0.06) * size
+    rv_cx = lv_cx - (lv_r + wall0) * rs.uniform(1.3, 1.7)
+    rv_r = lv_r * rs.uniform(0.8, 1.1)
+
+    # drifting background tissue (shared across frames, phase-dragged)
+    tissues = []
+    for _ in range(rs.randint(6, 11)):
+        tissues.append(dict(
+            cy=rs.uniform(0.2, 0.8) * size, cx=rs.uniform(0.2, 0.8) * size,
+            drift=rs.uniform(-1.2, 1.2, size=2),
+            sy=rs.uniform(size * 0.04, size * 0.12),
+            sx=rs.uniform(size * 0.04, size * 0.12),
+            sz=rs.uniform(num_slices * 0.06, num_slices * 0.25),
+            zc=rs.uniform(0.15, 0.85) * num_slices,
+            amp=rs.uniform(-0.5, 0.7)))
+
+    tex = None
+    if texture_amp:
+        tex = scipy.ndimage.gaussian_filter(
+            rs.randn(num_slices, size, size).astype(np.float32),
+            (0.9, 0.7, 0.7))
+        tex /= max(float(tex.std()), 1e-6)
+
+    frames = []
+    for t in range(num_frames):
+        ph = float(np.sin(np.pi * t / max(num_frames - 1, 1)))  # 0→1→0
+        img = base.copy()
+        # myocardium contracts inward; wall thickens at systole
+        r_in = lv_r * (1.0 - 0.30 * ph)
+        wall = wall0 * (1.0 + 0.55 * ph)
+        q_in = (((zz - cz) / lv_rz) ** 2 + ((yy - lv_cy) / r_in) ** 2
+                + ((xx - lv_cx) / r_in) ** 2)
+        r_out = r_in + wall
+        q_out = (((zz - cz) / (lv_rz * 1.06)) ** 2
+                 + ((yy - lv_cy) / r_out) ** 2
+                 + ((xx - lv_cx) / r_out) ** 2)
+        blood, shell = _sig(q_in), _sig(q_out)
+        img += 0.75 * blood          # bright blood (cine SSFP)
+        img += -0.25 * (shell - blood)  # darker myocardium ring
+        rv_rt = rv_r * (1.0 - 0.22 * ph)
+        q_rv = (((zz - cz) / (lv_rz * 0.9)) ** 2
+                + ((yy - rv_cy) / (rv_rt * 1.25)) ** 2
+                + ((xx - rv_cx) / rv_rt) ** 2)
+        img += 0.55 * _sig(q_rv) * (1.0 - shell)  # RV pool outside LV
+        for s in tissues:
+            # tissue drags a little toward the LV centre with the
+            # contraction (myocardial tethering)
+            pull = 0.04 * ph
+            cy = (s["cy"] + s["drift"][0] * (zz - s["zc"])
+                  + pull * (lv_cy - s["cy"]))
+            cx = (s["cx"] + s["drift"][1] * (zz - s["zc"])
+                  + pull * (lv_cx - s["cx"]))
+            q = (((zz - s["zc"]) / s["sz"]) ** 2 + ((yy - cy) / s["sy"]) ** 2
+                 + ((xx - cx) / s["sx"]) ** 2)
+            img += s["amp"] * _sig(q) * (1.0 - shell) * (1.0 - _sig(q_rv))
+        img = scipy.ndimage.gaussian_filter(img, (0.4, 0.6, 0.6))
+        img = rescale_intensities(img, percs=(0, 100))
+        if tex is not None:
+            img = np.clip(img * (1.0 + texture_amp * 0.5 * tex), 0.0, 1.0)
+        img *= np.clip(1.3 - chest, 0.0, 1.0) ** 0.5
+        frames.append(np.clip(img, 0.0, 1.0).astype(np.float32))
+    return np.stack(frames)
+
+
 def make_toy_dataset(num_volumes: int = 4, size: int = 32,
                      num_slices: int = 17, seed: int = 0,
                      mnist_path: str | None = None,

@@ -24,6 +24,13 @@ the real training CLI, the epoch sweep and the evaluation driver:
 
   python tools/real_pipeline_quality.py --epochs 300 \
       --loss_mode perceptual --json_out docs/quality_real_r3.jsonl
+
+`--dataset_shape ACDC` swaps every stage for the CARDIAC production
+pipeline (the reference's other headline table, BASELINE.md Sunnybrook
+rows): beating 4D cine phantoms in the ACDC tree layout
+(all_cardiac_phases/patientXXX/patientXXX_4d.nii.gz + split yaml),
+training through train_cardiac_aesr.py (fixed alpha 0.5, ds=2,
+per-frame pair index), scoring per (patient, frame) volume.
 """
 import argparse
 import glob
@@ -84,6 +91,47 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
             spacing=np.array([1.0, 1.0, 1.0]))
 
 
+def make_textured_acdc_tree(data_root: str, n_patients: int,
+                            inplane: int, num_slices: int,
+                            num_frames: int) -> None:
+    """ACDC-shaped 4D cine tree (root/ACDC/all_cardiac_phases/
+    patientXXX/patientXXX_4d.nii.gz + the SR split yaml) of beating
+    cardiac phantoms (data.synthetic.make_cardiac4d_volume).
+
+    Written at the loader's resample target (1.4 mm in-plane,
+    config/data_config.py) so per-frame preprocessing is shape-
+    preserving; z-spacing 5 mm like the reference's test patients
+    (datasets/ACDC/data.py:21-23). Split: last 3 patients test, 2 val,
+    rest train (the reference splits by slice thickness; a fabricated
+    tree has no thickness axis, so an explicit yaml stands in)."""
+    import yaml
+
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_cardiac4d_volume,
+    )
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    pids = []
+    for i in range(1, n_patients + 1):
+        pid = f"patient{i:03d}"
+        pids.append(pid)
+        pdir = os.path.join(data_root, "ACDC", "all_cardiac_phases", pid)
+        os.makedirs(pdir, exist_ok=True)
+        vol4d = make_cardiac4d_volume(size=inplane, num_slices=num_slices,
+                                      num_frames=num_frames,
+                                      seed=10_000 + i)
+        # raw-MRI-like intensity scale; the loader's 1-99 percentile
+        # rescale (load_acdc_volumes) normalizes it back
+        write_nifti(os.path.join(pdir, f"{pid}_4d.nii.gz"),
+                    (vol4d * 400.0).astype(np.float32),
+                    spacing=np.array([5.0, 1.4, 1.4]))
+    split = {"training": pids[:-5], "validation": pids[-5:-3],
+             "test": pids[-3:]}
+    with open(os.path.join(data_root, "ACDC",
+                           "train_val_test_split_sr.yaml"), "w") as f:
+        yaml.safe_dump(split, f)
+
+
 sys.path.insert(0, os.path.join(REPO, "tools"))  # also under `import tools.*`
 from _subproc import run_child as _run  # noqa: E402  (shared helper)
 
@@ -95,6 +143,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
     of the overrides applied (empty = flags already matched)."""
     overrides = []
     for flag, key, cast in (
+            ("dataset_shape", "dataset", str),
             ("downsample_steps", "downsample_steps", int),
             ("inplane", "width", int),
             ("latent_width", "latent_width", int),
@@ -165,12 +214,61 @@ def make_extra_test_volumes(ds: int, n: int, inplane: int,
     return vols
 
 
+def make_extra_test_volumes_acdc(n: int, inplane: int, num_slices: int,
+                                 num_frames: int):
+    """Cardiac variant of make_extra_test_volumes: N fresh 4D cine
+    phantoms (seeds 50_000+i, disjoint from the 10_000+i tree), split
+    into per-frame 3-D Volumes with the SAME per-frame preprocessing
+    load_acdc_volumes applies (identity in-plane resample + its 0.25 px
+    blur, 1-99 percentile rescale)."""
+    from superresolution_aniso_mri_tpu.data import Volume
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_cardiac4d_volume,
+    )
+    from superresolution_aniso_mri_tpu.data.volume import (
+        apply_2d_zoom_4d, rescale_intensities,
+    )
+
+    sp = np.array([1.4, 1.4], np.float64)
+    vols = []
+    for i in range(n):
+        arr = make_cardiac4d_volume(size=inplane, num_slices=num_slices,
+                                    num_frames=num_frames,
+                                    seed=50_000 + i) * 400.0
+        arr = apply_2d_zoom_4d(arr, sp, sp)
+        for t in range(arr.shape[0]):
+            vols.append(Volume(
+                image=rescale_intensities(arr[t], percs=(1, 99)),
+                spacing=np.array([5.0, 1.4, 1.4]),
+                patient_id=f"EXTRA_{i:04d}_f{t:02d}",
+                frame_id=t, num_frames=num_frames))
+    return vols
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--sweep_last", type=int, default=30,
                    help="numbered checkpoints kept for the epoch sweep")
-    p.add_argument("--downsample_steps", type=int, default=3)
+    p.add_argument("--dataset_shape", type=str, default="OASIS",
+                   choices=["OASIS", "ACDC"],
+                   help="which production pipeline to benchmark: "
+                        "'OASIS' = brain thick-slice (synthetic-LR "
+                        "files, train_brain_aesr.py, per-sample alphas),"
+                        " 'ACDC' = cardiac 4D cine (patientXXX_4d "
+                        "NIfTIs, train_cardiac_aesr.py, fixed alpha "
+                        "0.5, ds=2 — the reference's other headline "
+                        "table, BASELINE.md Sunnybrook rows)")
+    p.add_argument("--num_frames", type=int, default=6,
+                   help="cine frames per fabricated 4D patient "
+                        "(ACDC shape only; real ACDC has ~25-35, 6 "
+                        "keeps the benchmark affordable while still "
+                        "exercising the per-frame pipeline)")
+    p.add_argument("--downsample_steps", type=int, default=None,
+                   help="default 3 for OASIS shape; ACDC is fixed at "
+                        "the reference's 2 (in-between slices exist "
+                        "only at gap 2, datasets/ACDC/"
+                        "data4d_simple.py:253-262)")
     p.add_argument("--inplane", type=int, default=64)
     p.add_argument("--num_slices", type=int, default=37)
     p.add_argument("--n_patients", type=int, default=24)
@@ -274,6 +372,9 @@ def main():
                         "model with --tta or a different checkpoint")
     args = p.parse_args()
 
+    if args.downsample_steps is None:
+        args.downsample_steps = 2 if args.dataset_shape == "ACDC" else 3
+
     # the parent never touches the TPU — fabrication is numpy/scipy and
     # the final scoring runs on CPU; only the child CLIs use the chip
     import jax
@@ -305,10 +406,25 @@ def main():
         data_root = os.path.join(work, "data")
         exper_root = os.path.join(work, "exper")
     ds = args.downsample_steps  # after --reuse settings.yaml overrides
+    cardiac = args.dataset_shape == "ACDC"
+    if cardiac and ds != 2:
+        raise SystemExit("--dataset_shape ACDC requires "
+                         f"--downsample_steps 2, got {ds} (the cardiac "
+                         "pipeline trains/evaluates at gap 2)")
+    if cardiac and args.n_patients < 7:
+        raise SystemExit("--dataset_shape ACDC needs >= 7 patients "
+                         "(split reserves 3 test + 2 val)")
     try:
         if args.reuse:
             print(f"[reuse] kept work dir {work} — skipping "
                   f"fabrication/training", flush=True)
+        elif cardiac:
+            print(f"[fabricate] {args.n_patients} cardiac 4D cine "
+                  f"phantoms ({args.num_frames}x{args.num_slices}x"
+                  f"{args.inplane}^2) under {data_root}", flush=True)
+            make_textured_acdc_tree(data_root, args.n_patients,
+                                    args.inplane, args.num_slices,
+                                    args.num_frames)
         else:
             print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
                   f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
@@ -318,7 +434,9 @@ def main():
                                      anatomy=args.anatomy)
 
         train_cmd = [
-            sys.executable, "train_brain_aesr.py", "-d", "OASIS",
+            sys.executable,
+            "train_cardiac_aesr.py" if cardiac else "train_brain_aesr.py",
+            "-d", args.dataset_shape,
             "-m", args.model, "--downsample_steps", str(ds),
             "--width", str(args.inplane), "--latent_width",
             str(args.latent_width or args.inplane // 4),
@@ -341,11 +459,14 @@ def main():
                "--auto_resume"]
               if args.step_timeout_s > 0 else []),
             # steps-per-epoch UPPER bound (train split <= n_patients
-            # volumes of num_slices triplets): overestimating
-            # decay_steps only leaves the cosine tail slightly above 0
+            # volumes of num_slices triplets — x num_frames for the 4D
+            # cardiac index): overestimating decay_steps only leaves
+            # the cosine tail slightly above 0
             *(["--use_lr_scheduler", "--lr_iter_max",
                str(args.epochs * max(1, (args.n_patients
-                                         * args.num_slices)
+                                         * args.num_slices
+                                         * (args.num_frames if cardiac
+                                            else 1))
                                      // args.batch_size))]
               if args.lr_schedule else []),
             "-o", exper_root, "-id", "rpq",
@@ -356,7 +477,9 @@ def main():
             # default (300 ep / 12 patients ≈ 85 min single-core; scale
             # linearly with steps and leave 4x headroom, floor 2 h)
             steps = args.epochs * max(1, (args.n_patients
-                                          * args.num_slices)
+                                          * args.num_slices
+                                          * (args.num_frames if cardiac
+                                             else 1))
                                       // args.batch_size)
             # the 4 s/step budget was calibrated at inplane=64 /
             # depth=24 / latent=64 (~0.94 s/step measured, 4x headroom);
@@ -423,14 +546,21 @@ def main():
         # held-out test scoring, CPU, in-process
         # ------------------------------------------------------------------
         from superresolution_aniso_mri_tpu.data.datasets import (
-            load_brain_volumes,
+            load_acdc_volumes, load_brain_volumes,
         )
         from superresolution_aniso_mri_tpu.evaluate import create_hr_images
         from superresolution_aniso_mri_tpu.train import get_trainer
 
         os.environ["SR_DATA_ROOT"] = data_root
-        test_vols = load_brain_volumes("OASIS", ds, split="test",
-                                       include_hr_images=True)
+        if cardiac:
+            # one 3-D Volume per (patient, frame) — create_hr_images
+            # downsamples each internally and scores the synthesized
+            # slices against the held-out originals (the reference's
+            # cardiac protocol, evaluate/cardiac/evaluate_model.py)
+            test_vols = load_acdc_volumes("test")
+        else:
+            test_vols = load_brain_volumes("OASIS", ds, split="test",
+                                           include_hr_images=True)
         assert test_vols, "empty test split"
         print(f"[score] {len(test_vols)} held-out test volumes", flush=True)
 
@@ -459,8 +589,8 @@ def main():
         hdr = (f"{'method':>14} | {'SSIM synth':>12} | "
                f"{'PSNR synth':>12} | {'VIF synth':>12} | "
                f"{'SSIM all':>9} | {'PSNR all':>9}")
-        print("\n=== production-pipeline OASIS-shaped quality "
-              f"(ds={ds}, loss={loss_mode}) ===")
+        print(f"\n=== production-pipeline {args.dataset_shape}-shaped "
+              f"quality (ds={ds}, loss={loss_mode}) ===")
         print(hdr)
         print("-" * len(hdr))
         # the all-slice columns include the ORIGINAL-grid slices (the
@@ -491,9 +621,14 @@ def main():
         wins_extra = None
         all_beat_extra = None
         if args.extra_test_volumes > 0:
-            extra = make_extra_test_volumes(
-                ds, args.extra_test_volumes, args.inplane,
-                args.num_slices, anatomy=args.anatomy)
+            if cardiac:
+                extra = make_extra_test_volumes_acdc(
+                    args.extra_test_volumes, args.inplane,
+                    args.num_slices, args.num_frames)
+            else:
+                extra = make_extra_test_volumes(
+                    ds, args.extra_test_volumes, args.inplane,
+                    args.num_slices, anatomy=args.anatomy)
             print(f"\n=== extra held-out set: {len(extra)} fresh "
                   f"volumes (disjoint seeds) ===")
             rows_x = {"model (AESR)": create_hr_images(
@@ -527,8 +662,11 @@ def main():
 
         if args.json_out:
             rec = {
-                "tool": "real_pipeline_quality", "dataset_shape": "OASIS",
-                "anatomy": args.anatomy, "loss_mode": loss_mode,
+                "tool": "real_pipeline_quality",
+                "dataset_shape": args.dataset_shape,
+                "anatomy": "cardiac4d" if cardiac else args.anatomy,
+                "num_frames": args.num_frames if cardiac else None,
+                "loss_mode": loss_mode,
                 "model_family": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
                 # in --reuse mode the flag default may not describe the
