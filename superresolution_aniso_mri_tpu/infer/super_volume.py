@@ -815,12 +815,19 @@ _BATCH_ACT_BUDGET_BYTES = 4 << 30
 
 
 def _batch_volume_cap(k_pad: int, a_n: int, h: int, w: int,
-                      depth: int) -> tuple:
+                      depth: int, decode_batch="auto") -> tuple:
     """(decode_batch, max_b): per-volume decode chunk + how many
-    volumes fit one batched program under _BATCH_ACT_BUDGET_BYTES."""
+    volumes fit one batched program under _BATCH_ACT_BUDGET_BYTES.
+
+    An explicit ``decode_batch`` (a chunk size, or None = unchunked)
+    is honored and max_b is sized from ITS in-flight bytes — sizing it
+    from the auto chunk would overcommit HBM when the caller forces a
+    larger (or no) chunk."""
     n_dec = k_pad + (k_pad - 1) * a_n
-    decode_batch = _auto_decode_batch(n_dec, h, w, depth)
-    in_flight = n_dec if decode_batch is None else decode_batch
+    if decode_batch == "auto":
+        decode_batch = _auto_decode_batch(n_dec, h, w, depth)
+    in_flight = n_dec if decode_batch is None else min(decode_batch,
+                                                       n_dec)
     per_vol = in_flight * h * w * max(depth, 32) * 4 * 2
     return decode_batch, max(1, int(_BATCH_ACT_BUDGET_BYTES
                                     // max(per_vol, 1)))
@@ -847,11 +854,18 @@ def create_super_volumes(trainer, images_list: Sequence,
     cost amortizes over the group. Returns a list of per-volume result
     dicts in input order.
 
+    ``num_devices > 1`` shards the VOLUME axis of each group's program
+    over a device mesh (parallel.make_sharded_batched_synthesizer) —
+    data-parallel serving: chunk sizes round up to a multiple of the
+    mesh size (padding repeats the final volume) and the per-program
+    HBM budget scales with the device count. Outputs are identical to
+    the single-device batched path.
+
     Configurations the batched program does not cover fall back to the
-    per-volume path transparently: TTA averaging, mesh-sharded
-    inference (``num_devices > 1``) and the AE+CAISR combo
-    (``trainer.params_sr``) each orchestrate multiple program calls per
-    volume already.
+    per-volume path transparently: TTA averaging and the AE+CAISR
+    combo (``trainer.params_sr``) each orchestrate multiple program
+    calls per volume already; lone-shape groups under a mesh route to
+    the slice-axis-sharded single-volume path.
     """
     images_list = list(images_list)
     if labels_list is None:
@@ -867,8 +881,8 @@ def create_super_volumes(trainer, images_list: Sequence,
                   pad_to_bucket=pad_to_bucket, decode_batch=decode_batch,
                   num_devices=num_devices, tta=tta,
                   latent_interp=latent_interp)
-    if (tta or (num_devices and num_devices > 1)
-            or getattr(trainer, "params_sr", None) is not None
+    nd = int(num_devices or 1)
+    if (tta or getattr(trainer, "params_sr", None) is not None
             or len(images_list) <= 1):
         return [create_super_volume(trainer, img, labels=lbl, **kwargs)
                 for img, lbl in zip(images_list, labels_list)]
@@ -924,15 +938,19 @@ def create_super_volumes(trainer, images_list: Sequence,
     results: list = [None] * len(images_list)
     alphas_dev = jnp.asarray(alpha_range)
     for (k_pad, h, w, _c), items in groups.items():
-        if decode_batch == "auto":
-            db, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth)
-        else:
-            db = decode_batch
-            _, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth)
+        db, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth,
+                                      decode_batch=decode_batch)
         if len(items) == 1:
             # lone shape: the single-volume program (shared cache with
             # create_super_volume) beats compiling a B=1 vmap twin
             kept, meta = items[0]
+            if nd > 1:
+                # under a mesh the single path already shards the
+                # slice axis (and pads kept to the mesh size itself)
+                results[meta["index"]] = create_super_volume(
+                    trainer, images_list[meta["index"]],
+                    labels=meta["labels"], **kwargs)
+                continue
             synth = _get_synthesizer(trainer, db, latent_interp)
             params, batch_stats = trainer._ae_params()
             out = synth(params, batch_stats, jnp.asarray(kept),
@@ -948,11 +966,19 @@ def create_super_volumes(trainer, images_list: Sequence,
                 decodes_labels=decodes_labels,
                 orig_num_slices=meta["orig_num_slices"])
             continue
-        synth = _get_batched_synthesizer(trainer, db, latent_interp)
         params, batch_stats = trainer._ae_params()
         # fixed chunk size B: ONE compiled program shape per group;
         # the last partial chunk pads by repeating its final volume
-        b = min(max_b, len(items))
+        if nd > 1:
+            # volume axis sharded over the mesh: B must divide the
+            # device count, and the in-flight budget is per device so
+            # the cap scales with the mesh size
+            synth = _get_sharded_batched_synthesizer(trainer, nd, db,
+                                                     latent_interp)
+            b = min(max_b, -(-len(items) // nd)) * nd
+        else:
+            synth = _get_batched_synthesizer(trainer, db, latent_interp)
+            b = min(max_b, len(items))
         for start in range(0, len(items), b):
             part = items[start:start + b]
             pad_n = b - len(part)
@@ -1003,6 +1029,32 @@ def _get_batched_synthesizer(trainer, decode_batch: Optional[int] = None,
     if key not in _SYNTH_CACHE:
         _SYNTH_CACHE[key] = make_batched_synthesizer(
             mdl, decode_batch=decode_batch, latent_interp=latent_interp)
+    return _SYNTH_CACHE[key]
+
+
+def _get_sharded_batched_synthesizer(trainer, num_devices: int,
+                                     decode_batch: Optional[int] = None,
+                                     latent_interp: str = "linear"):
+    """Volume-axis-sharded MULTI-volume synthesizer over the first N
+    devices (parallel.make_sharded_batched_synthesizer), cached per
+    (model, N, decode_batch, latent_interp)."""
+    from .latent_taps import latent_interp_cache_token
+
+    mdl = trainer._ae_model()
+    key = (id(mdl), "mesh_batched", int(num_devices), decode_batch,
+           latent_interp_cache_token(latent_interp))
+    if key not in _SYNTH_CACHE:
+        from ..parallel import (create_mesh,
+                                make_sharded_batched_synthesizer)
+
+        devices = jax.devices()
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"num_devices={num_devices} but only {len(devices)} "
+                f"device(s) attached")
+        _SYNTH_CACHE[key] = make_sharded_batched_synthesizer(
+            mdl, create_mesh(devices[:num_devices]),
+            decode_batch=decode_batch, latent_interp=latent_interp)
     return _SYNTH_CACHE[key]
 
 

@@ -148,6 +148,36 @@ def make_sharded_synthesizer(model, mesh: Mesh,
     return call
 
 
+def make_sharded_batched_synthesizer(model, mesh: Mesh,
+                                     decode_batch: Optional[int] = None,
+                                     latent_interp: str = "linear"):
+    """Multi-volume synthesizer with the VOLUME axis sharded over the
+    mesh — data-parallel serving: each device synthesizes its shard of
+    a same-shaped volume stack inside the one jitted program (the
+    cohort/4D-sequence complement of make_sharded_synthesizer's
+    slice-axis sharding, SURVEY.md §2.9). The stack size must be
+    divisible by the mesh size (create_super_volumes pads its chunks).
+
+    Same one-jit-layer pattern as make_sharded_synthesizer: inputs are
+    committed to their shardings and the already-jitted batched program
+    is called directly; GSPMD partitions the flat conv batches."""
+    from ..infer.super_volume import make_batched_synthesizer
+
+    base = make_batched_synthesizer(model, decode_batch=decode_batch,
+                                    latent_interp=latent_interp)
+    rep = replicated(mesh)
+    shard = batch_sharding(mesh)
+
+    def call(params, bs, vols, alphas, use_original=False):
+        params = jax.device_put(params, rep)
+        bs = jax.device_put(bs, rep) if bs else bs
+        vols = jax.device_put(vols, shard)
+        alphas = jax.device_put(alphas, rep)
+        return base(params, bs, vols, alphas, use_original=use_original)
+
+    return call
+
+
 MODEL_AXIS = "model"
 
 

@@ -159,3 +159,30 @@ def test_batched_labels_list_length_mismatch(trainer):
     with pytest.raises(ValueError, match="labels_list"):
         create_super_volumes(trainer, vols, labels_list=[None],
                              alpha_range=[0.5], downsample_steps=2)
+
+
+def test_batch_volume_cap_honors_explicit_chunk():
+    """max_b must be sized from the caller's decode_batch in-flight
+    bytes: an explicit None (unchunked) keeps the WHOLE decode stack in
+    flight per volume, so fewer volumes fit than under the auto chunk."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+    k_pad, a_n, h, w, depth = 512, 5, 256, 256, 64
+    auto_db, auto_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth)
+    assert auto_db is not None  # this shape is big enough to auto-chunk
+    none_db, none_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth,
+                                           decode_batch=None)
+    assert none_db is None
+    assert none_b < auto_b
+    # explicit chunk smaller than auto → at least as many volumes fit
+    small_db, small_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth,
+                                             decode_batch=32)
+    assert small_db == 32 and small_b >= auto_b
+
+
+def test_batched_explicit_decode_batch_matches_single(trainer):
+    vols = _rand_volumes([(9, 32, 32), (9, 32, 32)], seed=12)
+    kwargs = dict(alpha_range=[0.5], downsample_steps=2)
+    batched = create_super_volumes(trainer, vols, decode_batch=None,
+                                   **kwargs)
+    singles = [create_super_volume(trainer, v, **kwargs) for v in vols]
+    _assert_results_match(batched, singles)

@@ -433,3 +433,40 @@ def test_sharded_synthesizer_multitap_matches_local(setup):
         np.testing.assert_allclose(np.asarray(out_s["recon"]),
                                    np.asarray(out_l["recon"]),
                                    atol=1e-5, err_msg=mode)
+
+
+def test_create_super_volumes_num_devices_matches_local(tmp_path):
+    """create_super_volumes(num_devices=8): the VOLUME axis of each
+    shape group shards over the mesh — outputs must equal the
+    single-device batched path (which itself equals the per-volume
+    path, tests/test_batched_volumes.py), including chunk padding to
+    the mesh size (5 volumes on 8 devices) and lone-shape fallback to
+    the slice-sharded single path."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+    from superresolution_aniso_mri_tpu.infer import create_super_volumes
+
+    t = Trainer({
+        "dataset": "MNIST3D", "model": "ae", "ae_class": "VanillaACAI",
+        "width": 16, "latent_width": 8, "depth": 4, "latent": 4,
+        "colors": 1, "lr": 1e-3, "weight_decay": 0.0, "batch_size": 2,
+        "epochs": 1, "epoch_threshold": -1, "use_batchnorm": False,
+        "use_sigmoid": True, "downsample_steps": 2, "seed": 0,
+        "output_dir": None,
+    })
+    rng = np.random.RandomState(1)
+    # 5 same-shaped volumes (pad to 8 on the mesh) + 1 lone shape
+    vols = ([rng.rand(12, 16, 16).astype(np.float32) for _ in range(5)]
+            + [rng.rand(9, 16, 16).astype(np.float32)])
+
+    for kw in (dict(use_original=True),
+               dict(generate_inbetween_slices=True, downsample_steps=2),
+               dict(generate_inbetween_slices=True, downsample_steps=2,
+                    latent_interp="lanczos3")):
+        local = create_super_volumes(t, vols, alpha_range=[0.5], **kw)
+        sharded = create_super_volumes(t, vols, alpha_range=[0.5],
+                                       num_devices=8, **kw)
+        for ls, sh in zip(local, sharded):
+            np.testing.assert_allclose(sh["upsampled_image"],
+                                       ls["upsampled_image"], atol=1e-5)
+            np.testing.assert_array_equal(sh["pred_alphas"],
+                                          ls["pred_alphas"])
