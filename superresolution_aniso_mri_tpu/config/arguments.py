@@ -126,6 +126,13 @@ def parse_args(argv=None):
                         help="cosine LR annealing over --lr_iter_max "
                              "iterations (reference base_trainer.py:19-23)")
     parser.add_argument("--lr_iter_max", type=int, default=None)
+    parser.add_argument("--lr_warmup_steps", type=int, default=0,
+                        help="linear 0-to-lr warmup over N steps before "
+                             "the constant/cosine schedule (beyond-"
+                             "reference robustness lever: full LR from "
+                             "step 0 can collapse the sigmoid output "
+                             "head into exact-zero gradients when "
+                             "--use_batchnorm 0)")
     parser.add_argument("--rotate_any", action="store_true",
                         help="opt-in any-angle (0-359) rotation "
                              "augmentation (the reference CLIs compose "

@@ -73,6 +73,7 @@ def apply_setting_defaults(args: Dict[str, Any]) -> Dict[str, Any]:
         "momentum": 0.9,
         "weight_decay": 0.0,
         "epoch_threshold": 100,
+        "lr_warmup_steps": 0,
         "compute_dtype": "float32",
         "nclasses": 4,
         "ema_decay": 0.0,

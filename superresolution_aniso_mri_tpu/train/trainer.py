@@ -188,6 +188,7 @@ class Trainer:
                     "iterations of the cosine anneal, reference "
                     "base_trainer.py:21)")
             cosine_steps = int(lim)
+        warmup_steps = int(self.args.get("lr_warmup_steps", 0) or 0)
 
         if self.family == "acai":
             disc = Discriminator(self.model_config)
@@ -209,7 +210,7 @@ class Trainer:
             tx = optax.multi_transform(
                 {"ae": make_optimizer(float(self.args["lr"]), wd,
                                       float(self.args.get("momentum", 0.9)),
-                                      cosine_steps, gclip),
+                                      cosine_steps, gclip, warmup_steps),
                  "disc": make_optimizer(float(self.args["lr"]), wd,
                                         0.9, None, gclip)},
                 lambda p: {"ae": jax.tree_util.tree_map(lambda _: "ae",
@@ -251,7 +252,7 @@ class Trainer:
                                 float(self.args.get("momentum", 0.9)),
                                 cosine_steps,
                                 float(self.args.get("max_grad_norm", 0)
-                                      or 0))
+                                      or 0), warmup_steps)
             self.state = SRTrainState.create(
                 apply_fn=ae.apply, params=params, tx=tx,
                 batch_stats=batch_stats)
@@ -261,7 +262,8 @@ class Trainer:
                 ae, init_rng, sample, float(self.args["lr"]),
                 float(self.args.get("weight_decay", 0.0)),
                 float(self.args.get("momentum", 0.9)), cosine_steps,
-                float(self.args.get("max_grad_norm", 0) or 0))
+                float(self.args.get("max_grad_norm", 0) or 0),
+                warmup_steps)
 
         # data-parallel training over a device mesh (--num_devices):
         # params replicated, batch sharded, grad all-reduce inserted by

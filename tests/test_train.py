@@ -261,3 +261,61 @@ def test_multi_step_matches_sequential(toy_sampler):
                      jax.tree_util.tree_leaves(s_multi.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_lr_warmup_schedule():
+    """--lr_warmup_steps ramps the LR linearly from 0 and composes with
+    the cosine anneal (train/state.py make_optimizer). The warmup exists
+    to rescue --use_batchnorm 0 runs whose sigmoid head collapses to
+    exact-zero gradients at the full LR (measured on the cardiac
+    production benchmark, docs/STATUS.md round-3)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from superresolution_aniso_mri_tpu.train import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+
+    def updates_over_steps(tx, n):
+        opt_state = tx.init(params)
+        sizes = []
+        p = params
+        for _ in range(n):
+            upd, opt_state = tx.update(grads, opt_state, p)
+            sizes.append(float(jnp.abs(upd["w"]).max()))
+            p = optax.apply_updates(p, upd)
+        return sizes
+
+    lr = 1e-2
+    warm = updates_over_steps(make_optimizer(lr, warmup_steps=10), 12)
+    # step 0 is a zero-LR step; the ramp grows monotonically to ~lr
+    assert warm[0] == 0.0
+    assert all(b >= a for a, b in zip(warm[:10], warm[1:11]))
+    # Adam's first full-LR step has |update| ~= lr (moment-normalized)
+    assert abs(warm[11] - lr) / lr < 0.2
+
+    # warmup + cosine: ramps up then decays back toward 0
+    wc = updates_over_steps(
+        make_optimizer(lr, cosine_steps=20, warmup_steps=5), 20)
+    assert wc[0] == 0.0
+    peak = max(wc)
+    assert abs(peak - lr) / lr < 0.25
+    assert wc[-1] < 0.2 * peak
+
+    # no warmup: full LR from the first step (unchanged default path)
+    plain = updates_over_steps(make_optimizer(lr), 2)
+    assert abs(plain[0] - lr) / lr < 0.2
+
+
+def test_lr_warmup_cli_flag_roundtrip(tmp_path):
+    """The --lr_warmup_steps flag persists through settings.yaml and old
+    experiments without the key default to 0 (config/settings.py)."""
+    from superresolution_aniso_mri_tpu.config import apply_setting_defaults
+    from superresolution_aniso_mri_tpu.config.arguments import parse_args
+
+    _, args = parse_args(["-d", "OASIS", "--downsample_steps", "3",
+                          "--lr_warmup_steps", "250"])
+    assert args["lr_warmup_steps"] == 250
+    assert apply_setting_defaults({})["lr_warmup_steps"] == 0

@@ -149,6 +149,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("latent_width", "latent_width", int),
             ("ex_loss_weight", "ex_loss_weight1", float),
             ("lr_schedule", "use_lr_scheduler", bool),
+            ("lr_warmup_steps", "lr_warmup_steps", int),
             ("depth", "depth", int),
             ("latent", "latent", int),
             ("batch_size", "batch_size", int),
@@ -333,6 +334,12 @@ def main():
                    help="cosine-anneal the LR over the whole run "
                         "(--use_lr_scheduler with lr_iter_max = "
                         "epochs x steps-per-epoch upper bound)")
+    p.add_argument("--lr_warmup_steps", type=int, default=0,
+                   help="linear LR warmup steps for the training child "
+                        "(rescues --use_batchnorm 0 configs whose "
+                        "sigmoid head otherwise collapses to exact-zero "
+                        "gradients at the full 0.002 LR — measured on "
+                        "the cardiac pipeline, docs/STATUS.md)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="train with EMA (Polyak-averaged) weights and "
                         "score the rolling ema.models checkpoint "
@@ -453,6 +460,8 @@ def main():
               if args.use_batchnorm is not None else []),
             *(["--ema_decay", str(args.ema_decay)]
               if args.ema_decay > 0 else []),
+            *(["--lr_warmup_steps", str(args.lr_warmup_steps)]
+              if args.lr_warmup_steps > 0 else []),
             *(["--train_latent_interp", args.train_latent_interp]
               if args.train_latent_interp != "linear" else []),
             *(["--step_timeout_s", str(args.step_timeout_s),
@@ -675,6 +684,8 @@ def main():
                 "checkpoint": str(best_nbr),
                 "use_batchnorm": trainer.args.get("use_batchnorm"),
                 "lr_schedule": bool(args.lr_schedule),
+                "lr_warmup_steps": int(trainer.args.get(
+                    "lr_warmup_steps", 0) or 0),
                 "tta": args.tta,
                 "latent_interp": args.latent_interp,
                 "train_latent_interp": trainer.args.get(
