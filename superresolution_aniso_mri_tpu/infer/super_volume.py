@@ -43,6 +43,42 @@ def _chunked_call(fn, x: Array, chunk: Optional[int]):
     return out.reshape((-1,) + out.shape[2:])[:n]
 
 
+def _chunked_call_pervol(fn, x: Array, per_vol_chunk: Optional[int]):
+    """Apply ``fn`` over the flattened [B*N] batch of a [B, N, ...]
+    stack in chunks of ``per_vol_chunk`` slices PER VOLUME, keeping the
+    volume axis leading in every ``lax.map`` step.
+
+    This is the batched twin of ``_chunked_call`` with one crucial
+    difference for sharded serving: a chunk of the volume-major flat
+    axis (``_chunked_call`` semantics) is a run of CONSECUTIVE rows
+    that lives on ~one device when the volume axis is mesh-sharded —
+    every map step would reshard or serialize onto a single chip. Here
+    each step processes [B, chunk] (all volumes, a slab of slices), so
+    a volume-sharded stack stays shard-local through the whole loop.
+    Returns [B, N, ...]."""
+    b, n = x.shape[0], x.shape[1]
+
+    def flat(t):
+        return t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:])
+
+    if per_vol_chunk is None or n <= per_vol_chunk:
+        out = fn(flat(x))
+        return out.reshape((b, n) + out.shape[1:])
+    pad = (-n) % per_vol_chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+    nc = xp.shape[1] // per_vol_chunk
+    xp = xp.reshape((b, nc, per_vol_chunk) + x.shape[2:])
+    xp = jnp.moveaxis(xp, 1, 0)  # [nc, B, chunk, ...]
+
+    def step(t):
+        out = fn(flat(t))
+        return out.reshape((b, per_vol_chunk) + out.shape[1:])
+
+    out = jax.lax.map(step, xp)             # [nc, B, chunk, ...]
+    out = jnp.moveaxis(out, 0, 1)           # [B, nc, chunk, ...]
+    return out.reshape((b, nc * per_vol_chunk) + out.shape[3:])[:, :n]
+
+
 def model_label_semantics(trainer):
     """(needs_label_channel, decodes_labels) for a trainer's primary
     model — the two DISTINCT label questions the volume pipeline asks.
@@ -330,8 +366,10 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             return arr[tuple(idx)]
 
         # decode_batch bounds PER-VOLUME in-flight slices (the single-
-        # volume contract); the flat batch holds b volumes in flight
-        chunk = None if decode_batch is None else decode_batch * b
+        # volume contract); each chunked step runs [B, decode_batch] so
+        # b volumes are in flight and a mesh-sharded volume axis stays
+        # shard-local across map steps (_chunked_call_pervol)
+        chunk = decode_batch
 
         from .packed_decoder import make_packed_decoder, packable
         if packed and cfg is not None and packable(cfg, variables):
@@ -356,9 +394,7 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
             encode_fn = lambda xx: model.apply(variables, xx,
                                                method=model.encode)
 
-        kept_flat = kept.reshape((b * k,) + kept.shape[2:])
-        z = _chunked_call(encode_fn, kept_flat, chunk)  # [B*K, lw, lw, c]
-        z = z.reshape((b, k) + z.shape[1:])
+        z = _chunked_call_pervol(encode_fn, kept, chunk)  # [B,K,lw,lw,c]
         if cfg is not None:
             # carry latents in the model's COMPUTE dtype through the
             # mix: the [K + (K-1)A, 55, 55, C]-scale latent stacks are
@@ -403,21 +439,15 @@ def make_synthesis_core(model, decode_batch: Optional[int] = None,
         k1, am = z_mix.shape[1], z_mix.shape[2]
         z_flat = z_mix.reshape((b, k1 * am) + z_mix.shape[3:])
         if use_original:
-            dec = _chunked_call(
-                decode_fn,
-                z_flat.reshape((b * k1 * am,) + z_flat.shape[2:]), chunk)
+            dec = _chunked_call_pervol(decode_fn, z_flat, chunk)
             # multichannel kept is already [image, label] — matches the
             # 2-channel decode output (reference use_original keeps the
             # input labels verbatim, evaluate/common.py:190-193)
             recon = kept
-            interp = dec.reshape((b, k1, am) + dec.shape[1:])
+            interp = dec.reshape((b, k1, am) + dec.shape[2:])
         else:
             z_all = jnp.concatenate([z, z_flat], axis=1)
-            n_dec = z_all.shape[1]
-            dec = _chunked_call(
-                decode_fn,
-                z_all.reshape((b * n_dec,) + z_all.shape[2:]), chunk)
-            dec = dec.reshape((b, n_dec) + dec.shape[1:])
+            dec = _chunked_call_pervol(decode_fn, z_all, chunk)
             recon = dec[:, :k]
             interp = dec[:, k:].reshape((b, k1, am) + dec.shape[2:])
         if ph or pw:
@@ -822,13 +852,23 @@ def _batch_volume_cap(k_pad: int, a_n: int, h: int, w: int,
     An explicit ``decode_batch`` (a chunk size, or None = unchunked)
     is honored and max_b is sized from ITS in-flight bytes — sizing it
     from the auto chunk would overcommit HBM when the caller forces a
-    larger (or no) chunk."""
+    larger (or no) chunk. Chunking only bounds the decode ACTIVATIONS:
+    the kept input stack, the latent stacks and the full interleaved
+    output volume stay resident per volume regardless of the chunk, so
+    they are charged per volume too — otherwise a small explicit chunk
+    would inflate max_b while the B-scaled resident tensors overcommit
+    HBM from the other side."""
     n_dec = k_pad + (k_pad - 1) * a_n
     if decode_batch == "auto":
         decode_batch = _auto_decode_batch(n_dec, h, w, depth)
     in_flight = n_dec if decode_batch is None else min(decode_batch,
                                                        n_dec)
-    per_vol = in_flight * h * w * max(depth, 32) * 4 * 2
+    act = in_flight * h * w * max(depth, 32) * 4 * 2
+    # resident (chunk-independent): output volume [n_dec, h, w, c~1]
+    # f32, kept input, and the [n_dec, lw, lw, latent] latent stacks —
+    # budgeted together as 3x the output volume's bytes
+    resident = n_dec * h * w * 4 * 3
+    per_vol = act + resident
     return decode_batch, max(1, int(_BATCH_ACT_BUDGET_BYTES
                                     // max(per_vol, 1)))
 
@@ -970,9 +1010,10 @@ def create_super_volumes(trainer, images_list: Sequence,
         # fixed chunk size B: ONE compiled program shape per group;
         # the last partial chunk pads by repeating its final volume
         if nd > 1:
-            # volume axis sharded over the mesh: B must divide the
-            # device count, and the in-flight budget is per device so
-            # the cap scales with the mesh size
+            # volume axis sharded over the mesh: the device count must
+            # divide B (chunks round UP to a multiple of the mesh), and
+            # the in-flight budget is per device so the cap scales with
+            # the mesh size
             synth = _get_sharded_batched_synthesizer(trainer, nd, db,
                                                      latent_interp)
             b = min(max_b, -(-len(items) // nd)) * nd
@@ -982,9 +1023,15 @@ def create_super_volumes(trainer, images_list: Sequence,
         for start in range(0, len(items), b):
             part = items[start:start + b]
             pad_n = b - len(part)
+            # host numpy stack goes straight to the synthesizer: the
+            # sharded path device_puts it against the mesh sharding
+            # (host -> per-device shards directly); staging it through
+            # jnp.asarray first would park the full mesh-scaled chunk
+            # on device 0 before the reshard — a device-0 HBM hotspot
+            # at exactly the scale the volume sharding exists for
             stack = np.stack([it[0] for it in part]
                              + [part[-1][0]] * pad_n)
-            vols = synth(params, batch_stats, jnp.asarray(stack),
+            vols = synth(params, batch_stats, stack,
                          alphas_dev, use_original=use_original)
             # one transfer for the chunk, trimmed to the longest valid
             # prefix (padded tail slices never leave the device)
@@ -1032,55 +1079,51 @@ def _get_batched_synthesizer(trainer, decode_batch: Optional[int] = None,
     return _SYNTH_CACHE[key]
 
 
-def _get_sharded_batched_synthesizer(trainer, num_devices: int,
-                                     decode_batch: Optional[int] = None,
-                                     latent_interp: str = "linear"):
-    """Volume-axis-sharded MULTI-volume synthesizer over the first N
-    devices (parallel.make_sharded_batched_synthesizer), cached per
-    (model, N, decode_batch, latent_interp)."""
+def _get_mesh_synthesizer(trainer, tag: str, factory_name: str,
+                          num_devices: int,
+                          decode_batch: Optional[int],
+                          latent_interp: str):
+    """Shared cached getter for the mesh-sharded synthesizers: one
+    device-count check + mesh-subset rule, cached per
+    (model, tag, N, decode_batch, latent_interp)."""
     from .latent_taps import latent_interp_cache_token
 
     mdl = trainer._ae_model()
-    key = (id(mdl), "mesh_batched", int(num_devices), decode_batch,
+    key = (id(mdl), tag, int(num_devices), decode_batch,
            latent_interp_cache_token(latent_interp))
     if key not in _SYNTH_CACHE:
-        from ..parallel import (create_mesh,
-                                make_sharded_batched_synthesizer)
+        from .. import parallel
 
         devices = jax.devices()
         if len(devices) < num_devices:
             raise ValueError(
                 f"num_devices={num_devices} but only {len(devices)} "
                 f"device(s) attached")
-        _SYNTH_CACHE[key] = make_sharded_batched_synthesizer(
-            mdl, create_mesh(devices[:num_devices]),
+        factory = getattr(parallel, factory_name)
+        _SYNTH_CACHE[key] = factory(
+            mdl, parallel.create_mesh(devices[:num_devices]),
             decode_batch=decode_batch, latent_interp=latent_interp)
     return _SYNTH_CACHE[key]
+
+
+def _get_sharded_batched_synthesizer(trainer, num_devices: int,
+                                     decode_batch: Optional[int] = None,
+                                     latent_interp: str = "linear"):
+    """Volume-axis-sharded MULTI-volume synthesizer over the first N
+    devices (parallel.make_sharded_batched_synthesizer)."""
+    return _get_mesh_synthesizer(trainer, "mesh_batched",
+                                 "make_sharded_batched_synthesizer",
+                                 num_devices, decode_batch, latent_interp)
 
 
 def _get_sharded_synthesizer(trainer, num_devices: int,
                              decode_batch: Optional[int] = None,
                              latent_interp: str = "linear"):
     """Slice-axis-sharded synthesizer over the first N devices
-    (parallel.make_sharded_synthesizer), cached per
-    (model, N, decode_batch, latent_interp)."""
-    from .latent_taps import latent_interp_cache_token
-
-    mdl = trainer._ae_model()
-    key = (id(mdl), "mesh", int(num_devices), decode_batch,
-           latent_interp_cache_token(latent_interp))
-    if key not in _SYNTH_CACHE:
-        from ..parallel import create_mesh, make_sharded_synthesizer
-
-        devices = jax.devices()
-        if len(devices) < num_devices:
-            raise ValueError(
-                f"num_devices={num_devices} but only {len(devices)} "
-                f"device(s) attached")
-        _SYNTH_CACHE[key] = make_sharded_synthesizer(
-            mdl, create_mesh(devices[:num_devices]),
-            decode_batch=decode_batch, latent_interp=latent_interp)
-    return _SYNTH_CACHE[key]
+    (parallel.make_sharded_synthesizer)."""
+    return _get_mesh_synthesizer(trainer, "mesh",
+                                 "make_sharded_synthesizer",
+                                 num_devices, decode_batch, latent_interp)
 
 
 # ---------------------------------------------------------------------------

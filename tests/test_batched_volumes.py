@@ -166,7 +166,7 @@ def test_batch_volume_cap_honors_explicit_chunk():
     bytes: an explicit None (unchunked) keeps the WHOLE decode stack in
     flight per volume, so fewer volumes fit than under the auto chunk."""
     from superresolution_aniso_mri_tpu.infer import super_volume as sv
-    k_pad, a_n, h, w, depth = 512, 5, 256, 256, 64
+    k_pad, a_n, h, w, depth = 128, 5, 128, 128, 64
     auto_db, auto_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth)
     assert auto_db is not None  # this shape is big enough to auto-chunk
     none_db, none_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth,
@@ -177,6 +177,17 @@ def test_batch_volume_cap_honors_explicit_chunk():
     small_db, small_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth,
                                              decode_batch=32)
     assert small_db == 32 and small_b >= auto_b
+    # ...but never unboundedly many: the chunk only bounds decode
+    # activations, while the per-volume OUTPUT stack (and kept input /
+    # latents) stays resident regardless — a tiny chunk must not let
+    # B * output bytes overcommit the budget (review finding: the old
+    # sizing charged nothing chunk-independent, so decode_batch=8 on
+    # 512-slice 256^2 volumes admitted 16 volumes ~ 12 GB of outputs)
+    n_dec = k_pad + (k_pad - 1) * a_n
+    out_bytes = n_dec * h * w * 4
+    tiny_db, tiny_b = sv._batch_volume_cap(k_pad, a_n, h, w, depth,
+                                           decode_batch=8)
+    assert tiny_b * out_bytes <= sv._BATCH_ACT_BUDGET_BYTES
 
 
 def test_batched_explicit_decode_batch_matches_single(trainer):
@@ -186,3 +197,20 @@ def test_batched_explicit_decode_batch_matches_single(trainer):
                                    **kwargs)
     singles = [create_super_volume(trainer, v, **kwargs) for v in vols]
     _assert_results_match(batched, singles)
+
+
+def test_batched_chunked_decode_matches_single(trainer):
+    """decode_batch small enough that chunking ENGAGES in the batched
+    program (kept=5, n_dec=9 > chunk=2): the per-volume slice-axis
+    chunking (_chunked_call_pervol) must reproduce the unchunked
+    per-volume outputs, including the edge-padded multi-tap scheme."""
+    vols = _rand_volumes([(9, 32, 32), (9, 32, 32), (9, 32, 32)],
+                         seed=13)
+    for li in ("linear", "lanczos3"):
+        kwargs = dict(alpha_range=[0.5], downsample_steps=2,
+                      latent_interp=li)
+        batched = create_super_volumes(trainer, vols, decode_batch=2,
+                                       **kwargs)
+        singles = [create_super_volume(trainer, v, decode_batch=None,
+                                       **kwargs) for v in vols]
+        _assert_results_match(batched, singles)

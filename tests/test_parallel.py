@@ -435,7 +435,7 @@ def test_sharded_synthesizer_multitap_matches_local(setup):
                                    atol=1e-5, err_msg=mode)
 
 
-def test_create_super_volumes_num_devices_matches_local(tmp_path):
+def test_create_super_volumes_num_devices_matches_local():
     """create_super_volumes(num_devices=8): the VOLUME axis of each
     shape group shards over the mesh — outputs must equal the
     single-device batched path (which itself equals the per-volume
