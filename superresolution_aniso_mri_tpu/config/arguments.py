@@ -62,6 +62,13 @@ def parse_args(argv=None):
     parser.add_argument("--latent", type=int, default=16)
     parser.add_argument("--depth", type=int, default=32)
     parser.add_argument("--ae_class", type=str, default="VanillaACAI")
+    parser.add_argument("--n_res_block", type=int, default=None,
+                        help="residual blocks after the encoder head / "
+                             "before the decoder stem (the reference's "
+                             "ResBlock capacity knob, networks/"
+                             "acai_vanilla.py:20-35,124-128; its CLI "
+                             "never exposed it — None keeps the "
+                             "architecture default)")
     parser.add_argument("--image_mix_loss_func", type=str, default=None)
     parser.add_argument("--ex_loss_weight1", type=float, default=0.001)
     parser.add_argument("--lamb_reg_acai", type=float, default=0.5)

@@ -286,6 +286,11 @@ def main():
                         "inplane=64) raises the AE reconstruction "
                         "ceiling that bounds production thick-slice "
                         "quality (docs/STATUS.md round-3 diagnosis)")
+    p.add_argument("--n_res_block", type=int, default=None,
+                   help="residual blocks at the latent bottleneck (the "
+                        "reference's ResBlock capacity knob — raises "
+                        "the AE reconstruction ceiling without changing "
+                        "the spatial compression)")
     p.add_argument("--model", type=str, default="ae_combined",
                    choices=["ae_combined", "ae"],
                    help="trainer family: the reference's dHCP tables "
@@ -462,6 +467,8 @@ def main():
               if args.ema_decay > 0 else []),
             *(["--lr_warmup_steps", str(args.lr_warmup_steps)]
               if args.lr_warmup_steps > 0 else []),
+            *(["--n_res_block", str(args.n_res_block)]
+              if args.n_res_block is not None else []),
             *(["--train_latent_interp", args.train_latent_interp]
               if args.train_latent_interp != "linear" else []),
             *(["--step_timeout_s", str(args.step_timeout_s),
@@ -686,6 +693,7 @@ def main():
                 "lr_schedule": bool(args.lr_schedule),
                 "lr_warmup_steps": int(trainer.args.get(
                     "lr_warmup_steps", 0) or 0),
+                "n_res_block": trainer.args.get("n_res_block"),
                 "tta": args.tta,
                 "latent_interp": args.latent_interp,
                 "train_latent_interp": trainer.args.get(
