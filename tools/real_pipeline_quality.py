@@ -274,6 +274,12 @@ def main():
     p.add_argument("--num_slices", type=int, default=37)
     p.add_argument("--n_patients", type=int, default=24)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=0.002,
+                   help="training LR (0.002 = the benchmark's "
+                        "calibrated default; the no-BN ablation "
+                        "saturates the sigmoid head at this LR on the "
+                        "cardiac data even with --lr_warmup_steps — "
+                        "docs/STATUS.md session 8)")
     p.add_argument("--depth", type=int, default=24)
     p.add_argument("--latent", type=int, default=64,
                    help="latent channels (reference OASIS recipe: 128, "
@@ -455,7 +461,7 @@ def main():
             "--latent", str(args.latent),
             "--depth", str(args.depth),
             "--aug_patch_size", str(args.inplane),
-            "-b", str(args.batch_size), "--lr", "0.002",
+            "-b", str(args.batch_size), "--lr", str(args.lr),
             "-e", str(args.epochs),
             "--epoch_threshold", str(args.epochs - args.sweep_last),
             "--ex_loss_weight1", str(args.ex_loss_weight),
