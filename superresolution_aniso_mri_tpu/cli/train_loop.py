@@ -20,7 +20,7 @@ import numpy as np
 
 from ..config.net_config import NetworkConfig, merge_args_architecture
 from ..data import AugmentConfig, TripletSampler, augment_batch, \
-    prepare_batch_pairs, prepare_batch_quintets
+    prepare_batch_pairs, prepare_batch_quintets, prepare_batch_septets
 from ..data.datasets import get_datasets
 from ..train import Trainer
 from ..utils.grids import generate_recon_grid, save_image_grid
@@ -77,8 +77,14 @@ def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
         # the loss mask rode through the augmentation as the last channel
         loss_mask = triplet[..., -1:]
         triplet = triplet[..., :-1]
-    outer = None
-    if latent_taps == 4:
+    outer = outer2 = None
+    if latent_taps == 6:
+        # septet layout (TripletSampler(latent_taps=6)): both outward
+        # z-neighbour pairs rode through the SAME per-item augmentation
+        # warp as their triplet — required for the lanczos3 mix to see
+        # a geometrically consistent 6-slice neighbourhood
+        image, outer, outer2, between = prepare_batch_septets(triplet)
+    elif latent_taps == 4:
         # quintet layout (TripletSampler(latent_taps=4)): the outward
         # z-neighbour pair rode through the SAME per-item augmentation
         # warp as its triplet — required for the cubic mix to see a
@@ -94,6 +100,8 @@ def _device_batch(raw: Dict, aug_cfg: AugmentConfig, key,
     }
     if outer is not None:
         batch["outer"] = outer
+    if outer2 is not None:
+        batch["outer2"] = outer2
     if "is_inbetween" in raw:
         # weights the synthesis loss: degenerate step-1 triplets
         # (between := endpoint) are monitor-only
@@ -156,17 +164,18 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     ds = int(merged.get("downsample_steps") or 2)
     pad = int(merged.get("aug_patch_size") or merged["width"])
     use_masks = bool(merged.get("get_masks"))
-    # --train_latent_interp cubic: sample quintets (outward z-neighbour
-    # pair rides as extra slots) so the loss can mix 4 latents with the
-    # same spline the cubic inference path decodes
-    latent_taps = (4 if str(merged.get("train_latent_interp") or "linear")
-                   == "cubic" else 2)
+    # --train_latent_interp cubic/lanczos3: sample quintets/septets (the
+    # outward z-neighbour pairs ride as extra slots) so the loss can mix
+    # 4/6 latents with the same spline kernel the matching inference
+    # path decodes
+    tli = str(merged.get("train_latent_interp") or "linear")
+    latent_taps = {"cubic": 4, "lanczos3": 6}.get(tli, 2)
     if merged["dataset"] == "MNISTRoto":
-        if latent_taps == 4:
+        if latent_taps > 2:
             raise ValueError(
-                "--train_latent_interp cubic is not supported for "
+                f"--train_latent_interp {tli} is not supported for "
                 "MNISTRoto (the roto sampler generates rotation "
-                "triplets on the fly, not volume quintets)")
+                "triplets on the fly, not volume quintets/septets)")
         # on-the-fly rotation triplets (reference: MNIST/data_roto.py
         # MakeRotatedTriple) — NOT the pre-built MNIST3D stacks
         from ..data.synthetic import RotoTripletSampler

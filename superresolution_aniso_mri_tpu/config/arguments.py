@@ -47,14 +47,17 @@ def parse_args(argv=None):
     parser.add_argument("--use_ssim_loss", action="store_true")
     parser.add_argument("--use_extra_latent_loss", action="store_true")
     parser.add_argument("--train_latent_interp", type=str,
-                        default="linear", choices=["linear", "cubic"],
+                        default="linear",
+                        choices=["linear", "cubic", "lanczos3"],
                         help="latent z-mixing for the TRAINING synthesis "
                              "loss (ae/ae_combined): 'cubic' samples "
                              "quintets and mixes 4 neighbouring latents "
                              "with the same Catmull-Rom spline the "
-                             "cubic inference path decodes — align "
-                             "training with --latent_interp cubic "
-                             "serving (extension; reference is linear)")
+                             "cubic inference path decodes; 'lanczos3' "
+                             "samples septets and mixes 6 with the "
+                             "serving default's lanczos kernel — align "
+                             "training with the --latent_interp scheme "
+                             "served (extension; reference is linear)")
     parser.add_argument("--use_loss_annealing", action="store_true")
     parser.add_argument("--alpha_class", type=str, default=None)
     parser.add_argument("--width", type=int, default=128)

@@ -7,7 +7,7 @@ from .volume import (
 )
 from .transforms import (
     AugmentConfig, augment_batch, prepare_batch_pairs,
-    prepare_batch_quintets, pad_to_size,
+    prepare_batch_quintets, prepare_batch_septets, pad_to_size,
     center_crop,
 )
 from .pairs import TripletSampler
@@ -18,7 +18,7 @@ __all__ = [
     "create_lr_volume", "apply_2d_zoom_3d", "apply_2d_zoom_4d",
     "get_random_adjacent_slice", "determine_interpol_coefficients",
     "AugmentConfig", "augment_batch", "prepare_batch_pairs",
-    "prepare_batch_quintets", "pad_to_size",
+    "prepare_batch_quintets", "prepare_batch_septets", "pad_to_size",
     "center_crop", "TripletSampler", "make_toy_dataset",
     "make_rotated_volume",
 ]

@@ -106,8 +106,10 @@ class DeviceCachedSampler:
 
         b = flat("between")
         slot_idx = [flat("s_from"), flat("s_to")]
-        if getattr(self.s, "latent_taps", 2) == 4:
+        if getattr(self.s, "latent_taps", 2) >= 4:
             slot_idx += [flat("s_outer_from"), flat("s_outer_to")]
+        if getattr(self.s, "latent_taps", 2) == 6:
+            slot_idx += [flat("s_outer2_from"), flat("s_outer2_to")]
         slot_idx.append(b)
         triplet = _gather_slots(
             self.flat_img, self.flat_lbl, self.flat_mask, tuple(slot_idx),

@@ -37,15 +37,17 @@ class TripletSampler:
                  latent_taps: int = 2):
         if slice_selection not in ("adjacent", "adjacent_plus", "mix"):
             raise ValueError(f"bad slice_selection {slice_selection!r}")
-        if latent_taps not in (2, 4):
-            raise ValueError(f"latent_taps must be 2 (triplets) or 4 "
-                             f"(quintets for cubic-aligned training), "
-                             f"got {latent_taps}")
-        # 4-tap mode: each item also carries the outward z-neighbours
-        # (outer_from/outer_to, one pair step beyond from/to, clamped at
-        # the volume edges like inference's cubic boundary taps) so the
-        # training loss can mix latents with the same Catmull-Rom spline
-        # the cubic inference path uses
+        if latent_taps not in (2, 4, 6):
+            raise ValueError(f"latent_taps must be 2 (triplets), 4 "
+                             f"(quintets for cubic-aligned training) or "
+                             f"6 (septets for lanczos3-aligned "
+                             f"training), got {latent_taps}")
+        # 4/6-tap modes: each item also carries the outward z-neighbours
+        # (outer_from/outer_to one pair step beyond from/to — and for 6
+        # taps outer2_from/outer2_to two pair steps beyond — clamped at
+        # the volume edges like inference's multi-tap boundary taps) so
+        # the training loss can mix latents with the same spline kernel
+        # the cubic/lanczos3 inference paths use
         self.latent_taps = int(latent_taps)
         self.volumes = list(volumes)
         if not self.volumes:
@@ -144,7 +146,7 @@ class TripletSampler:
                 "between": between, "a_from": a_from, "a_to": a_to,
                 "is_inbetween": float(hi - lo > 1),
                 "alpha_features": feats}
-        if self.latent_taps == 4:
+        if self.latent_taps >= 4:
             # outward neighbours continue the from→to direction one pair
             # step beyond each end, clamped at the volume edges — the
             # training-time twin of the cubic inference taps
@@ -152,6 +154,12 @@ class TripletSampler:
             d = s_to - s_from
             spec["s_outer_from"] = int(np.clip(s_from - d, 0, n - 1))
             spec["s_outer_to"] = int(np.clip(s_to + d, 0, n - 1))
+        if self.latent_taps == 6:
+            # two pair steps beyond each end — the lanczos3 inference
+            # taps z[clip(j-2)] / z[clip(j+3)] on the kept grid
+            d = s_to - s_from
+            spec["s_outer2_from"] = int(np.clip(s_from - 2 * d, 0, n - 1))
+            spec["s_outer2_to"] = int(np.clip(s_to + 2 * d, 0, n - 1))
         return spec
 
     def _item_chans(self, spec) -> list:
@@ -160,12 +168,15 @@ class TripletSampler:
         vi = spec["vi"]
         s_from, s_to, between = spec["s_from"], spec["s_to"], spec["between"]
         img = self._padded[vi]
-        # slot order: (from, to[, outer_from, outer_to], between) — the
-        # between slot stays LAST so prepare_batch_pairs/_quintets and
+        # slot order: (from, to[, outer_from, outer_to
+        # [, outer2_from, outer2_to]], between) — the
+        # between slot stays LAST so prepare_batch_pairs/_quintets/_septets and
         # the riding-mask split share one layout rule
         slots = [s_from, s_to]
-        if self.latent_taps == 4:
+        if self.latent_taps >= 4:
             slots += [spec["s_outer_from"], spec["s_outer_to"]]
+        if self.latent_taps == 6:
+            slots += [spec["s_outer2_from"], spec["s_outer2_to"]]
         slots.append(between)
         if self.has_labels:
             lbl = self._padded_labels[vi]

@@ -375,3 +375,30 @@ def prepare_batch_quintets(quintet: Array):
     outer = jnp.concatenate([quintet[..., 2 * c:3 * c],
                              quintet[..., 3 * c:4 * c]], axis=0)
     return image, outer, quintet[..., 4 * c:5 * c]
+
+
+def prepare_batch_septets(septet: Array):
+    """[B, H, W, 7C] → (image [2B, H, W, C], outer [2B, H, W, C],
+    outer2 [2B, H, W, C], slice_between [B, H, W, C]).
+
+    The septet layout (from | to | outer_from | outer_to | outer2_from |
+    outer2_to | between, TripletSampler(latent_taps=6)) extends the
+    quintet contract with the two-pair-steps-out z-neighbours the
+    lanczos3-aligned training loss mixes (ops.latent_mix_lanczos3);
+    ``image``/``slice_between`` are laid out exactly like
+    prepare_batch_pairs' so every consumer of the 2-tap contract is
+    unchanged."""
+    if septet.shape[-1] % 7 != 0:
+        raise ValueError(
+            f"prepare_batch_septets expects 7C channels (from|to|"
+            f"outer_from|outer_to|outer2_from|outer2_to|between), got "
+            f"{septet.shape[-1]} — split any riding mask channel off "
+            f"first (see cli/train_loop._device_batch)")
+    c = septet.shape[-1] // 7
+    image = jnp.concatenate([septet[..., 0:c], septet[..., c:2 * c]],
+                            axis=0)
+    outer = jnp.concatenate([septet[..., 2 * c:3 * c],
+                             septet[..., 3 * c:4 * c]], axis=0)
+    outer2 = jnp.concatenate([septet[..., 4 * c:5 * c],
+                              septet[..., 5 * c:6 * c]], axis=0)
+    return image, outer, outer2, septet[..., 6 * c:7 * c]

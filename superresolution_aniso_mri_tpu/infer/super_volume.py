@@ -165,7 +165,7 @@ LATENT_INTERP_MODES = ("linear", "cubic", "lanczos3", "fitted")
 
 # canonical definition lives in ops.losses (shared with the
 # cubic-aligned training loss); re-exported here for inference callers
-from ..ops import catmull_rom_weights  # noqa: E402
+from ..ops import catmull_rom_weights, lanczos3_weights  # noqa: E402
 
 
 # tap offsets relative to the pair (z[i], z[i+1]) per multi-tap scheme:
@@ -177,19 +177,9 @@ _LATENT_TAP_OFFSETS = {"cubic": (-1, 0, 1, 2),
                        "lanczos3": (-2, -1, 0, 1, 2, 3)}
 
 
-def lanczos3_weights(alphas: Array) -> Array:
-    """[A] fractional positions → [A, 6] normalized lanczos(radius=3)
-    weights over taps at offsets (-2..3). At integer t the kernel is a
-    delta, so t=0/t=1 reproduce z[i]/z[i+1] exactly; rows sum to 1."""
-    t = jnp.asarray(alphas)[..., None]
-    x = jnp.asarray(_LATENT_TAP_OFFSETS["lanczos3"], t.dtype) - t
-    r = 3.0
-    px = jnp.pi * jnp.where(x == 0, 1e-12, x)
-    w = jnp.where(jnp.abs(x) < r,
-                  r * jnp.sin(px) * jnp.sin(px / r) / (px * px), 0.0)
-    # x==0 → weight exactly 1 (the 1e-12 guard leaves it ~1 already)
-    w = jnp.where(x == 0, 1.0, w)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+# lanczos3_weights ([A] → [A, 6] over taps at offsets (-2..3)) lives in
+# ops.losses so the lanczos3-aligned training loss shares the exact
+# kernel with this serving path (like catmull_rom_weights).
 
 
 def latent_tap_weights(mode: str, alphas: Array) -> Array:

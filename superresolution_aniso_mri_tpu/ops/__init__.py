@@ -1,6 +1,7 @@
 """Compute kernels: losses, metrics, perceptual distance, resampling."""
 from .losses import (mse, l1, bce_sum_over_batch, kl_standard_normal,
-                     latent_mix, latent_mix_cubic, catmull_rom_weights)
+                     latent_mix, latent_mix_cubic, catmull_rom_weights,
+                     latent_mix_lanczos3, lanczos3_weights)
 from .lap_pyramid import lap_loss, laplacian_pyramid
 from .dice import dice_loss, soft_dice_score
 from .metrics import (
@@ -15,6 +16,7 @@ from .lpips import (
 __all__ = [
     "mse", "l1", "bce_sum_over_batch", "kl_standard_normal", "latent_mix",
     "latent_mix_cubic", "catmull_rom_weights",
+    "latent_mix_lanczos3", "lanczos3_weights",
     "lap_loss", "laplacian_pyramid", "dice_loss", "soft_dice_score",
     "ssim2d", "ssim_volume", "psnr2d", "psnr_volume", "vif2d", "vif_volume",
     "synth_slice_mask", "masked_mean", "gaussian_filter2d",

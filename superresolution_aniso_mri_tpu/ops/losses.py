@@ -75,6 +75,43 @@ def catmull_rom_weights(t: Array) -> Array:
          t3 - t2], axis=-1)
 
 
+def lanczos3_weights(alphas: Array) -> Array:
+    """[...] fractional positions → [..., 6] normalized lanczos(radius=3)
+    weights over taps at offsets (-2..3). At integer t the kernel is a
+    delta, so t=0/t=1 reproduce z[i]/z[i+1] exactly; rows sum to 1.
+    Shared by inference (infer.super_volume ``latent_interp='lanczos3'``)
+    and the lanczos3-aligned training loss so the two cannot drift."""
+    t = jnp.asarray(alphas)[..., None]
+    x = jnp.asarray((-2.0, -1.0, 0.0, 1.0, 2.0, 3.0), t.dtype) - t
+    r = 3.0
+    px = jnp.pi * jnp.where(x == 0, 1e-12, x)
+    w = jnp.where(jnp.abs(x) < r,
+                  r * jnp.sin(px) * jnp.sin(px / r) / (px * px), 0.0)
+    # x==0 → weight exactly 1 (the 1e-12 guard leaves it ~1 already)
+    w = jnp.where(x == 0, 1.0, w)
+    return w / jnp.sum(w, axis=-1, keepdims=True)
+
+
+def latent_mix_lanczos3(z: Array, z_outer: Array, z_outer2: Array,
+                        alpha_to: Array) -> Array:
+    """6-tap lanczos3 latent mix — the training twin of inference's
+    ``latent_interp='lanczos3'`` (infer.super_volume).
+
+    ``z`` is [2B, ...] (from ∥ to), ``z_outer`` [2B, ...] the outward
+    z-neighbours one pair step beyond each end, ``z_outer2`` [2B, ...]
+    two pair steps beyond (both edge-clamped by the sampler — the same
+    index clamping as the inference taps); ``alpha_to`` [B] is the
+    in-between slice's fractional position from 'from' toward 'to'.
+    Tap order matches the inference offsets (-2,-1,0,1,2,3) =
+    (outer2_from, outer_from, from, to, outer_to, outer2_to)."""
+    b = z.shape[0] // 2
+    w = lanczos3_weights(jnp.reshape(alpha_to, (b,)))      # [B, 6]
+    w = jnp.reshape(w, (b, 6) + (1,) * (z.ndim - 1))
+    return (w[:, 0] * z_outer2[:b] + w[:, 1] * z_outer[:b]
+            + w[:, 2] * z[:b] + w[:, 3] * z[b:]
+            + w[:, 4] * z_outer[b:] + w[:, 5] * z_outer2[b:])
+
+
 def latent_mix_cubic(z: Array, z_outer: Array, alpha_to: Array) -> Array:
     """4-tap Catmull-Rom latent mix — the training twin of inference's
     ``latent_interp='cubic'`` (infer.super_volume).

@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import (bce_sum_over_batch, dice_loss, kl_standard_normal,
-                   lap_loss, latent_mix, latent_mix_cubic, lpips_distance,
-                   mse)
+                   lap_loss, latent_mix, latent_mix_cubic,
+                   latent_mix_lanczos3, lpips_distance, mse)
 
 Array = jax.Array
 
@@ -204,11 +204,13 @@ def _wmse(a: Array, b: Array, sample_weight) -> Array:
 def _train_latent_mix(model, cfg, params, batch_stats, z, batch,
                       train: bool = True):
     """The (ae-family) training latent mix: the reference's 2-tap lerp,
-    or the 4-tap Catmull-Rom spline when cfg.train_latent_interp is
-    'cubic' — then the outward-neighbour pair (batch['outer'],
-    TripletSampler(latent_taps=4)) is encoded under the already-updated
-    batch statistics (auxiliary encode: batch-stat normalisation without
-    advancing the running stats, like the other aux encodes here)."""
+    the 4-tap Catmull-Rom spline when cfg.train_latent_interp is
+    'cubic', or the 6-tap lanczos kernel when 'lanczos3' — then the
+    outward-neighbour pair(s) (batch['outer'][, 'outer2'],
+    TripletSampler(latent_taps=4/6)) are encoded under the
+    already-updated batch statistics (auxiliary encode: batch-stat
+    normalisation without advancing the running stats, like the other
+    aux encodes here)."""
     if cfg.train_latent_interp == "cubic":
         if "outer" not in batch:
             raise ValueError(
@@ -220,6 +222,24 @@ def _train_latent_mix(model, cfg, params, batch_stats, z, batch,
                             lambda mdl, img: mdl.encode(img, train=train),
                             batch["outer"], train=train)
         return latent_mix_cubic(z, z_outer, batch["alpha_to"])
+    if cfg.train_latent_interp == "lanczos3":
+        if "outer" not in batch or "outer2" not in batch:
+            raise ValueError(
+                "train_latent_interp='lanczos3' needs the batch to "
+                "carry 'outer' AND 'outer2' (one/two pair steps out) — "
+                "build batches from TripletSampler(latent_taps=6) via "
+                "prepare_batch_septets")
+        # one encode covers both outward pairs (same aux-encode BN
+        # semantics as the cubic branch: batch-stat normalisation
+        # without advancing the running stats)
+        n2 = batch["outer"].shape[0]
+        z_out, _ = _apply(model, params, batch_stats,
+                          lambda mdl, img: mdl.encode(img, train=train),
+                          jnp.concatenate([batch["outer"],
+                                           batch["outer2"]], axis=0),
+                          train=train)
+        return latent_mix_lanczos3(z, z_out[:n2], z_out[n2:],
+                                   batch["alpha_to"])
     return latent_mix(z, batch["alpha_from"], batch["alpha_to"])
 
 

@@ -421,3 +421,167 @@ def test_cubic_gather_matches_reference_formula(trainer):
                       z_mix, method=model.decode)
     np.testing.assert_allclose(np.asarray(out[2, 0]), np.asarray(dec[0]),
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# training-time lanczos3 alignment (--train_latent_interp lanczos3)
+# ---------------------------------------------------------------------------
+
+def test_septet_sampler_geometry():
+    """latent_taps=6: outer pairs at one and two pair steps beyond each
+    end, clamped at the volume edges like the inference lanczos3 taps."""
+    from superresolution_aniso_mri_tpu.data import TripletSampler
+
+    vols = make_toy_dataset(2, 16, 9, seed=32)
+    s = TripletSampler(vols, 3, "adjacent_plus", seed=6, latent_taps=6)
+    for i in range(40):
+        sp = s._item_spec(i % len(s))
+        n = vols[sp["vi"]].num_slices
+        d = sp["s_to"] - sp["s_from"]
+        assert sp["s_outer_from"] == int(np.clip(sp["s_from"] - d, 0, n - 1))
+        assert sp["s_outer_to"] == int(np.clip(sp["s_to"] + d, 0, n - 1))
+        assert sp["s_outer2_from"] == int(np.clip(sp["s_from"] - 2 * d,
+                                                  0, n - 1))
+        assert sp["s_outer2_to"] == int(np.clip(sp["s_to"] + 2 * d,
+                                                0, n - 1))
+    item = s.sample_item(0)
+    # from|to|outer_f|outer_t|outer2_f|outer2_t|between
+    assert item["triplet"].shape[-1] == 7
+
+
+def test_prepare_batch_septets_layout():
+    from superresolution_aniso_mri_tpu.data import prepare_batch_septets
+
+    q = jnp.arange(2 * 4 * 4 * 7, dtype=jnp.float32).reshape(2, 4, 4, 7)
+    image, outer, outer2, between = prepare_batch_septets(q)
+    assert image.shape == (4, 4, 4, 1)
+    assert outer.shape == (4, 4, 4, 1)
+    assert outer2.shape == (4, 4, 4, 1)
+    assert between.shape == (2, 4, 4, 1)
+    np.testing.assert_allclose(image[:2, ..., 0], q[..., 0])
+    np.testing.assert_allclose(image[2:, ..., 0], q[..., 1])
+    np.testing.assert_allclose(outer[:2, ..., 0], q[..., 2])
+    np.testing.assert_allclose(outer[2:, ..., 0], q[..., 3])
+    np.testing.assert_allclose(outer2[:2, ..., 0], q[..., 4])
+    np.testing.assert_allclose(outer2[2:, ..., 0], q[..., 5])
+    np.testing.assert_allclose(between[..., 0], q[..., 6])
+    with pytest.raises(ValueError, match="7C"):
+        prepare_batch_septets(q[..., :5])
+
+
+def test_latent_mix_lanczos3_matches_inference_kernel():
+    """The training mix must decode EXACTLY the inference scheme: for a
+    z-stack with distinct latents, latent_mix_lanczos3 over the septet
+    slots equals the [A, 6]-weight mix the serving core computes over
+    taps (-2..3), endpoints reproduced at alpha 0/1."""
+    from superresolution_aniso_mri_tpu.ops import (
+        lanczos3_weights, latent_mix_lanczos3,
+    )
+
+    rng = np.random.default_rng(7)
+    b, shape = 3, (2, 2, 4)
+    zs = {o: jnp.asarray(rng.normal(size=(b,) + shape), jnp.float32)
+          for o in (-2, -1, 0, 1, 2, 3)}
+    z = jnp.concatenate([zs[0], zs[1]], axis=0)          # from || to
+    z_outer = jnp.concatenate([zs[-1], zs[2]], axis=0)
+    z_outer2 = jnp.concatenate([zs[-2], zs[3]], axis=0)
+    alphas = jnp.asarray([0.0, 0.3, 0.5, 1.0], jnp.float32)
+    w = np.asarray(lanczos3_weights(alphas))             # [A, 6]
+    for ai, a in enumerate(np.asarray(alphas)):
+        mixed = latent_mix_lanczos3(z, z_outer, z_outer2,
+                                    jnp.full((b,), a, jnp.float32))
+        expect = sum(w[ai, ti] * np.asarray(zs[o])
+                     for ti, o in enumerate((-2, -1, 0, 1, 2, 3)))
+        np.testing.assert_allclose(np.asarray(mixed), expect,
+                                   rtol=0, atol=2e-6)
+    # endpoint interpolation: alpha 0 -> from, alpha 1 -> to
+    np.testing.assert_allclose(
+        np.asarray(latent_mix_lanczos3(z, z_outer, z_outer2,
+                                       jnp.zeros((b,), jnp.float32))),
+        np.asarray(zs[0]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(latent_mix_lanczos3(z, z_outer, z_outer2,
+                                       jnp.ones((b,), jnp.float32))),
+        np.asarray(zs[1]), atol=1e-6)
+
+
+def test_lanczos3_weights_single_source():
+    """infer.super_volume must serve through the SAME kernel function
+    the training loss imports (no drift between the twins)."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+    from superresolution_aniso_mri_tpu.ops import losses
+
+    assert sv.lanczos3_weights is losses.lanczos3_weights
+
+
+def test_lanczos3_train_step_runs_and_uses_outer2(tmp_path):
+    """One ae_combined train step with train_latent_interp='lanczos3':
+    runs, and perturbing ONLY the outer2 slices changes the loss (the
+    kernel actually reads the 6-tap neighbourhood)."""
+    from superresolution_aniso_mri_tpu.train import Trainer
+
+    args = {
+        "dataset": "MNIST3D", "model": "ae_combined",
+        "ae_class": "VanillaACAI", "width": 32, "latent_width": 16,
+        "depth": 8, "latent": 8, "colors": 1, "lr": 1e-3,
+        "weight_decay": 0.0, "batch_size": 4, "epochs": 1,
+        "epoch_threshold": -1, "ex_loss_weight1": 0.1,
+        "use_batchnorm": False, "use_sigmoid": True,
+        "use_laploss": False, "use_percept_loss": False,
+        "image_mix_loss_func": "mse", "downsample_steps": 2, "seed": 0,
+        "output_dir": None, "train_latent_interp": "lanczos3",
+    }
+    trainer = Trainer(args)
+    rng = np.random.default_rng(2)
+    b = 4
+    batch = {
+        "image": jnp.asarray(rng.uniform(size=(2 * b, 32, 32, 1)),
+                             jnp.float32),
+        "outer": jnp.asarray(rng.uniform(size=(2 * b, 32, 32, 1)),
+                             jnp.float32),
+        "outer2": jnp.asarray(rng.uniform(size=(2 * b, 32, 32, 1)),
+                              jnp.float32),
+        "slice_between": jnp.asarray(rng.uniform(size=(b, 32, 32, 1)),
+                                     jnp.float32),
+        "alpha_from": jnp.full((b,), 0.5, jnp.float32),
+        "alpha_to": jnp.full((b,), 0.5, jnp.float32),
+    }
+    m1 = {k: float(v) for k, v in trainer.validate(batch).items()
+          if np.ndim(v) == 0}
+    batch2 = dict(batch)
+    batch2["outer2"] = batch["outer2"][::-1]
+    m2 = {k: float(v) for k, v in trainer.validate(batch2).items()
+          if np.ndim(v) == 0}
+    assert m1["loss_ae_dist_extra"] != m2["loss_ae_dist_extra"]
+    out = trainer.train(batch)
+    assert np.isfinite(float(out["loss_ae"]))
+    # missing outer2 -> hard error, not silent linear fallback
+    bad = {k: v for k, v in batch.items() if k != "outer2"}
+    with pytest.raises(ValueError, match="outer2"):
+        trainer.validate(bad)
+
+
+def test_lanczos3_training_cli_end_to_end(tmp_path):
+    """train_brain_aesr --train_latent_interp lanczos3 trains (septet
+    sampling through the full augmentation/device pipeline) and records
+    the flag in settings.yaml."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "exp"
+    r = subprocess.run(
+        [sys.executable, "train_brain_aesr.py", "-d", "MNIST3D",
+         "-m", "ae_combined", "--downsample_steps", "2",
+         "--width", "32", "--latent_width", "16", "--latent", "8",
+         "--depth", "8", "-b", "4", "-e", "1", "--epoch_threshold", "-1",
+         "--image_mix_loss_func", "mse", "--use_batchnorm", "0",
+         "--volume_preview_interval", "0",
+         "--train_latent_interp", "lanczos3",
+         "-o", str(out), "-id", "exp"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    import yaml
+    settings = yaml.safe_load(open(out / "exp" / "settings.yaml"))
+    assert settings["train_latent_interp"] == "lanczos3"

@@ -331,11 +331,12 @@ def main():
                         "before the sweep, refit on the selected "
                         "checkpoint before scoring)")
     p.add_argument("--train_latent_interp", type=str, default="linear",
-                   choices=["linear", "cubic"],
+                   choices=["linear", "cubic", "lanczos3"],
                    help="latent z-mixing for the TRAINING synthesis "
                         "loss (--train_latent_interp of the train CLI): "
-                        "'cubic' trains through the same 4-tap spline "
-                        "the cubic scoring pass decodes")
+                        "'cubic'/'lanczos3' train through the same "
+                        "4-/6-tap spline the matching scoring pass "
+                        "decodes")
     p.add_argument("--tta", type=str, default=None,
                    choices=["flips", "dihedral"],
                    help="test-time augmentation for the model's scoring "
