@@ -470,3 +470,39 @@ def test_create_super_volumes_num_devices_matches_local():
                                        ls["upsampled_image"], atol=1e-5)
             np.testing.assert_array_equal(sh["pred_alphas"],
                                           ls["pred_alphas"])
+
+
+def test_dp_step_matches_single_device_lanczos3_training(setup):
+    """--train_latent_interp lanczos3 under data parallelism: BOTH
+    outward-pair batch keys ('outer', 'outer2') shard over the mesh
+    like 'image', and the DP step matches the single-device
+    trajectory."""
+    cfg, model, state, _lc, batch = setup
+    loss_cfg = LossConfig(model="ae_combined", recon_loss="mse",
+                          image_mix_loss_func="mse",
+                          train_latent_interp="lanczos3")
+    rng = np.random.RandomState(8)
+    batch = dict(batch)
+    batch["outer"] = rng.rand(*batch["image"].shape).astype(np.float32)
+    batch["outer2"] = rng.rand(*batch["image"].shape).astype(np.float32)
+
+    single_step = make_train_step(model, loss_cfg, None, donate=False)
+    s1, m1 = single_step(state, {k: jnp.asarray(v)
+                                 for k, v in batch.items()},
+                         jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    mesh = create_mesh(jax.devices()[:8])
+    step = make_sharded_train_step(model, loss_cfg, None, mesh)
+    with mesh:
+        st = replicate_state(mesh, state)
+        db = shard_batch(mesh, batch)
+        s8, m8 = step(st, db, jax.random.PRNGKey(1), jnp.float32(0.01))
+
+    np.testing.assert_allclose(float(m8["loss_ae"]), float(m1["loss_ae"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l8 = jax.tree_util.tree_leaves(s8.params)
+    assert len(l1) == len(l8) > 0
+    for a, b_ in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=1e-7)
