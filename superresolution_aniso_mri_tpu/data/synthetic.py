@@ -146,8 +146,10 @@ def make_anatomy3d_volume(size: int = 64, num_slices: int = 37,
 
 def make_cardiac4d_volume(size: int = 64, num_slices: int = 15,
                           num_frames: int = 6, seed: int = 0,
-                          texture_amp: float = 0.5) -> np.ndarray:
-    """A 4-D cine-MRI-like phantom [frames, slices, H, W] in [0, 1].
+                          texture_amp: float = 0.5,
+                          noise_sigma: float = 0.0) -> np.ndarray:
+    """A 4-D cine-MRI-like phantom [frames, slices, H, W] in [0, 1]
+    (``noise_sigma > 0`` adds Rician noise, range grows to ~[0, 1+4σ]).
 
     The through-plane statistics mirror short-axis cardiac cine
     (reference training data: datasets/ACDC/data.py): a bright
@@ -161,7 +163,19 @@ def make_cardiac4d_volume(size: int = 64, num_slices: int = 15,
 
     Used by the cardiac production-pipeline quality benchmark
     (tools/real_pipeline_quality.py --dataset_shape ACDC).
-    """
+
+    ``noise_sigma``: Rician magnitude noise (|signal + complex N(0, σ)|,
+    the physical noise model of magnitude MRI) applied to every frame.
+    Measured calibration (docs/STATUS.md session 8): the NOISELESS
+    phantom ranks the conventional interpolators bspline > lanczos >
+    linear on SSIM — the OPPOSITE of the reference's real-cardiac table
+    (BASELINE.md Sunnybrook: linear 0.858 > bspline 0.850 > lanczos
+    0.841), because analytic smoothness is exactly the signal class
+    wide kernels excel at. At ``noise_sigma=0.03`` the phantom
+    reproduces the reference's real-data ordering on ALL THREE metrics
+    (SSIM linear>bspline>lanczos, PSNR bspline>lanczos>linear, VIF
+    linear>bspline≈lanczos), making it the representative setting for
+    model-vs-conventional comparisons."""
     rs = np.random.RandomState(seed)
     zz, yy, xx = np.mgrid[0:num_slices, 0:size, 0:size].astype(np.float32)
     cz, c = (num_slices - 1) / 2.0, (size - 1) / 2.0
@@ -244,7 +258,15 @@ def make_cardiac4d_volume(size: int = 64, num_slices: int = 15,
             img = np.clip(img * (1.0 + texture_amp * 0.5 * tex), 0.0, 1.0)
         img *= np.clip(1.3 - chest, 0.0, 1.0) ** 0.5
         frames.append(np.clip(img, 0.0, 1.0).astype(np.float32))
-    return np.stack(frames)
+    out = np.stack(frames)
+    if noise_sigma:
+        # Rician: magnitude of the clean signal plus iid complex
+        # gaussian noise — drawn from the same seeded stream so the
+        # seed fully determines the noisy volume
+        e1 = rs.normal(0.0, noise_sigma, out.shape)
+        e2 = rs.normal(0.0, noise_sigma, out.shape)
+        out = np.sqrt((out + e1) ** 2 + e2 ** 2).astype(np.float32)
+    return out
 
 
 def make_toy_dataset(num_volumes: int = 4, size: int = 32,

@@ -153,3 +153,31 @@ def test_make_extra_test_volumes_acdc():
     # frames of one phantom differ (cine deformation survived the
     # loader-matching preprocessing)
     assert np.abs(vols[0].image - vols[1].image).max() > 1e-3
+
+
+def test_cardiac_phantom_rician_noise():
+    """noise_sigma: seeded-deterministic Rician magnitude noise — same
+    seed reproduces, zero sigma is the legacy noiseless phantom, and
+    the noisy volume stays non-negative (magnitude MRI)."""
+    import numpy as np
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_cardiac4d_volume,
+    )
+
+    clean = make_cardiac4d_volume(size=16, num_slices=5, num_frames=2,
+                                  seed=3)
+    again = make_cardiac4d_volume(size=16, num_slices=5, num_frames=2,
+                                  seed=3)
+    np.testing.assert_array_equal(clean, again)
+    noisy = make_cardiac4d_volume(size=16, num_slices=5, num_frames=2,
+                                  seed=3, noise_sigma=0.03)
+    noisy2 = make_cardiac4d_volume(size=16, num_slices=5, num_frames=2,
+                                   seed=3, noise_sigma=0.03)
+    np.testing.assert_array_equal(noisy, noisy2)
+    assert not np.array_equal(noisy, clean)
+    assert noisy.min() >= 0.0
+    # Rician floor: background (clean == 0) acquires a positive mean
+    bg = noisy[clean == 0]
+    assert bg.size and bg.mean() > 0.01
+    # noise magnitude is in the sigma ballpark, not wildly off
+    assert 0.01 < float(np.abs(noisy - clean).mean()) < 0.1

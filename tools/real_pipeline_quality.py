@@ -93,7 +93,8 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
 
 def make_textured_acdc_tree(data_root: str, n_patients: int,
                             inplane: int, num_slices: int,
-                            num_frames: int) -> None:
+                            num_frames: int,
+                            noise_sigma: float = 0.0) -> None:
     """ACDC-shaped 4D cine tree (root/ACDC/all_cardiac_phases/
     patientXXX/patientXXX_4d.nii.gz + the SR split yaml) of beating
     cardiac phantoms (data.synthetic.make_cardiac4d_volume).
@@ -119,7 +120,8 @@ def make_textured_acdc_tree(data_root: str, n_patients: int,
         os.makedirs(pdir, exist_ok=True)
         vol4d = make_cardiac4d_volume(size=inplane, num_slices=num_slices,
                                       num_frames=num_frames,
-                                      seed=10_000 + i)
+                                      seed=10_000 + i,
+                                      noise_sigma=noise_sigma)
         # raw-MRI-like intensity scale; the loader's 1-99 percentile
         # rescale (load_acdc_volumes) normalizes it back
         write_nifti(os.path.join(pdir, f"{pid}_4d.nii.gz"),
@@ -216,7 +218,8 @@ def make_extra_test_volumes(ds: int, n: int, inplane: int,
 
 
 def make_extra_test_volumes_acdc(n: int, inplane: int, num_slices: int,
-                                 num_frames: int):
+                                 num_frames: int,
+                                 noise_sigma: float = 0.0):
     """Cardiac variant of make_extra_test_volumes: N fresh 4D cine
     phantoms (seeds 50_000+i, disjoint from the 10_000+i tree), split
     into per-frame 3-D Volumes with the SAME per-frame preprocessing
@@ -235,7 +238,8 @@ def make_extra_test_volumes_acdc(n: int, inplane: int, num_slices: int,
     for i in range(n):
         arr = make_cardiac4d_volume(size=inplane, num_slices=num_slices,
                                     num_frames=num_frames,
-                                    seed=50_000 + i) * 400.0
+                                    seed=50_000 + i,
+                                    noise_sigma=noise_sigma) * 400.0
         arr = apply_2d_zoom_4d(arr, sp, sp)
         for t in range(arr.shape[0]):
             vols.append(Volume(
@@ -311,6 +315,16 @@ def main():
                         "rotating base (in-plane motion only), "
                         "'anatomy3d' = drifting 3-D ellipsoid anatomy "
                         "(closer to real MRI through-plane statistics)")
+    p.add_argument("--phantom_noise", type=float, default=0.0,
+                   help="Rician noise sigma for the fabricated cardiac "
+                        "phantoms (ACDC shape). 0 = the legacy "
+                        "noiseless benchmark, whose conventional-"
+                        "interpolator ordering (bspline>lanczos>linear "
+                        "SSIM) CONTRADICTS the reference's real-cardiac "
+                        "table; 0.03 = calibrated setting that "
+                        "reproduces the reference's real-data ordering "
+                        "on all three metrics (see "
+                        "data/synthetic.make_cardiac4d_volume)")
     p.add_argument("--use_batchnorm", type=int, default=None,
                    choices=[0, 1],
                    help="override the CLI's architecture default "
@@ -443,7 +457,8 @@ def main():
                   f"{args.inplane}^2) under {data_root}", flush=True)
             make_textured_acdc_tree(data_root, args.n_patients,
                                     args.inplane, args.num_slices,
-                                    args.num_frames)
+                                    args.num_frames,
+                                    noise_sigma=args.phantom_noise)
         else:
             print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
                   f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
@@ -647,7 +662,8 @@ def main():
             if cardiac:
                 extra = make_extra_test_volumes_acdc(
                     args.extra_test_volumes, args.inplane,
-                    args.num_slices, args.num_frames)
+                    args.num_slices, args.num_frames,
+                    noise_sigma=args.phantom_noise)
             else:
                 extra = make_extra_test_volumes(
                     ds, args.extra_test_volumes, args.inplane,
@@ -689,6 +705,8 @@ def main():
                 "dataset_shape": args.dataset_shape,
                 "anatomy": "cardiac4d" if cardiac else args.anatomy,
                 "num_frames": args.num_frames if cardiac else None,
+                "phantom_noise": (args.phantom_noise if cardiac
+                                  else None),
                 "loss_mode": loss_mode,
                 "model_family": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
