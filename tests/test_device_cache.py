@@ -122,3 +122,26 @@ def test_training_trajectory_identical_with_cache(tmp_path):
     for k in a.files:
         np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0,
                                    err_msg=k)
+
+
+def test_septet_sample_batch_identical_to_host_path():
+    """latent_taps=6 (lanczos3-aligned training): the device cache must
+    gather BOTH outward-pair slots so cached septet batches equal the
+    host sampler's bit-for-bit."""
+    from superresolution_aniso_mri_tpu.data import (
+        TripletSampler, make_toy_dataset,
+    )
+    from superresolution_aniso_mri_tpu.data.device_cache import (
+        DeviceCachedSampler,
+    )
+
+    vols = make_toy_dataset(3, 24, 9, seed=21)
+    host = TripletSampler(vols, 3, "adjacent_plus", pad_size=24, seed=9,
+                          latent_taps=6)
+    dev = DeviceCachedSampler(
+        TripletSampler(vols, 3, "adjacent_plus", pad_size=24, seed=9,
+                       latent_taps=6))
+    for _ in range(3):
+        a, b = host.sample_batch(6), dev.sample_batch(6)
+        assert np.asarray(a["triplet"]).shape[-1] == 7
+        _assert_batches_equal(a, b)
