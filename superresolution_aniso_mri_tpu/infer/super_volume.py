@@ -27,34 +27,21 @@ import numpy as np
 Array = jax.Array
 
 
-def _chunked_call(fn, x: Array, chunk: Optional[int]):
-    """Apply ``fn`` over the leading axis in fixed-size chunks via
-    ``lax.map`` so peak HBM is bounded by ``chunk`` slices instead of the
-    whole stack (the TPU equivalent of the reference's host-side
-    chunking, kwatsch/base_trainer.py:216-323). ``chunk=None`` runs one
-    batched call — fastest when it fits."""
-    n = x.shape[0]
-    if chunk is None or n <= chunk:
-        return fn(x)
-    pad = (-n) % chunk
-    xp = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-    chunks = xp.reshape((-1, chunk) + x.shape[1:])
-    out = jax.lax.map(fn, chunks)
-    return out.reshape((-1,) + out.shape[2:])[:n]
-
-
 def _chunked_call_pervol(fn, x: Array, per_vol_chunk: Optional[int]):
     """Apply ``fn`` over the flattened [B*N] batch of a [B, N, ...]
-    stack in chunks of ``per_vol_chunk`` slices PER VOLUME, keeping the
-    volume axis leading in every ``lax.map`` step.
+    stack in chunks of ``per_vol_chunk`` slices PER VOLUME via
+    ``lax.map``, keeping the volume axis leading in every step — peak
+    HBM is bounded by B x chunk slices instead of the whole stack (the
+    TPU equivalent of the reference's host-side chunking,
+    kwatsch/base_trainer.py:216-323). ``per_vol_chunk=None`` runs one
+    batched call — fastest when it fits.
 
-    This is the batched twin of ``_chunked_call`` with one crucial
-    difference for sharded serving: a chunk of the volume-major flat
-    axis (``_chunked_call`` semantics) is a run of CONSECUTIVE rows
-    that lives on ~one device when the volume axis is mesh-sharded —
-    every map step would reshard or serialize onto a single chip. Here
-    each step processes [B, chunk] (all volumes, a slab of slices), so
-    a volume-sharded stack stays shard-local through the whole loop.
+    Chunking the SLICE axis (not the volume-major flat axis) matters
+    for sharded serving: a run of consecutive flat rows lives on ~one
+    device when the volume axis is mesh-sharded — every map step would
+    reshard or serialize onto a single chip. Here each step processes
+    [B, chunk] (all volumes, a slab of slices), so a volume-sharded
+    stack stays shard-local through the whole loop.
     Returns [B, N, ...]."""
     b, n = x.shape[0], x.shape[1]
 
@@ -173,8 +160,10 @@ from ..ops import catmull_rom_weights, lanczos3_weights  # noqa: E402
 # lanczos kernel over 6 neighbours — the exact latent twin of the pixel
 # baseline _interp_weights('lanczos') below. Edge taps clamp at the
 # volume boundary (same index clamping as the pixel baselines).
+from ..ops.losses import LANCZOS3_OFFSETS  # noqa: E402
+
 _LATENT_TAP_OFFSETS = {"cubic": (-1, 0, 1, 2),
-                       "lanczos3": (-2, -1, 0, 1, 2, 3)}
+                       "lanczos3": LANCZOS3_OFFSETS}
 
 
 # lanczos3_weights ([A] → [A, 6] over taps at offsets (-2..3)) lives in
@@ -835,7 +824,8 @@ _BATCH_ACT_BUDGET_BYTES = 4 << 30
 
 
 def _batch_volume_cap(k_pad: int, a_n: int, h: int, w: int,
-                      depth: int, decode_batch="auto") -> tuple:
+                      depth: int, decode_batch="auto",
+                      channels: int = 1) -> tuple:
     """(decode_batch, max_b): per-volume decode chunk + how many
     volumes fit one batched program under _BATCH_ACT_BUDGET_BYTES.
 
@@ -854,10 +844,12 @@ def _batch_volume_cap(k_pad: int, a_n: int, h: int, w: int,
     in_flight = n_dec if decode_batch is None else min(decode_batch,
                                                        n_dec)
     act = in_flight * h * w * max(depth, 32) * 4 * 2
-    # resident (chunk-independent): output volume [n_dec, h, w, c~1]
-    # f32, kept input, and the [n_dec, lw, lw, latent] latent stacks —
-    # budgeted together as 3x the output volume's bytes
-    resident = n_dec * h * w * 4 * 3
+    # resident (chunk-independent): output volume [n_dec, h, w, c] f32,
+    # kept input, and the [n_dec, lw, lw, latent] latent stacks —
+    # budgeted together as 3x the output volume's bytes; ``channels``
+    # scales it for multichannel (image+label) serving where output
+    # and kept carry 2 planes
+    resident = n_dec * h * w * max(1, int(channels)) * 4 * 3
     per_vol = act + resident
     return decode_batch, max(1, int(_BATCH_ACT_BUDGET_BYTES
                                     // max(per_vol, 1)))
@@ -969,7 +961,8 @@ def create_super_volumes(trainer, images_list: Sequence,
     alphas_dev = jnp.asarray(alpha_range)
     for (k_pad, h, w, _c), items in groups.items():
         db, max_b = _batch_volume_cap(k_pad, a_n, h, w, depth,
-                                      decode_batch=decode_batch)
+                                      decode_batch=decode_batch,
+                                      channels=_c)
         if len(items) == 1:
             # lone shape: the single-volume program (shared cache with
             # create_super_volume) beats compiling a B=1 vmap twin

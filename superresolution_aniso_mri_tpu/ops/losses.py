@@ -75,14 +75,22 @@ def catmull_rom_weights(t: Array) -> Array:
          t3 - t2], axis=-1)
 
 
+# Tap offsets of the 6-tap lanczos3 latent scheme, relative to the
+# kept-slice pair (z[i + o] for a sample between z[i] and z[i+1]).
+# Single source: both the weight kernel below AND the serving-side
+# latent gather (infer.super_volume._LATENT_TAP_OFFSETS) read this —
+# weights and gathered taps cannot drift apart.
+LANCZOS3_OFFSETS = (-2, -1, 0, 1, 2, 3)
+
+
 def lanczos3_weights(alphas: Array) -> Array:
     """[...] fractional positions → [..., 6] normalized lanczos(radius=3)
-    weights over taps at offsets (-2..3). At integer t the kernel is a
+    weights over taps at LANCZOS3_OFFSETS. At integer t the kernel is a
     delta, so t=0/t=1 reproduce z[i]/z[i+1] exactly; rows sum to 1.
     Shared by inference (infer.super_volume ``latent_interp='lanczos3'``)
     and the lanczos3-aligned training loss so the two cannot drift."""
     t = jnp.asarray(alphas)[..., None]
-    x = jnp.asarray((-2.0, -1.0, 0.0, 1.0, 2.0, 3.0), t.dtype) - t
+    x = jnp.asarray(LANCZOS3_OFFSETS, t.dtype) - t
     r = 3.0
     px = jnp.pi * jnp.where(x == 0, 1e-12, x)
     w = jnp.where(jnp.abs(x) < r,
@@ -102,7 +110,7 @@ def latent_mix_lanczos3(z: Array, z_outer: Array, z_outer2: Array,
     two pair steps beyond (both edge-clamped by the sampler — the same
     index clamping as the inference taps); ``alpha_to`` [B] is the
     in-between slice's fractional position from 'from' toward 'to'.
-    Tap order matches the inference offsets (-2,-1,0,1,2,3) =
+    Tap order matches LANCZOS3_OFFSETS (-2,-1,0,1,2,3) =
     (outer2_from, outer_from, from, to, outer_to, outer2_to)."""
     b = z.shape[0] // 2
     w = lanczos3_weights(jnp.reshape(alpha_to, (b,)))      # [B, 6]

@@ -214,3 +214,23 @@ def test_batched_chunked_decode_matches_single(trainer):
         singles = [create_super_volume(trainer, v, decode_batch=None,
                                        **kwargs) for v in vols]
         _assert_results_match(batched, singles)
+
+
+def test_batch_volume_cap_channel_scaling():
+    """Multichannel (image+label) serving: the resident term scales
+    with the channel count, so 2-channel volumes admit fewer per
+    program than 1-channel ones."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+    k_pad, a_n, h, w, depth = 512, 5, 256, 256, 64
+    _, b1 = sv._batch_volume_cap(k_pad, a_n, h, w, depth, channels=1)
+    _, b2 = sv._batch_volume_cap(k_pad, a_n, h, w, depth, channels=2)
+    assert b2 <= b1
+
+
+def test_lanczos3_offsets_single_source():
+    """The serving gather offsets and the weight kernel's tap positions
+    must come from ONE tuple (ops.losses.LANCZOS3_OFFSETS)."""
+    from superresolution_aniso_mri_tpu.infer import super_volume as sv
+    from superresolution_aniso_mri_tpu.ops.losses import LANCZOS3_OFFSETS
+
+    assert sv._LATENT_TAP_OFFSETS["lanczos3"] is LANCZOS3_OFFSETS

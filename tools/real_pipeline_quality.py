@@ -447,6 +447,11 @@ def main():
     if cardiac and args.n_patients < 7:
         raise SystemExit("--dataset_shape ACDC needs >= 7 patients "
                          "(split reserves 3 test + 2 val)")
+    if args.phantom_noise > 0 and not cardiac:
+        raise SystemExit("--phantom_noise is implemented for the "
+                         "cardiac phantom only (--dataset_shape ACDC) "
+                         "— a non-cardiac run would silently score the "
+                         "noiseless benchmark")
     try:
         if args.reuse:
             print(f"[reuse] kept work dir {work} — skipping "
