@@ -12,7 +12,18 @@ def test_acdc_readme_command():
     args, d = parse_args(
         "-d ACDC -m ae_combined -b 12 --latent 128 --downsample_steps 2 "
         "-e 900 --ex_loss_weight1 0.05 -id f0_128".split())
-    assert d["image_mix_loss_func"] == "perceptual"  # ae_combined default
+    # the ae_combined → perceptual mix-loss default lives in
+    # net_config's architecture table and engages at merge time (the
+    # CLI leaves it None) — assert the EFFECTIVE settings the training
+    # entry point actually builds (cli/train_loop.py merge)
+    from superresolution_aniso_mri_tpu.config.net_config import (
+        NetworkConfig, merge_args_architecture,
+    )
+    assert d["image_mix_loss_func"] is None
+    merged = merge_args_architecture(
+        d, NetworkConfig(d["model"], d["dataset"],
+                         d.get("ae_class")).architecture)
+    assert merged["image_mix_loss_func"] == "perceptual"
     assert d["aug_patch_size"] == 180                # ACDC default
     assert d["latent"] == 128 and d["epochs"] == 900
     assert d["output_dir"].endswith("ACDC/ae_combined/f0_128")
