@@ -91,6 +91,47 @@ def make_textured_oasis_tree(data_root: str, ds: int, n_patients: int,
             spacing=np.array([1.0, 1.0, 1.0]))
 
 
+def make_textured_dhcp_tree(data_root: str, ds: int, n_patients: int,
+                            inplane: int, num_slices: int,
+                            anatomy: str = "rotate") -> None:
+    """dHCP-shaped tree (root/dHCP_cropped_256/<id>_t2w[_<ds/2>mm].nii.gz
+    + train_test_split.yaml) of textured phantoms at the neonatal
+    0.5 mm isotropic grid — the reference's HEADLINE benchmark config
+    (README.md:31, notebooks/evaluate_brain.ipynb cell 6). LR files use
+    the dHCP suffix convention ds/2 mm (datasets/dHCP/dataset.py:14-36;
+    config.lr_file_suffix). Split: last 3 patients test, 2 val, rest
+    train (explicit yaml so the scored test set is deterministic)."""
+    import yaml
+
+    from superresolution_aniso_mri_tpu.data import simulate_thick_slices
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_anatomy3d_volume, make_textured_rotated_volume,
+    )
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    d = os.path.join(data_root, "dHCP_cropped_256")
+    os.makedirs(d, exist_ok=True)
+    pids = []
+    for i in range(n_patients):
+        pid = f"{1000 + i}"
+        pids.append(pid)
+        if anatomy == "anatomy3d":
+            hr = make_anatomy3d_volume(size=inplane, num_slices=num_slices,
+                                       seed=10_000 + i).image
+        else:
+            hr = make_textured_rotated_volume(
+                size=inplane, num_slices=num_slices, seed=10_000 + i).image
+        write_nifti(os.path.join(d, f"{pid}_t2w.nii.gz"), hr,
+                    spacing=np.array([0.5, 0.5, 0.5]))
+        write_nifti(os.path.join(d, f"{pid}_t2w_{ds / 2:.1f}mm.nii.gz"),
+                    simulate_thick_slices(hr, float(ds)),
+                    spacing=np.array([0.5, 0.5, 0.5]))
+    split = {"training": pids[:-5], "validation": pids[-5:-3],
+             "test": pids[-3:]}
+    with open(os.path.join(d, "train_test_split.yaml"), "w") as f:
+        yaml.safe_dump(split, f)
+
+
 def make_textured_acdc_tree(data_root: str, n_patients: int,
                             inplane: int, num_slices: int,
                             num_frames: int,
@@ -256,14 +297,17 @@ def main():
     p.add_argument("--sweep_last", type=int, default=30,
                    help="numbered checkpoints kept for the epoch sweep")
     p.add_argument("--dataset_shape", type=str, default="OASIS",
-                   choices=["OASIS", "ACDC"],
+                   choices=["OASIS", "ACDC", "dHCP"],
                    help="which production pipeline to benchmark: "
                         "'OASIS' = brain thick-slice (synthetic-LR "
                         "files, train_brain_aesr.py, per-sample alphas),"
                         " 'ACDC' = cardiac 4D cine (patientXXX_4d "
                         "NIfTIs, train_cardiac_aesr.py, fixed alpha "
                         "0.5, ds=2 — the reference's other headline "
-                        "table, BASELINE.md Sunnybrook rows)")
+                        "table, BASELINE.md Sunnybrook rows), 'dHCP' = "
+                        "neonatal brain at the reference's HEADLINE "
+                        "config (ds=4, flat <id>_t2w_<mm> layout + "
+                        "split yaml, BASELINE.md dHCP rows)")
     p.add_argument("--num_frames", type=int, default=6,
                    help="cine frames per fabricated 4D patient "
                         "(ACDC shape only; real ACDC has ~25-35, 6 "
@@ -406,7 +450,11 @@ def main():
     args = p.parse_args()
 
     if args.downsample_steps is None:
-        args.downsample_steps = 2 if args.dataset_shape == "ACDC" else 3
+        # per-shape reference defaults: ACDC trains/evaluates at gap 2,
+        # dHCP's headline is 4x (2.0mm -> 0.5mm, README.md:31), OASIS
+        # keeps the tool's established 3mm benchmark setting
+        args.downsample_steps = {"ACDC": 2, "dHCP": 4}.get(
+            args.dataset_shape, 3)
 
     # the parent never touches the TPU — fabrication is numpy/scipy and
     # the final scoring runs on CPU; only the child CLIs use the chip
@@ -464,6 +512,13 @@ def main():
                                     args.inplane, args.num_slices,
                                     args.num_frames,
                                     noise_sigma=args.phantom_noise)
+        elif args.dataset_shape == "dHCP":
+            print(f"[fabricate] {args.n_patients} {args.anatomy} dHCP "
+                  f"volumes ({args.num_slices}x{args.inplane}^2, "
+                  f"{ds / 2:.1f}mm LR) under {data_root}", flush=True)
+            make_textured_dhcp_tree(data_root, ds, args.n_patients,
+                                    args.inplane, args.num_slices,
+                                    anatomy=args.anatomy)
         else:
             print(f"[fabricate] {args.n_patients} {args.anatomy} volumes "
                   f"({args.num_slices}x{args.inplane}^2, {ds}mm LR) "
@@ -602,7 +657,8 @@ def main():
             # cardiac protocol, evaluate/cardiac/evaluate_model.py)
             test_vols = load_acdc_volumes("test")
         else:
-            test_vols = load_brain_volumes("OASIS", ds, split="test",
+            test_vols = load_brain_volumes(args.dataset_shape, ds,
+                                           split="test",
                                            include_hr_images=True)
         assert test_vols, "empty test split"
         print(f"[score] {len(test_vols)} held-out test volumes", flush=True)
