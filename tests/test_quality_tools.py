@@ -181,3 +181,42 @@ def test_cardiac_phantom_rician_noise():
     assert bg.size and bg.mean() > 0.01
     # noise magnitude is in the sigma ballpark, not wildly off
     assert 0.01 < float(np.abs(noisy - clean).mean()) < 0.1
+
+
+def test_make_textured_dhcp_tree_layout_and_ingest(tmp_path):
+    """The dHCP-shaped fabrication writes the neonatal layout the real
+    loader expects (flat <id>_t2w[_<ds/2>mm].nii.gz + split yaml,
+    config/data_config.py ConfigdHCP) and load_brain_volumes ingests it
+    with the explicit deterministic split (last 3 test, 2 val)."""
+    import os
+
+    import numpy as np
+
+    from superresolution_aniso_mri_tpu.data.datasets import (
+        load_brain_volumes,
+    )
+
+    root = str(tmp_path)
+    rpq.make_textured_dhcp_tree(root, ds=4, n_patients=7, inplane=24,
+                                num_slices=13)
+    d = os.path.join(root, "dHCP_cropped_256")
+    assert os.path.isfile(os.path.join(d, "1000_t2w.nii.gz"))
+    # dHCP LR suffix convention is ds/2 mm (0.5mm native voxels)
+    assert os.path.isfile(os.path.join(d, "1000_t2w_2.0mm.nii.gz"))
+    assert os.path.isfile(os.path.join(d, "train_test_split.yaml"))
+
+    os.environ["SR_DATA_ROOT"] = root
+    try:
+        test = load_brain_volumes("dHCP", 4, split="test",
+                                  include_hr_images=True)
+        train = load_brain_volumes("dHCP", 4, split="training")
+        val = load_brain_volumes("dHCP", 4, split="validation")
+    finally:
+        del os.environ["SR_DATA_ROOT"]
+    assert [v.patient_id for v in test] == ["1004", "1005", "1006"]
+    assert len(val) == 2 and len(train) == 2  # 7 - 3 test - 2 val
+    for v in test:
+        assert v.image.shape == (13, 24, 24)
+        assert v.image_hr is not None and v.image_hr.shape == (13, 24, 24)
+        # LR file is the thick-slice PSF output, not the HR copy
+        assert np.abs(v.image - v.image_hr).max() > 1e-3
