@@ -220,3 +220,17 @@ def test_make_textured_dhcp_tree_layout_and_ingest(tmp_path):
         assert v.image_hr is not None and v.image_hr.shape == (13, 24, 24)
         # LR file is the thick-slice PSF output, not the HR copy
         assert np.abs(v.image - v.image_hr).max() > 1e-3
+
+
+def test_run_child_timeout_clamped_below_epoll_limit(tmp_path):
+    """A caller-computed multi-week budget must not crash
+    subprocess.communicate (epoll's int-ms timeout overflows past
+    ~24.8 days) — run_child clamps it and still runs the child."""
+    import sys
+
+    import tools._subproc as sp
+
+    r = sp.run_child([sys.executable, "-c", "print('ok')"],
+                     str(tmp_path), "clamp-test",
+                     timeout=3_200_000, verbose=False)
+    assert r.returncode == 0 and "ok" in r.stdout

@@ -69,6 +69,13 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
     """
     if log_path:
         open(log_path, "w").close()
+    # epoll takes an int-milliseconds timeout: anything past ~24.8 days
+    # (2^31-1 ms) raises OverflowError inside subprocess.communicate —
+    # a caller computing a generous scaled budget (e.g. a 256^2 dHCP
+    # benchmark's steps x per-step headroom) would crash the harness
+    # instead of running. Clamp to 7 days: still "effectively no limit"
+    # for any legitimate child.
+    timeout = min(timeout, 7 * 86400)
     attempts = 0
     fast_deaths = 0
     while True:

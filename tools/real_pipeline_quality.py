@@ -588,6 +588,12 @@ def main():
                         * max(1.0, args.latent / 64.0))
             budget = (args.train_timeout_s if args.train_timeout_s > 0
                       else max(7200, int(steps * per_step)))
+            # cap the auto-scaled budget: big configs (256^2 x many
+            # steps) multiply out to weeks, which (a) is never a real
+            # training time on the chip and (b) used to overflow
+            # epoll's int-ms timeout inside subprocess before
+            # _subproc clamped it — 48 h is beyond any observed run
+            budget = min(budget, 48 * 3600)
             _run(train_cmd, data_root, "train",
                  log_path=os.path.join(work, "train.log"),
                  timeout=budget,
