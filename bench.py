@@ -34,6 +34,15 @@ def main():
         make_volume_synthesizer,
     )
 
+    # off-TPU (CI / contract tests on a 1-core CPU box) the timings are
+    # meaningless — keep the full JSON contract but cut repetitions so
+    # the run stays minutes, not tens of minutes
+    fast = jax.default_backend() != "tpu"
+    sync_iters = 2 if fast else 8
+    rb_reps = 1 if fast else 3
+    amort_reps, amort_n = (1, 2) if fast else (3, 8)
+    batch_n = 2 if fast else 8
+
     # OASIS ae_combined config (reference README.md:46), evaluated at the
     # OASIS eval patch 220x220.
     cfg = AEConfig(width=64, latent_width=16, depth=32, latent=128,
@@ -66,7 +75,7 @@ def main():
     # synchronous per-call latency: submit one volume, block until the
     # device has finished — the chip-side per-call cost
     sync_times = []
-    for _ in range(8):
+    for _ in range(sync_iters):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         sync_times.append(time.perf_counter() - t0)
@@ -81,7 +90,7 @@ def main():
     # with zero SSIM cost (see bf16_ssim_delta).
     nbytes = int(np.prod(full.shape)) * 4
     rb = []
-    for _ in range(3):
+    for _ in range(rb_reps):
         t0 = time.perf_counter()
         np.asarray(run())
         rb.append(time.perf_counter() - t0)
@@ -92,7 +101,7 @@ def main():
     readback_f32 = max(0.0, float(np.median(rb)) - latency_sync)
     cast16 = jax.jit(lambda v: v.astype(jnp.bfloat16))
     rb16 = []
-    for _ in range(3):
+    for _ in range(rb_reps):
         t0 = time.perf_counter()
         np.asarray(cast16(run()))
         rb16.append(time.perf_counter() - t0)
@@ -105,8 +114,7 @@ def main():
     # excludes the host<->device round-trip latency of a per-call sync
     # (which on a tunneled chip dwarfs the compute) while still bounding
     # true device time from above.
-    reps = 3
-    n = 8
+    reps, n = amort_reps, amort_n
     per_rep = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -126,7 +134,8 @@ def main():
         make_batched_synthesizer,
     )
     bsynth = make_batched_synthesizer(model)
-    vols8 = jnp.asarray(rng.rand(8, num_lr_slices, hw, hw, 1), jnp.float32)
+    vols8 = jnp.asarray(rng.rand(batch_n, num_lr_slices, hw, hw, 1),
+                        jnp.float32)
     out_b = bsynth(params, batch_stats, vols8, alphas)  # compile+warm
     float(jnp.sum(out_b))
     per_rep_b = []
@@ -136,7 +145,7 @@ def main():
         for _ in range(2):
             res = bsynth(params, batch_stats, vols8, alphas)
         float(jnp.sum(res))
-        per_rep_b.append((time.perf_counter() - t0) / 2 / 8)
+        per_rep_b.append((time.perf_counter() - t0) / 2 / batch_n)
     latency_batched = float(np.median(per_rep_b))
 
     # multi-tap serving cost: the lanczos3 latent scheme (the quality-
@@ -151,7 +160,7 @@ def main():
 
     jax.block_until_ready(run_l3())  # compile + warm up
     l3_times = []
-    for _ in range(8):
+    for _ in range(sync_iters):
         t0 = time.perf_counter()
         jax.block_until_ready(run_l3())
         l3_times.append(time.perf_counter() - t0)

@@ -57,13 +57,13 @@ def test_two_process_matches_single_process(tmp_path):
                 "--num_processes", "2", "--process_id", str(pid))),
             cwd=REPO, env=_env(4), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, o[-3000:]
 
     out1 = str(tmp_path / "sp8")
     r = subprocess.run(_train_cmd(out1, "sp"), cwd=REPO, env=_env(8),
-                       capture_output=True, text=True, timeout=900)
+                       capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-3000:]
 
     tr2 = np.load(os.path.join(out2, "mh", "losses_train.npz"))
