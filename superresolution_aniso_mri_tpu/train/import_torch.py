@@ -102,7 +102,9 @@ def _torch_layers(entries: Dict[str, np.ndarray]):
                         f"unsupported nested torch submodule at index "
                         f"{idx} (key {k!r} — not a reference ResBlock)")
                 sub.setdefault(int(parts[1]), {})[parts[2]] = arr
-            res.append((idx, [sub[i] for i in sorted(sub)]))
+            # keep the inner Sequential indices: the exporter
+            # (export_torch.py) needs them to write 'conv.<i>.*' keys
+            res.append((idx, [(i, sub[i]) for i in sorted(sub)]))
         else:
             raise NotImplementedError(
                 f"unsupported torch layer at index {idx} "
@@ -186,7 +188,7 @@ def _map_side(side: str, entries: Dict[str, np.ndarray],
                 f"{side}.{idx} → {name}: torch ResBlock has "
                 f"{len(subconvs)} convs, flax has {len(sub_names)}")
         new_blk = dict(blk)
-        for leaves, sub in zip(subconvs, sub_names):
+        for (_sub_idx, leaves), sub in zip(subconvs, sub_names):
             new_blk[sub] = _conv_entry(side, f"{idx}.{sub}", leaves,
                                        blk[sub])
         new_p[name] = new_blk

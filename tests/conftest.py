@@ -36,6 +36,7 @@ import pytest as _pytest
 _SLOW_FILES = {
     "test_cli.py",              # subprocess trainings + on-chip bench
     "test_import_torch.py",     # converter CLI subprocess
+    "test_export_torch.py",     # exporter CLI subprocess + torch twins
     "test_multihost.py",        # 2-process cluster trainings
     "test_reference_commands.py",  # README-parity subprocess CLIs
     "test_torch_parity.py",     # torch trajectory oracles

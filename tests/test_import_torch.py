@@ -18,83 +18,26 @@ from superresolution_aniso_mri_tpu.train import Trainer  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-class _TorchResBlock(tnn.Module):
-    """Twin of the reference ResBlock (networks/acai_vanilla.py:20-35):
-    Sequential(ReLU, Conv3x3->channel, ReLU, Conv1x1->in_channel) under
-    attribute 'conv', residual add."""
-
-    def __init__(self, in_channel, channel=128):
-        super().__init__()
-        self.conv = tnn.Sequential(
-            tnn.ReLU(inplace=True),
-            tnn.Conv2d(in_channel, channel, 3, padding=1),
-            tnn.ReLU(inplace=True),
-            tnn.Conv2d(channel, in_channel, 1),
-        )
-
-    def forward(self, x):
-        return x + self.conv(x)
-
-
 def _torch_vanilla_acai(width=32, latent_width=16, depth=8, latent=8,
                         colors=1, use_batchnorm=True, seed=0,
                         n_res_block=None, stem_padding=0):
-    """Torch twin of models/acai.py VanillaACAI (same layer recipe the
-    reference's Encoder/Decoder generators emit). ``stem_padding=0`` is
-    the framework's shape-exact VALID 1x1 stem; ``stem_padding=1`` is
-    the TRUE reference geometry (acai_vanilla.py:51 pads the 1x1 stem,
-    growing H/W by 2 before the pools floor it back) — paired with
+    """Torch twin of models/acai.py VanillaACAI — now the shared
+    builder in train/export_torch.py (the exporter needs the identical
+    reference Sequential recipe); this wrapper keeps the tests' seeded
+    conv init and non-trivial BN running stats so eval-mode parity
+    exercises them. ``stem_padding=1`` is the TRUE reference geometry
+    (acai_vanilla.py:51 pads the 1x1 stem) — paired with
     stem_pad_parity on the flax side."""
-    import math
-    scales = int(round(math.log2(width // latent_width)))
+    from superresolution_aniso_mri_tpu.train.export_torch import (
+        build_reference_twin,
+    )
+
     torch.manual_seed(seed)
-
-    enc = [tnn.Conv2d(colors, depth, 1, padding=stem_padding)]
-    kp = depth
-    for s in range(scales):
-        k = depth << s
-        enc += [tnn.Conv2d(kp, k, 3, padding=1), tnn.LeakyReLU(0.01),
-                tnn.Conv2d(k, k, 3, padding=1), tnn.LeakyReLU(0.01)]
-        if use_batchnorm:
-            enc += [tnn.BatchNorm2d(k)]
-        enc += [tnn.AvgPool2d(2)]
-        kp = k
-    if n_res_block:
-        # reference placement: after the pool loop, before head convs
-        enc += [_TorchResBlock(kp) for _ in range(n_res_block)]
-        enc += [tnn.ReLU(inplace=True)]
-    k = depth << scales
-    enc += [tnn.Conv2d(kp, k, 3, padding=1), tnn.LeakyReLU(0.01),
-            tnn.Conv2d(k, latent, 3, padding=1)]
-
-    dec = []
-    if n_res_block:
-        # reference placement: res blocks FIRST in the decoder
-        dec += [_TorchResBlock(latent) for _ in range(n_res_block)]
-        dec += [tnn.ReLU(inplace=True)]
-    kp = latent
-    for s in range(scales - 1, -1, -1):
-        k = depth << s
-        dec += [tnn.Conv2d(kp, k, 3, padding=1), tnn.LeakyReLU(0.01),
-                tnn.Conv2d(k, k, 3, padding=1), tnn.LeakyReLU(0.01)]
-        if use_batchnorm:
-            dec += [tnn.BatchNorm2d(k)]
-        dec += [tnn.Upsample(scale_factor=2)]
-        kp = k
-    dec += [tnn.Conv2d(kp, depth, 3, padding=1), tnn.LeakyReLU(0.01),
-            tnn.Conv2d(depth, colors, 3, padding=1), tnn.Sigmoid()]
-
-    class AE(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.enc = tnn.Sequential(*enc)
-            self.dec = tnn.Sequential(*dec)
-
-        def forward(self, x):
-            return self.dec(self.enc(x))
-
-    model = AE()
-    # non-trivial BN running stats so eval-mode parity exercises them
+    model = build_reference_twin(width, latent_width, depth, latent,
+                                 colors=colors,
+                                 use_batchnorm=use_batchnorm,
+                                 n_res_block=n_res_block,
+                                 stem_padding=stem_padding)
     with torch.no_grad():
         for m in model.modules():
             if isinstance(m, tnn.BatchNorm2d):
