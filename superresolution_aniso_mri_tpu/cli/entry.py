@@ -100,6 +100,8 @@ def generate_hr_volumes(argv=None):
     num_interpolations slices between every adjacent pair (originals
     kept verbatim), z-spacing divided by (n+1)."""
     from ..train import get_trainer
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     parser = argparse.ArgumentParser(
         description="Synthesize in-between slices for anisotropic volumes")
@@ -316,6 +318,9 @@ def serve_hr_volumes(argv=None):
     import signal
     import time
 
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     from ..train import get_trainer
 
     parser = argparse.ArgumentParser(
@@ -392,8 +397,11 @@ def serve_hr_volumes(argv=None):
     if args.synth_timeout_s > 0:
         from ..utils.watchdog import StepWatchdog
 
-        watchdog = StepWatchdog(args.synth_timeout_s,
-                                label="serve").start()
+        # the first served volume pays the XLA compile; widen only the
+        # pre-first-beat window (compile cache makes restarts cheap)
+        watchdog = StepWatchdog(
+            args.synth_timeout_s, label="serve",
+            first_timeout_s=max(args.synth_timeout_s, 600.0)).start()
         watchdog.pause()
     print(f"serving {watch} → {args.output_dir} "
           f"(n={args.num_interpolations}, model={args.model_nbr})",
@@ -463,6 +471,8 @@ def find_best_model(argv=None):
     from ..config.settings import load_settings
     from ..data.datasets import get_datasets
     from ..evaluate import find_best_val_model
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     parser = argparse.ArgumentParser(description="Find best val model")
     parser.add_argument("--exper_dir", type=str, required=True)
@@ -513,6 +523,8 @@ def fit_latent_taps(argv=None):
     from ..infer.latent_taps import fit_latent_taps as _fit
     from ..infer.latent_taps import save_latent_taps
     from ..train import get_trainer
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     parser = argparse.ArgumentParser(
         description="Fit learned latent tap weights on the val split")

@@ -143,6 +143,11 @@ def _generate_volume_previews(trainer, val_vols, merged: Dict,
 
 
 def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
+    # persistent XLA compile cache: restarts (--auto_resume under a
+    # supervisor) reload compiled programs instead of re-paying
+    # minutes of tunneled compilation (utils/compile_cache.py)
+    from ..utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     # multi-host: join the JAX distributed cluster BEFORE any device
     # query (no-op unless --coordinator_address/--num_processes or the
     # SR_* env names more than one process; parallel/distributed.py)
@@ -257,12 +262,16 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     if timeout_s > 0:
         from ..utils.watchdog import StepWatchdog
 
-        if timeout_s < 180 and verbose:
-            print(f"WARNING: --step_timeout_s {timeout_s:.0f} is below "
-                  f"the first-compile worst case (~180 s) — risk of "
-                  f"false stall fires")
+        # the FIRST step carries every program compile (168 s measured
+        # for a 256² train step through the tunnel; the persistent
+        # compile cache makes restarts cheap but the first-ever run of
+        # a config still pays it) — widen only the pre-first-beat
+        # window so steady-state stall detection stays sharp
+        first_s = max(timeout_s,
+                      float(merged.get("first_step_timeout_s") or 600.0))
         watchdog = StepWatchdog(timeout_s, label=str(
-            merged.get("exper_id") or "train")).start()
+            merged.get("exper_id") or "train"),
+            first_timeout_s=first_s).start()
 
     def _beat():
         if watchdog is not None:

@@ -104,9 +104,11 @@ def parse_args(argv=None):
                              "completes for this many seconds — a hung "
                              "device backend never raises, it just "
                              "blocks forever; pair with --auto_resume "
-                             "under a supervisor loop (0 disables; "
-                             "values below 180 s risk false fires on "
-                             "first-compile)")
+                             "under a supervisor loop (0 disables)")
+    parser.add_argument("--first_step_timeout_s", type=float, default=0,
+                        help="watchdog window before the FIRST completed "
+                             "step (covers XLA compilation of every "
+                             "program; 0 = max(step_timeout_s, 600))")
     parser.add_argument("--volume_preview_interval", type=int, default=1,
                         help="epochs between synthesized-volume previews "
                              "(0 disables)")

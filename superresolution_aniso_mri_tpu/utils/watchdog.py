@@ -67,18 +67,34 @@ class StepWatchdog:
     the watchdog is armed, ``on_stall(elapsed_s, beats, label)`` runs
     (default: diagnostic + ``os._exit(75)``). ``suspended()`` disarms it
     around host-only phases (checkpoint IO, metric dumps) whose duration
-    is unrelated to device health. The first armed window starts at
-    ``start()``/``resume()`` — size ``timeout_s`` to cover worst-case
-    compilation (tunnelled first-compiles run 20-40 s per program shape,
-    so >= 180 s is a sane floor; the CLI warns below that).
+    is unrelated to device health.
+
+    Until the FIRST beat, the window is ``first_timeout_s`` (default
+    ``timeout_s``): the first step of a process carries every program
+    compilation (a 256² train step measured 168 s through the tunneled
+    backend, and several programs compile before the first result is
+    read), so sizing the steady-state window for compiles would blunt
+    stall detection — and sizing it for steps kills healthy processes
+    during warm-up, a restart LOOP when the supervisor's --auto_resume
+    child pays the same compiles again. The persistent compile cache
+    (utils/compile_cache.py) makes restarts cheap, but the first-ever
+    run of a config still needs the grace window.
     """
 
     def __init__(self, timeout_s: float,
                  on_stall: Optional[Callable[[float, int, str], None]] = None,
-                 poll_s: float = 2.0, label: str = ""):
+                 poll_s: float = 2.0, label: str = "",
+                 first_timeout_s: Optional[float] = None):
         if timeout_s <= 0:
             raise ValueError(f"timeout_s must be > 0, got {timeout_s}")
         self.timeout_s = float(timeout_s)
+        self.first_timeout_s = (float(first_timeout_s)
+                                if first_timeout_s else self.timeout_s)
+        if self.first_timeout_s < self.timeout_s:
+            raise ValueError(
+                f"first_timeout_s ({self.first_timeout_s}) must be >= "
+                f"timeout_s ({self.timeout_s}) — the warm-up window can "
+                f"only be more lenient")
         self.poll_s = min(float(poll_s), self.timeout_s / 2.0)
         self.label = label
         self._on_stall = on_stall or _default_on_stall
@@ -142,7 +158,8 @@ class StepWatchdog:
                 armed = self._armed
                 elapsed = time.monotonic() - self._last_beat
                 beats = self._beats
-            if armed and elapsed > self.timeout_s and not self._fired:
+            window = self.timeout_s if beats else self.first_timeout_s
+            if armed and elapsed > window and not self._fired:
                 self._fired = True
                 self._on_stall(elapsed, beats, self.label)
                 return

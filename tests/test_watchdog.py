@@ -3,6 +3,7 @@
 The real on_stall path calls os._exit(75) — tests inject a recording
 callback instead and drive the timing with short windows.
 """
+import os
 import time
 
 import pytest
@@ -189,6 +190,65 @@ def test_run_child_stall_restarts(tmp_path, monkeypatch):
         _subproc.run_child(child_err, str(tmp_path), "t", timeout=60,
                            force_cpu=True, verbose=False, stall_restarts=5)
     assert marker.read_text() == "1"
+
+
+def test_first_beat_window_is_wider():
+    """Until the first beat the (wider) first_timeout_s window applies —
+    the first step carries every XLA compile; sizing the steady-state
+    window for compiles would blunt stall detection."""
+    fired = []
+    wd = StepWatchdog(
+        timeout_s=0.3, first_timeout_s=1.2,
+        on_stall=lambda el, beats, label: fired.append((el, beats, label)),
+        poll_s=0.05, label="t").start()
+    try:
+        time.sleep(0.7)        # past timeout_s, inside first window
+        assert fired == []
+        time.sleep(1.0)        # past the first window — genuine stall
+        assert len(fired) == 1 and fired[0][1] == 0
+    finally:
+        wd.stop()
+
+
+def test_steady_window_applies_after_first_beat():
+    fired = []
+    wd = StepWatchdog(
+        timeout_s=0.3, first_timeout_s=10.0,
+        on_stall=lambda el, beats, label: fired.append(el),
+        poll_s=0.05, label="t").start()
+    try:
+        wd.beat()              # compile done — steady window from here
+        time.sleep(0.8)
+        assert len(fired) == 1 and fired[0] < 10.0
+    finally:
+        wd.stop()
+
+
+def test_first_timeout_must_not_be_tighter():
+    with pytest.raises(ValueError):
+        StepWatchdog(timeout_s=5.0, first_timeout_s=1.0)
+
+
+def test_compile_cache_env_and_idempotence(tmp_path, monkeypatch):
+    """utils/compile_cache.py: SR_COMPILE_CACHE=off disables; a path
+    enables and points jax at it; the second call is a no-op returning
+    the first directory."""
+    from superresolution_aniso_mri_tpu.utils import compile_cache as cc
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.setenv("SR_COMPILE_CACHE", "off")
+    assert cc.enable_persistent_compile_cache() is None
+
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    d = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("SR_COMPILE_CACHE", d)
+    got = cc.enable_persistent_compile_cache()
+    assert got == d and os.path.isdir(d)
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == d
+    # idempotent: a later call (other CLI module) keeps the first dir
+    assert cc.enable_persistent_compile_cache(str(tmp_path / "other")) == d
 
 
 def test_pause_covers_peer_serial_window_and_beat_rearms():
