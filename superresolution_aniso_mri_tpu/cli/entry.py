@@ -442,6 +442,13 @@ def serve_hr_volumes(argv=None):
             finally:
                 if watchdog is not None:
                     watchdog.pause()
+            if watchdog is not None:
+                # beat on success only: the first COMPLETED volume has
+                # paid the XLA compile, so later volumes get the sharp
+                # steady-state window instead of first_timeout_s (a
+                # host-side failure before the first compile must not
+                # narrow the warm-up window)
+                watchdog.beat()
             dt = time.perf_counter() - t0
             processed[path] = sig
             pending.pop(path, None)

@@ -41,7 +41,10 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None,
     if _enabled_dir is not None:
         return _enabled_dir
     env = os.environ.get("SR_COMPILE_CACHE")
-    if env is not None and env.strip().lower() in _DISABLE:
+    # empty counts as disabled (documented contract: "off/0/empty") —
+    # `SR_COMPILE_CACHE= python ...` must bypass the cache, not fall
+    # through to the default directory
+    if env is not None and env.strip().lower() in _DISABLE + ("",):
         return None
     path = cache_dir or env or os.path.join(
         os.path.expanduser("~"), ".cache", "sr_aniso_tpu", "xla")

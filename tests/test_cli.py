@@ -216,6 +216,48 @@ def test_serve_hr_volumes_arg_guards(tmp_path):
                           "--watch_dir", d, "--output_dir", d])
 
 
+def test_serve_watchdog_beats_per_served_volume(trained_exper, tmp_path,
+                                                monkeypatch):
+    """The serve watchdog must beat() after each COMPLETED volume: the
+    first served volume pays the XLA compile under the wide
+    first_timeout_s window, and every later volume must be covered by
+    the sharp steady-state synth_timeout_s window (it used to never
+    beat, leaving the daemon on the 600s warm-up window forever)."""
+    from superresolution_aniso_mri_tpu.cli import entry
+    from superresolution_aniso_mri_tpu.data import make_toy_dataset
+    from superresolution_aniso_mri_tpu.utils import watchdog as wd_mod
+    from superresolution_aniso_mri_tpu.utils import write_nifti
+
+    made = []
+
+    class RecordingWatchdog(wd_mod.StepWatchdog):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            made.append(self)
+
+    monkeypatch.setattr(wd_mod, "StepWatchdog", RecordingWatchdog)
+
+    watch = str(tmp_path / "watch")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(watch)
+    vols = make_toy_dataset(2, 32, 7, seed=21)
+    for i, v in enumerate(vols):
+        write_nifti(os.path.join(watch, f"v{i}.nii.gz"), v.image,
+                    spacing=np.array([6.0, 1.0, 1.0]))
+
+    served = entry.serve_hr_volumes([
+        "--exper_dir", trained_exper, "--model_nbr", "0",
+        "--watch_dir", watch, "--output_dir", out_dir,
+        "--num_interpolations", "1", "--once",
+        "--synth_timeout_s", "600"])
+    assert served == 2
+    assert len(made) == 1
+    wd = made[0]
+    assert wd._beats == 2        # one beat per completed volume
+    assert wd.first_timeout_s >= 600.0
+    assert not wd._armed         # paused between volumes / at exit
+
+
 def test_label_companion_helpers(tmp_path):
     """Review fixes: a '<stem>_gt' file is only treated as a label
     companion when its image sibling exists (a directory of volumes that

@@ -234,3 +234,34 @@ def test_run_child_timeout_clamped_below_epoll_limit(tmp_path):
                      str(tmp_path), "clamp-test",
                      timeout=3_200_000, verbose=False)
     assert r.returncode == 0 and "ok" in r.stdout
+
+
+def test_compute_train_budget_explicit_wins_over_cap():
+    """An explicit --train_timeout_s is the user's hard wall-clock and
+    must NOT be clamped by the 48h auto-budget cap; the cap applies to
+    the auto-scaled value only."""
+    ns = _ns(train_timeout_s=72 * 3600, epochs=300, inplane=256)
+    assert rpq.compute_train_budget(ns, steps=10_000) == 72 * 3600
+    # auto path: floor 2h, 4s/step base, capped at 48h
+    ns = _ns(train_timeout_s=0, inplane=64, depth=24, latent=64)
+    assert rpq.compute_train_budget(ns, steps=10) == 7200
+    assert rpq.compute_train_budget(ns, steps=3600) == 3600 * 4
+    ns_big = _ns(train_timeout_s=0, inplane=256, depth=24, latent=64)
+    # 256^2 scales per-step 16x: 100k steps would be weeks -> capped
+    assert rpq.compute_train_budget(ns_big, steps=100_000) == 48 * 3600
+
+
+def test_n_patients_guard_covers_all_shapes(monkeypatch):
+    """Every fabricated tree reserves 3 test + 2 val patients; fewer
+    than 7 must fail fast for dHCP/OASIS too (it used to die minutes
+    later inside the train child with an empty training split)."""
+    import sys
+
+    import pytest
+
+    for shape in ("dHCP", "OASIS", "ACDC"):
+        monkeypatch.setattr(sys, "argv", [
+            "real_pipeline_quality.py", "--dataset_shape", shape,
+            "--n_patients", "5"])
+        with pytest.raises(SystemExit, match=">= 7 patients"):
+            rpq.main()

@@ -239,6 +239,12 @@ def test_compile_cache_env_and_idempotence(tmp_path, monkeypatch):
     monkeypatch.setenv("SR_COMPILE_CACHE", "off")
     assert cc.enable_persistent_compile_cache() is None
 
+    # empty means disabled too (documented: "off/0/empty") — it must
+    # not fall through to the default directory
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+    monkeypatch.setenv("SR_COMPILE_CACHE", "")
+    assert cc.enable_persistent_compile_cache() is None
+
     monkeypatch.setattr(cc, "_enabled_dir", None)
     d = str(tmp_path / "xla_cache")
     monkeypatch.setenv("SR_COMPILE_CACHE", d)

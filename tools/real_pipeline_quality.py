@@ -179,6 +179,29 @@ sys.path.insert(0, os.path.join(REPO, "tools"))  # also under `import tools.*`
 from _subproc import run_child as _run  # noqa: E402  (shared helper)
 
 
+def compute_train_budget(args, steps: int) -> float:
+    """Wall-clock budget for the training child.
+
+    An explicit ``--train_timeout_s`` is the user's hard wall and wins
+    unmodified. Otherwise scale from steps: long CPU benchmark runs
+    legitimately exceed run_child's 2 h default (300 ep / 12 patients
+    ≈ 85 min single-core). The 4 s/step base was calibrated at
+    inplane=64 / depth=24 / latent=64 (~0.94 s/step measured, 4x
+    headroom); larger configs cost more PER STEP, so scale with the
+    dominant factors. The 48 h cap applies to the AUTO budget only:
+    big configs (256² x many steps) multiply out to weeks, which is
+    never a real training time on the chip (and used to overflow
+    epoll's int-ms timeout inside subprocess before _subproc clamped
+    it).
+    """
+    if args.train_timeout_s > 0:
+        return args.train_timeout_s
+    per_step = (4.0 * (args.inplane / 64.0) ** 2
+                * max(1.0, args.depth / 24.0)
+                * max(1.0, args.latent / 64.0))
+    return min(max(7200, int(steps * per_step)), 48 * 3600)
+
+
 def apply_reuse_overrides(kept: dict, args) -> list:
     """--reuse provenance: take flags that the kept experiment's
     settings.yaml records authoritatively (training config) from it,
@@ -492,9 +515,14 @@ def main():
         raise SystemExit("--dataset_shape ACDC requires "
                          f"--downsample_steps 2, got {ds} (the cardiac "
                          "pipeline trains/evaluates at gap 2)")
-    if cardiac and args.n_patients < 7:
-        raise SystemExit("--dataset_shape ACDC needs >= 7 patients "
-                         "(split reserves 3 test + 2 val)")
+    if args.n_patients < 7:
+        # every fabricated tree reserves 3 test + 2 val patients
+        # (ACDC via its own split; OASIS/dHCP via pids[:-5]/[-5:-3]/
+        # [-3:]) — fewer than 7 leaves an empty/degenerate training
+        # split that only fails minutes later inside the train child
+        raise SystemExit(f"--dataset_shape {args.dataset_shape} needs "
+                         ">= 7 patients (split reserves 3 test + 2 "
+                         f"val), got {args.n_patients}")
     if args.phantom_noise > 0 and not cardiac:
         raise SystemExit("--phantom_noise is implemented for the "
                          "cardiac phantom only (--dataset_shape ACDC) "
@@ -571,32 +599,14 @@ def main():
         ]
         if not args.reuse:
             print("[train] " + " ".join(train_cmd), flush=True)
-            # long CPU benchmark runs legitimately exceed run_child's 2 h
-            # default (300 ep / 12 patients ≈ 85 min single-core; scale
-            # linearly with steps and leave 4x headroom, floor 2 h)
             steps = args.epochs * max(1, (args.n_patients
                                           * args.num_slices
                                           * (args.num_frames if cardiac
                                              else 1))
                                       // args.batch_size)
-            # the 4 s/step budget was calibrated at inplane=64 /
-            # depth=24 / latent=64 (~0.94 s/step measured, 4x headroom);
-            # larger configs cost more PER STEP, so scale the budget with
-            # the dominant factors instead of killing legitimate runs
-            per_step = (4.0 * (args.inplane / 64.0) ** 2
-                        * max(1.0, args.depth / 24.0)
-                        * max(1.0, args.latent / 64.0))
-            budget = (args.train_timeout_s if args.train_timeout_s > 0
-                      else max(7200, int(steps * per_step)))
-            # cap the auto-scaled budget: big configs (256^2 x many
-            # steps) multiply out to weeks, which (a) is never a real
-            # training time on the chip and (b) used to overflow
-            # epoll's int-ms timeout inside subprocess before
-            # _subproc clamped it — 48 h is beyond any observed run
-            budget = min(budget, 48 * 3600)
             _run(train_cmd, data_root, "train",
                  log_path=os.path.join(work, "train.log"),
-                 timeout=budget,
+                 timeout=compute_train_budget(args, steps),
                  stall_restarts=10 if args.step_timeout_s > 0 else 0)
         exper = os.path.join(exper_root, "rpq")
 
