@@ -265,3 +265,20 @@ def test_n_patients_guard_covers_all_shapes(monkeypatch):
             "--n_patients", "5"])
         with pytest.raises(SystemExit, match=">= 7 patients"):
             rpq.main()
+
+
+def test_step_watchdog_armed_by_default():
+    """The production-benchmark tool must survive a wedged tunneled
+    device by default (a real 450-epoch run hung forever on device
+    acquisition with the old default=0): --step_timeout_s defaults
+    armed, which both threads --step_timeout_s/--auto_resume into the
+    train child and enables the exit-75 stall-restart loop; 0 still
+    disarms explicitly."""
+    p = rpq.build_parser()
+    args = p.parse_args([])
+    assert args.step_timeout_s > 0
+    # the pre-first-beat window in the train CLI is max(step, 600) —
+    # keep the default below that so compilation is never the thing
+    # the steady-state window measures
+    assert args.step_timeout_s <= 600
+    assert p.parse_args(["--step_timeout_s", "0"]).step_timeout_s == 0

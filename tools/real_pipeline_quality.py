@@ -314,7 +314,7 @@ def make_extra_test_volumes_acdc(n: int, inplane: int, num_slices: int,
     return vols
 
 
-def main():
+def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--sweep_last", type=int, default=30,
@@ -446,12 +446,16 @@ def main():
                         "'sweep'/'ema' force one — e.g. --reuse an "
                         "EMA-trained run with --score sweep to compare "
                         "both from a single training")
-    p.add_argument("--step_timeout_s", type=float, default=0,
+    p.add_argument("--step_timeout_s", type=float, default=300,
                    help="per-step watchdog for the training child (the "
                         "tunneled TPU backend can wedge forever, "
                         "utils/watchdog.py): the child exits 75 on a "
                         "stall and is restarted with --auto_resume from "
-                        "the rolling checkpoint, up to 10 times")
+                        "the rolling checkpoint, up to 10 times. ON by "
+                        "default (300 s steady-state; the pre-first-"
+                        "beat window stays >= 600 s for compilation) — "
+                        "a benchmark run must survive a device wedge, "
+                        "not hang on it; 0 disarms")
     p.add_argument("--train_timeout_s", type=float, default=0,
                    help="hard wall-clock budget for the training child "
                         "(0 = auto: 4 s/step at the inplane=64 default, "
@@ -470,7 +474,11 @@ def main():
                         "fabrication and training, re-run the sweep and "
                         "scoring only — e.g. to score the same trained "
                         "model with --tta or a different checkpoint")
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
 
     if args.downsample_steps is None:
         # per-shape reference defaults: ACDC trains/evaluates at gap 2,
