@@ -282,3 +282,61 @@ def test_step_watchdog_armed_by_default():
     # the steady-state window measures
     assert args.step_timeout_s <= 600
     assert p.parse_args(["--step_timeout_s", "0"]).step_timeout_s == 0
+
+
+def test_run_child_budget_caps_across_stall_restarts(tmp_path):
+    """The timeout is an OVERALL wall-clock budget: a repeatedly
+    wedging child (exit 75 each attempt) must exhaust it after a
+    couple of attempts, not get the full budget per attempt (round-3
+    advisor finding: 11 attempts x full budget = ~11x overrun)."""
+    import sys
+    import time
+
+    import pytest
+
+    import tools._subproc as sp
+
+    t0 = time.time()
+    with pytest.raises(SystemExit, match="budget exhausted"):
+        sp.run_child(
+            [sys.executable, "-c",
+             "import sys, time; time.sleep(1.0); sys.exit(75)"],
+            str(tmp_path), "budget-test", timeout=4.0,
+            stall_restarts=10, min_stall_uptime_s=0.5, verbose=False)
+    # 1 attempt (~1s) + 5s inter-restart sleep exceeds the 4s budget
+    # before a second attempt launches; without the fix this loop would
+    # run all 11 attempts (~66s)
+    assert time.time() - t0 < 30
+
+
+def test_extend_requires_reuse():
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/real_pipeline_quality.py", "--extend"],
+        capture_output=True, text=True, cwd=rpq.REPO)
+    assert r.returncode != 0
+    assert "--extend requires --reuse" in (r.stderr + r.stdout)
+
+
+def test_reuse_overrides_loss_mode_and_batchnorm():
+    """--extend resumes the kept checkpoint: the training child must
+    inherit the recorded loss mode (two settings keys) and the BN flag
+    (parameter-tree shape) or the resumed run silently diverges."""
+    ns = _ns(loss_mode="mse", use_batchnorm=None)
+    msgs = rpq.apply_reuse_overrides(
+        {"image_mix_loss_func": "perceptual", "use_batchnorm": True}, ns)
+    assert ns.loss_mode == "perceptual" and ns.use_batchnorm == 1
+    assert "loss_mode=perceptual" in msgs and "use_batchnorm=1" in msgs
+
+    ns = _ns(loss_mode="perceptual", use_batchnorm=1)
+    rpq.apply_reuse_overrides(
+        {"image_mix_loss_func": "mse", "use_ssim_loss": True,
+         "use_batchnorm": False}, ns)
+    assert ns.loss_mode == "mse+ssim" and ns.use_batchnorm == 0
+
+    # matching values -> no messages
+    ns = _ns(loss_mode="mse", use_batchnorm=1)
+    assert rpq.apply_reuse_overrides(
+        {"image_mix_loss_func": "mse", "use_batchnorm": True}, ns) == []

@@ -76,10 +76,21 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
     # instead of running. Clamp to 7 days: still "effectively no limit"
     # for any legitimate child.
     timeout = min(timeout, 7 * 86400)
+    # ``timeout`` is an OVERALL wall-clock cap for this run_child call:
+    # stall restarts deduct the time already burned, so up to 11
+    # attempts of a repeatedly wedging backend can't stretch a run to
+    # 11x the intended budget (round-3 advisor finding).
+    deadline = time.time() + timeout
     attempts = 0
     fast_deaths = 0
     while True:
-        r = _run_once(cmd, data_root, what, log_path, timeout, force_cpu)
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            raise SystemExit(
+                f"TIMEOUT [{what}]: overall {timeout:.0f}s budget "
+                f"exhausted across {attempts + 1} attempt(s): "
+                f"{' '.join(cmd)}")
+        r = _run_once(cmd, data_root, what, log_path, remaining, force_cpu)
         if r.returncode == STALL_EXIT_CODE and attempts < stall_restarts:
             fast_deaths = (fast_deaths + 1
                            if r.elapsed_s < min_stall_uptime_s else 0)

@@ -228,6 +228,21 @@ def apply_reuse_overrides(kept: dict, args) -> list:
         if val != getattr(args, flag):
             overrides.append(f"{flag}={val}")
             setattr(args, flag, val)
+    # loss_mode is recorded as two settings keys; use_batchnorm changes
+    # the parameter tree shape, so a resumed (--extend) training child
+    # MUST inherit both or checkpoint load / loss selection diverge
+    mix = kept.get("image_mix_loss_func")
+    if mix is not None:
+        mode = ("perceptual" if mix == "perceptual"
+                else "mse+ssim" if kept.get("use_ssim_loss") else "mse")
+        if mode != args.loss_mode:
+            overrides.append(f"loss_mode={mode}")
+            args.loss_mode = mode
+    if kept.get("use_batchnorm") is not None:
+        bn = int(bool(kept["use_batchnorm"]))
+        if bn != args.use_batchnorm:
+            overrides.append(f"use_batchnorm={bn}")
+            args.use_batchnorm = bn
     return overrides
 
 
@@ -474,12 +489,22 @@ def build_parser():
                         "fabrication and training, re-run the sweep and "
                         "scoring only — e.g. to score the same trained "
                         "model with --tta or a different checkpoint")
+    p.add_argument("--extend", action="store_true",
+                   help="with --reuse: CONTINUE training the kept "
+                        "experiment to this invocation's --epochs "
+                        "(auto-resumes from the rolling checkpoint, "
+                        "keeping the kept run's recorded config), then "
+                        "sweep+score as usual — e.g. grow a "
+                        "budget-truncated 120-epoch run to 450")
     return p
 
 
 def main():
     args = build_parser().parse_args()
 
+    if args.extend and not args.reuse:
+        raise SystemExit("--extend requires --reuse (it continues a "
+                         "kept experiment's training)")
     if args.downsample_steps is None:
         # per-shape reference defaults: ACDC trains/evaluates at gap 2,
         # dHCP's headline is 4x (2.0mm -> 0.5mm, README.md:31), OASIS
@@ -538,8 +563,8 @@ def main():
                          "noiseless benchmark")
     try:
         if args.reuse:
-            print(f"[reuse] kept work dir {work} — skipping "
-                  f"fabrication/training", flush=True)
+            print(f"[reuse] kept work dir {work} — skipping fabrication"
+                  + ("" if args.extend else "/training"), flush=True)
         elif cardiac:
             print(f"[fabricate] {args.n_patients} cardiac 4D cine "
                   f"phantoms ({args.num_frames}x{args.num_slices}x"
@@ -605,7 +630,12 @@ def main():
               if args.lr_schedule else []),
             "-o", exper_root, "-id", "rpq",
         ]
-        if not args.reuse:
+        if args.extend and "--auto_resume" not in train_cmd:
+            # --auto_resume normally rides in with --step_timeout_s>0;
+            # an extension run needs it unconditionally to pick up the
+            # kept rolling checkpoint instead of reinitializing
+            train_cmd += ["--auto_resume"]
+        if not args.reuse or args.extend:
             print("[train] " + " ".join(train_cmd), flush=True)
             steps = args.epochs * max(1, (args.n_patients
                                           * args.num_slices
