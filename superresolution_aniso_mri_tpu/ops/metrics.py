@@ -136,6 +136,76 @@ def ssim_volume(ref: Array, dist: Array, data_range: float = 1.0,
     return jax.vmap(lambda a, b: ssim2d(a, b, data_range, win_size))(ref, dist)
 
 
+def _ssim_cs2d(im1: Array, im2: Array, data_range: float,
+               win_size: int):
+    """Mean (luminance*cs, cs) maps for one scale of MS-SSIM."""
+    im1 = im1.astype(jnp.float32)
+    im2 = im2.astype(jnp.float32)
+    k = jnp.full((win_size,), 1.0 / win_size, jnp.float32)
+    f = lambda x: _sep_filter2d_valid(x, k)
+    ux, uy = f(im1), f(im2)
+    uxx, uyy, uxy = f(im1 * im1), f(im2 * im2), f(im1 * im2)
+    np_ = win_size * win_size
+    cov_norm = np_ / (np_ - 1.0)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    cs = (2.0 * vxy + c2) / (vx + vy + c2)
+    lum = (2.0 * ux * uy + c1) / (ux * ux + uy * uy + c1)
+    return jnp.mean(lum * cs), jnp.mean(cs)
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@partial(jax.jit, static_argnames=("win_size", "levels"))
+def msssim2d(im1: Array, im2: Array, data_range: float = 1.0,
+             win_size: int = 7, levels: int = 5) -> Array:
+    """Multi-scale SSIM (Wang et al. 2003) for one 2-D image pair.
+
+    Standard 5-level weights (renormalised when ``levels`` < 5 so
+    small inputs — e.g. 64^2 training slices, which only support 3
+    dyadic scales with a 7-pixel window — stay a proper weighted
+    geometric mean). Contrast-structure term at every scale, the full
+    luminance-weighted SSIM at the coarsest; 2x2 average-pool between
+    scales. Static level count so the whole pyramid is one XLA program.
+    """
+    min_side = min(im1.shape[0], im1.shape[1]) // (2 ** (levels - 1))
+    if min_side < win_size:
+        raise ValueError(
+            f"msssim2d: {im1.shape[0]}x{im1.shape[1]} input supports at "
+            f"most {max(1, int(np.log2(min(im1.shape[:2]) / win_size)) + 1)} "
+            f"dyadic levels with win_size={win_size}, got levels={levels} "
+            f"(coarsest scale {min_side} < window)")
+    w = np.asarray(_MSSSIM_WEIGHTS[:levels], np.float32)
+    w = w / w.sum()
+    val = jnp.float32(1.0)
+    for lv in range(levels):
+        s, cs = _ssim_cs2d(im1, im2, data_range, win_size)
+        term = s if lv == levels - 1 else cs
+        # negative cs can occur on synthetic edges; clamp like the
+        # common (tf.image.ssim_multiscale) implementation
+        val = val * jnp.maximum(term, 0.0) ** w[lv]
+        if lv != levels - 1:
+            h = (im1.shape[0] // 2) * 2
+            ww = (im1.shape[1] // 2) * 2
+            pool = lambda x: (x[:h:2, :ww:2] + x[1:h:2, :ww:2]
+                              + x[:h:2, 1:ww:2] + x[1:h:2, 1:ww:2]) / 4.0
+            im1, im2 = pool(im1), pool(im2)
+    return val
+
+
+@partial(jax.jit, static_argnames=("win_size", "levels"))
+def msssim_volume(ref: Array, dist: Array, data_range: float = 1.0,
+                  win_size: int = 7, levels: int = 5) -> Array:
+    """Per-slice MS-SSIM over a [S, H, W] volume → [S] vector."""
+    return jax.vmap(
+        lambda a, b: msssim2d(a, b, data_range, win_size, levels)
+    )(ref, dist)
+
+
 # ---------------------------------------------------------------------------
 # PSNR
 # ---------------------------------------------------------------------------

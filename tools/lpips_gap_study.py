@@ -1,0 +1,241 @@
+"""Bound the fallback-LPIPS gap with a controlled distortion study.
+
+The environment has no pretrained VGG16, so every "perceptual" run uses
+``lin_converted_vgg_random`` — the reference's learned lin weights
+(converted from lpips/weights/v0.1/vgg.pth) applied over a
+deterministically random-initialised VGG16 feature stack
+(ops/lpips.py docstring; reference: lpips/dist_model.py:19-108).
+This tool converts the "usable perceptual signal, NOT true LPIPS"
+claim into a measurement: over a suite of graded MRI-typical
+distortions (blur, Gaussian/Rician noise, ghosting, through-plane
+down-up interpolation artifacts, gamma, bias field) it rank-correlates
+the fallback's distances against reference-grade full-reference
+perceptual metrics (1 - MS-SSIM, 1 - VIF) and against plain MSE.
+
+Interpretation contract:
+  * high corr(lpips_fallback, msssim/vif)  -> the fallback orders
+    distortions like a perceptual metric does (usable training signal);
+  * corr(lpips_fallback, ...) ~ corr(mse, ...) -> the random-VGG
+    features add nothing beyond a pixel loss;
+  * per-severity monotonicity: within each distortion family the
+    fallback must increase with severity or it cannot shape training.
+
+Usage:
+    python tools/lpips_gap_study.py [--n_slices 12] [--size 128]
+                                    [--json_out docs/lpips_gap.json]
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# CPU-only: a metric study must not queue on (or wedge against) the
+# single tunneled TPU while a training child owns it
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+
+# ---------------------------------------------------------------------------
+# distortion suite — graded severities, MRI-typical artifact families
+# ---------------------------------------------------------------------------
+
+def _downup(img: np.ndarray, factor: int, order: int) -> np.ndarray:
+    """Through-plane-style artifact: decimate rows, interpolate back
+    (the exact failure mode super-resolution exists to fix)."""
+    from scipy.ndimage import zoom
+    lo = img[::factor]
+    up = zoom(lo, (img.shape[0] / lo.shape[0], 1.0), order=order)
+    return up[: img.shape[0]]
+
+
+def _bias_field(img: np.ndarray, amp: float, rs) -> np.ndarray:
+    from scipy.ndimage import gaussian_filter
+    field = gaussian_filter(rs.randn(*img.shape), img.shape[0] / 4.0)
+    field = field / (np.abs(field).max() + 1e-8)
+    return img * (1.0 + amp * field)
+
+
+def distortion_suite(rs):
+    """[(name, family, severity_rank, fn)] — severity_rank orders
+    members WITHIN a family for the monotonicity check."""
+    from scipy.ndimage import gaussian_filter
+
+    def ghost(img, alpha):
+        sh = np.roll(img, img.shape[1] // 3, axis=1)
+        return (1 - alpha) * img + alpha * sh
+
+    def rician(img, s):
+        n1 = rs.randn(*img.shape) * s
+        n2 = rs.randn(*img.shape) * s
+        return np.sqrt((img + n1) ** 2 + n2 ** 2)
+
+    return [
+        ("blur0.5", "blur", 0, lambda x: gaussian_filter(x, 0.5)),
+        ("blur1.0", "blur", 1, lambda x: gaussian_filter(x, 1.0)),
+        ("blur2.0", "blur", 2, lambda x: gaussian_filter(x, 2.0)),
+        ("noise0.01", "noise", 0, lambda x: x + rs.randn(*x.shape) * 0.01),
+        ("noise0.03", "noise", 1, lambda x: x + rs.randn(*x.shape) * 0.03),
+        ("noise0.07", "noise", 2, lambda x: x + rs.randn(*x.shape) * 0.07),
+        ("rician0.03", "rician", 0, lambda x: rician(x, 0.03)),
+        ("rician0.07", "rician", 1, lambda x: rician(x, 0.07)),
+        ("ghost0.05", "ghost", 0, lambda x: ghost(x, 0.05)),
+        ("ghost0.15", "ghost", 1, lambda x: ghost(x, 0.15)),
+        ("downup2lin", "downup", 0, lambda x: _downup(x, 2, 1)),
+        ("downup4lin", "downup", 1, lambda x: _downup(x, 4, 1)),
+        ("downup2nn", "downup_nn", 0, lambda x: _downup(x, 2, 0)),
+        # gamma up/down are different distortions, not graded severities
+        # of one family — keep them out of the monotonicity check
+        ("gamma0.7", "gamma_dn", 0, lambda x: np.clip(x, 0, 1) ** 0.7),
+        ("gamma1.4", "gamma_up", 0, lambda x: np.clip(x, 0, 1) ** 1.4),
+        ("bias0.3", "bias", 0, lambda x: _bias_field(x, 0.3, rs)),
+    ]
+
+
+def reference_slices(n_slices: int, size: int):
+    """Mixed brain-anatomy + cardiac phantom slices, [0,1] floats."""
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_anatomy3d_volume, make_cardiac4d_volume,
+    )
+
+    out = []
+    i = 0
+    while len(out) < n_slices:
+        if i % 2 == 0:
+            vol = make_anatomy3d_volume(size=size, num_slices=9,
+                                        seed=100 + i).image
+            out.append(np.asarray(vol[4], np.float32))
+        else:
+            v4 = make_cardiac4d_volume(size=size, num_slices=7,
+                                       num_frames=2, seed=200 + i)
+            out.append(np.asarray(v4[0, 3], np.float32))
+        i += 1
+    return out
+
+
+def spearman(a, b) -> float:
+    from scipy.stats import spearmanr
+    return float(spearmanr(a, b).statistic)
+
+
+def pairwise_agreement(a, b) -> float:
+    """Fraction of distortion pairs ordered the same way (2AFC proxy)."""
+    a, b = np.asarray(a), np.asarray(b)
+    n = len(a)
+    agree = tot = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if a[i] == a[j] or b[i] == b[j]:
+                continue
+            tot += 1
+            agree += int((a[i] > a[j]) == (b[i] > b[j]))
+    return agree / max(tot, 1)
+
+
+def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
+    import jax.numpy as jnp
+
+    from superresolution_aniso_mri_tpu.ops.lpips import (
+        get_lpips_params, lpips_distance, lpips_weights_info,
+    )
+    from superresolution_aniso_mri_tpu.ops.metrics import msssim2d, vif2d
+
+    rs = np.random.RandomState(seed)
+    suite = distortion_suite(rs)
+    slices = reference_slices(n_slices, size)
+    params = get_lpips_params()
+    info = lpips_weights_info()
+    # largest dyadic pyramid the slice size supports (msssim2d guard)
+    levels = min(5, int(np.log2(size / 7)) + 1)
+
+    names = [n for n, _, _, _ in suite]
+    per_slice = {"lpips": [], "msssim": [], "vif": [], "mse": []}
+    for sl in slices:
+        d = {k: [] for k in per_slice}
+        for _, _, _, fn in suite:
+            dist = np.clip(fn(sl), 0.0, 1.5).astype(np.float32)
+            d["lpips"].append(float(lpips_distance(
+                params, jnp.asarray(sl)[None, :, :, None],
+                jnp.asarray(dist)[None, :, :, None])[0]))
+            d["msssim"].append(1.0 - float(msssim2d(sl, dist,
+                                                    levels=levels)))
+            d["vif"].append(1.0 - float(vif2d(sl, dist)))
+            d["mse"].append(float(np.mean((sl - dist) ** 2)))
+        for k in per_slice:
+            per_slice[k].append(d[k])
+
+    rows = {k: np.asarray(v) for k, v in per_slice.items()}  # [S, D]
+
+    def corr_stats(xa, xb, fn):
+        vals = [fn(xa[s], xb[s]) for s in range(len(slices))]
+        return float(np.mean(vals)), float(np.std(vals))
+
+    result = {
+        "lpips_mode": info.get("mode"),
+        "n_slices": n_slices, "size": size,
+        "distortions": names,
+        "spearman": {}, "pairwise_agreement": {},
+        "monotonic_families": {},
+    }
+    for target in ("msssim", "vif"):
+        for src in ("lpips", "mse"):
+            m, s = corr_stats(rows[src], rows[target], spearman)
+            result["spearman"][f"{src}_vs_{target}"] = {
+                "mean": round(m, 4), "std": round(s, 4)}
+            m, s = corr_stats(rows[src], rows[target], pairwise_agreement)
+            result["pairwise_agreement"][f"{src}_vs_{target}"] = {
+                "mean": round(m, 4), "std": round(s, 4)}
+    m, s = corr_stats(rows["lpips"], rows["mse"], spearman)
+    result["spearman"]["lpips_vs_mse"] = {"mean": round(m, 4),
+                                          "std": round(s, 4)}
+
+    # within-family severity monotonicity of the fallback distance
+    fams = {}
+    for idx, (_, fam, rank, _) in enumerate(suite):
+        fams.setdefault(fam, []).append((rank, idx))
+    for fam, members in fams.items():
+        if len(members) < 2:
+            continue
+        members.sort()
+        idxs = [i for _, i in members]
+        mono = [bool(np.all(np.diff(rows["lpips"][s][idxs]) > 0))
+                for s in range(len(slices))]
+        result["monotonic_families"][fam] = round(float(np.mean(mono)), 3)
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_slices", type=int, default=12)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json_out", type=str, default=None)
+    args = p.parse_args()
+
+    r = run_study(args.n_slices, args.size, args.seed)
+    print(f"\n=== fallback-LPIPS gap study (mode={r['lpips_mode']}, "
+          f"{r['n_slices']} slices @ {r['size']}^2, "
+          f"{len(r['distortions'])} distortions) ===")
+    print(f"{'pair':>18} | {'spearman':>14} | {'2AFC agree':>12}")
+    for k in r["spearman"]:
+        sp = r["spearman"][k]
+        pa = r["pairwise_agreement"].get(k)
+        pa_s = f"{pa['mean']:.3f}" if pa else "-"
+        print(f"{k:>18} | {sp['mean']:6.3f} ±{sp['std']:5.3f} | {pa_s:>12}")
+    print("severity-monotone fraction per family "
+          "(fallback LPIPS increases with severity):")
+    for fam, frac in r["monotonic_families"].items():
+        print(f"  {fam:>10}: {frac:.2f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(r, f, indent=1)
+        print(f"wrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()
