@@ -113,6 +113,14 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
     gbps = bytes_acc / mean_step / 1e9 if bytes_acc else float("nan")
     bw_frac = gbps * 1e9 / V5E_HBM_BW if bytes_acc else float("nan")
     ai = flops / bytes_acc if bytes_acc else float("nan")
+    # roofline floors: the time this step takes at 100% of each peak;
+    # the binding one is the speed-of-light bound, and gap_to_floor is
+    # the factor left on the table (VERDICT r3: the training path needs
+    # the same floor argument the inference path got)
+    floor_c = flops / V5E_PEAK_BF16_FLOPS if flops else float("nan")
+    floor_b = bytes_acc / V5E_HBM_BW if bytes_acc else float("nan")
+    floor = max(floor_c, floor_b)
+    gap = mean_step / floor if floor and floor == floor else float("nan")
     print(f"{name:>28} [{compute_dtype:8}]: {mean_step * 1e3:8.3f} ms/step "
           f"pipelined ({batch_pairs / mean_step:7.1f} pairs/s) | "
           f"{sync_step * 1e3:8.3f} ms sync "
@@ -121,21 +129,45 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
           f"MFU {100 * mfu:5.2f}% of bf16 peak | "
           f"{bytes_acc / 1e6:7.1f} MB -> {gbps:6.1f} GB/s, "
           f"{100 * bw_frac:5.1f}% of HBM BW "
-          f"(AI {ai:5.1f} FLOP/B)")
-    return {"pipelined_s": mean_step, "sync_s": sync_step,
+          f"(AI {ai:5.1f} FLOP/B) | "
+          f"floor {1e3 * floor:6.2f} ms "
+          f"({'BW' if floor_b >= floor_c else 'compute'}-bound), "
+          f"gap {gap:4.1f}x")
+    return {"name": name, "dtype": compute_dtype,
+            "pipelined_s": mean_step, "sync_s": sync_step,
             "flops": flops, "tflops": tflops, "mfu_vs_bf16_peak": mfu,
             "bytes_accessed": bytes_acc, "gbps": gbps,
-            "hbm_bw_fraction": bw_frac}
+            "hbm_bw_fraction": bw_frac,
+            "floor_compute_s": floor_c, "floor_bandwidth_s": floor_b,
+            "gap_to_floor": gap}
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json_out", type=str, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--configs", type=str, nargs="+",
+                    default=["ACDC", "OASIS", "dHCP"])
+    args = ap.parse_args()
+
+    shapes = {
+        "ACDC": ("ACDC ae_combined 128² b12", 128, 32, 32, 128, 12),
+        "OASIS": ("OASIS ae_combined 64² b16", 64, 16, 32, 128, 16),
+        "dHCP": ("dHCP ae_combined 256² b8", 256, 64, 32, 128, 8),
+    }
+    rows = []
     for dtype in ("float32", "bfloat16"):
-        bench_config("ACDC ae_combined 128² b12", 128, 32, 32, 128, 12,
-                     dtype)
-        bench_config("OASIS ae_combined 64² b16", 64, 16, 32, 128, 16,
-                     dtype)
-        bench_config("dHCP ae_combined 256² b8", 256, 64, 32, 128, 8,
-                     dtype)
+        for c in args.configs:
+            name, w, lw, d, lat, b = shapes[c]
+            rows.append(bench_config(name, w, lw, d, lat, b, dtype,
+                                     steps=args.steps))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":
