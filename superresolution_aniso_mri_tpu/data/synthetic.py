@@ -39,6 +39,21 @@ def _phantom2d(size: int, rs: np.random.RandomState) -> np.ndarray:
     return rescale_intensities(img, percs=(0, 100))
 
 
+def add_rician_noise(vol: np.ndarray, sigma: float,
+                     seed: int = 0) -> np.ndarray:
+    """Rician magnitude noise: |signal + complex N(0, σ)| — the MRI
+    noise model (same construction make_cardiac4d_volume uses
+    internally). Seeded so the noisy volume is fully deterministic.
+    Range grows to ~[0, max+4σ]; callers that need [0,1] should
+    rescale afterwards."""
+    if sigma <= 0:
+        return np.asarray(vol, np.float32)
+    rs = np.random.RandomState(seed)
+    e1 = rs.normal(0.0, sigma, vol.shape)
+    e2 = rs.normal(0.0, sigma, vol.shape)
+    return np.sqrt((vol + e1) ** 2 + e2 ** 2).astype(np.float32)
+
+
 def make_rotated_volume(size: int = 32, num_slices: int = 17,
                         degrees_per_slice: float = 5.0,
                         seed: int = 0,

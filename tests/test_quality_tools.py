@@ -5,6 +5,9 @@ pin the pure pieces: --reuse provenance overrides from the kept
 experiment's settings.yaml and the training-timeout scaling.
 """
 import argparse
+import os
+
+import numpy as np
 
 import tools.real_pipeline_quality as rpq
 
@@ -340,3 +343,50 @@ def test_reuse_overrides_loss_mode_and_batchnorm():
     ns = _ns(loss_mode="mse", use_batchnorm=1)
     assert rpq.apply_reuse_overrides(
         {"image_mix_loss_func": "mse", "use_batchnorm": True}, ns) == []
+
+
+def test_brain_phantom_rician_calibration(tmp_path):
+    """--phantom_noise now applies to the brain shapes too (VERDICT r3
+    weak #4): HR acquisitions carry seeded Rician noise, the LR file is
+    the PSF of the NOISY HR, and extra held-out volumes match."""
+    from superresolution_aniso_mri_tpu.utils.nifti import read_nifti
+
+    root = str(tmp_path / "d")
+    rpq.make_textured_oasis_tree(root, ds=3, n_patients=1, inplane=24,
+                                 num_slices=13, noise_sigma=0.05)
+    root0 = str(tmp_path / "d0")
+    rpq.make_textured_oasis_tree(root0, ds=3, n_patients=1, inplane=24,
+                                 num_slices=13, noise_sigma=0.0)
+    p = "OASIS/nifti/OAS1_0000_MR1/OAS1_0000_MR1_t88_gfc"
+    hr_n, _, _ = read_nifti(os.path.join(root, p + ".nii.gz"))
+    hr_0, _, _ = read_nifti(os.path.join(root0, p + ".nii.gz"))
+    # same anatomy, noise on top
+    d = hr_n - hr_0
+    assert 0.01 < d.std() < 0.2
+    # LR derives from the NOISY HR (PSF-averaged, so smaller residual)
+    lr_n, _, _ = read_nifti(os.path.join(root, p + "_3mm.nii.gz"))
+    lr_0, _, _ = read_nifti(os.path.join(root0, p + "_3mm.nii.gz"))
+    assert 0.0 < (lr_n - lr_0).std() < d.std()
+    # deterministic: refabricating reproduces bit-identical volumes
+    root2 = str(tmp_path / "d2")
+    rpq.make_textured_oasis_tree(root2, ds=3, n_patients=1, inplane=24,
+                                 num_slices=13, noise_sigma=0.05)
+    hr_n2, _, _ = read_nifti(os.path.join(
+        root2, p + ".nii.gz"))
+    np.testing.assert_array_equal(hr_n, hr_n2)
+
+    # extra held-out volumes honor the same sigma
+    ex = rpq.make_extra_test_volumes(3, 1, 24, 13, noise_sigma=0.05)
+    ex0 = rpq.make_extra_test_volumes(3, 1, 24, 13, noise_sigma=0.0)
+    assert (ex[0].image_hr - ex0[0].image_hr).std() > 0.005
+
+    # dHCP tree too
+    rpq.make_textured_dhcp_tree(root, ds=4, n_patients=7, inplane=24,
+                                num_slices=13, noise_sigma=0.05)
+    hd, _, _ = read_nifti(os.path.join(root, "dHCP_cropped_256",
+                                       "1000_t2w.nii.gz"))
+    rpq.make_textured_dhcp_tree(root0, ds=4, n_patients=7, inplane=24,
+                                num_slices=13, noise_sigma=0.0)
+    hd0, _, _ = read_nifti(os.path.join(root0, "dHCP_cropped_256",
+                                        "1000_t2w.nii.gz"))
+    assert (hd - hd0).std() > 0.01
