@@ -182,3 +182,84 @@ def test_synth_slice_mask_conv_interpol_branch():
     np.testing.assert_array_equal(m3, expected3)
     with pytest.raises(ValueError):
         synth_slice_mask(10, 0)
+
+
+def _np_vif_uint8_wrap(ref, dist, sigma_nsq=2.0):
+    """The reference's ACTUAL arithmetic (evaluate/vifvec.py:7-63 with
+    do_rescale=True): inputs cast to uint8 and fed to scipy's
+    gaussian_filter, so ref*ref wraps mod 256 and every filter output
+    truncates to uint8 — the silent-wrap behaviour vif2d deliberately
+    corrects (ops/metrics.py docstring)."""
+    eps = 1e-10
+    num = den = 0.0
+    ref = np.uint8(np.clip(ref * 255.0, 0, 255))
+    dist = np.uint8(np.clip(dist * 255.0, 0, 255))
+    for scale in range(1, 5):
+        N = 2 ** (4 - scale + 1) + 1
+        sd = N / 5.0
+        if scale > 1:
+            ref = scipy.ndimage.gaussian_filter(ref, sd)
+            dist = scipy.ndimage.gaussian_filter(dist, sd)
+            ref = ref[::2, ::2]
+            dist = dist[::2, ::2]
+        g_f = scipy.ndimage.gaussian_filter
+        mu1, mu2 = g_f(ref, sd), g_f(dist, sd)
+        sigma1_sq = g_f(ref * ref, sd) - mu1 * mu1
+        sigma2_sq = g_f(dist * dist, sd) - mu2 * mu2
+        sigma12 = g_f(ref * dist, sd) - mu1 * mu2
+        sigma1_sq = np.asarray(sigma1_sq, np.float64)
+        sigma2_sq = np.asarray(sigma2_sq, np.float64)
+        sigma12 = np.asarray(sigma12, np.float64)
+        sigma1_sq[sigma1_sq < 0] = 0
+        sigma2_sq[sigma2_sq < 0] = 0
+        g = sigma12 / (sigma1_sq + eps)
+        sv_sq = sigma2_sq - g * sigma12
+        g[sigma1_sq < eps] = 0
+        sv_sq[sigma1_sq < eps] = sigma2_sq[sigma1_sq < eps]
+        sigma1_sq[sigma1_sq < eps] = 0
+        g[sigma2_sq < eps] = 0
+        sv_sq[sigma2_sq < eps] = 0
+        sv_sq[g < 0] = sigma2_sq[g < 0]
+        g[g < 0] = 0
+        sv_sq[sv_sq <= eps] = eps
+        num += np.sum(np.log10(1 + g * g * sigma1_sq / (sv_sq + sigma_nsq)))
+        den += np.sum(np.log10(1 + sigma1_sq / sigma_nsq))
+    return num / den
+
+
+def test_vif_uint8_wrap_delta_quantified():
+    """Quantify the intentional VIF deviation (VERDICT r3 weak #6) on
+    one volume: metric-parity claims are parity with the CORRECTED
+    (float) VIF; against the reference's uint8-wrapping arithmetic the
+    per-slice delta is material and must stay documented, not hidden.
+    docs/DESIGN.md 'Behavioural deviations' records the numbers."""
+    from superresolution_aniso_mri_tpu.data.synthetic import (
+        make_anatomy3d_volume,
+    )
+
+    hr = make_anatomy3d_volume(size=64, num_slices=9, seed=3).image
+    dist = np.stack([scipy.ndimage.gaussian_filter(s, 1.0) for s in hr])
+    ours, wrapped, intended = [], [], []
+    for s in range(hr.shape[0]):
+        ours.append(float(vif2d(jnp.asarray(hr[s]), jnp.asarray(dist[s]))))
+        wrapped.append(_np_vif_uint8_wrap(hr[s], dist[s]))
+        a_q = np.round(np.clip(hr[s] * 255.0, 0, 255))
+        b_q = np.round(np.clip(dist[s] * 255.0, 0, 255))
+        intended.append(_np_vif(a_q, b_q))
+    ours, wrapped, intended = map(np.asarray, (ours, wrapped, intended))
+    # empty boundary slices make den==0 -> nan in both oracles; the
+    # quantified claim is about slices with content
+    keep = np.isfinite(wrapped) & np.isfinite(intended)
+    assert keep.sum() >= 5
+    # parity claim: vif2d == float-correct oracle (tight)
+    np.testing.assert_allclose(ours[keep], intended[keep],
+                               rtol=5e-3, atol=5e-4)
+    # deviation claim: the uint8-wrap arithmetic differs materially —
+    # if this ever goes tight, the deviation note is stale
+    delta = np.abs(ours - wrapped)[keep]
+    assert delta.mean() > 0.01, (
+        f"uint8-wrap VIF unexpectedly matches float VIF "
+        f"(mean delta {delta.mean():.5f}) — update docs/DESIGN.md")
+    print(f"VIF delta vs uint8-wrap: mean {delta.mean():.4f}, "
+          f"max {delta.max():.4f}, float VIF mean {ours[keep].mean():.4f}, "
+          f"wrapped mean {wrapped[keep].mean():.4f}")
