@@ -195,14 +195,24 @@ def _device(params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
-def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
+def _vgg_features(params: Dict[str, Any], x: Array,
+                  compute_dtype=jnp.float32) -> List[Array]:
     """Run the VGG16 conv stack, returning the 5 slice activations.
 
     x: [B, H, W, 3], already shift/scale normalised. NHWC convs with
     float32 accumulation — XLA tiles these onto the MXU.
+    ``compute_dtype=bfloat16`` runs the conv stack in bf16 (activations
+    and weights; the MXU's native dtype — on TPU a float32 HIGHEST-
+    precision conv costs ~3 bf16 passes) with the feature maps returned
+    as-is; lpips_distance normalises and accumulates the distance in
+    float32 regardless, so the loss stays well-scaled for autodiff
+    (no grad-scaling needed — measured in docs/STATUS.md round 4).
     """
     feats = []
-    h = x
+    compute_dtype = jnp.dtype(compute_dtype)
+    h = x.astype(compute_dtype)
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     slice_ends = set(_SLICE_ENDS)
     for i, (cout, pool_before) in enumerate(_VGG_PLAN):
         if pool_before:
@@ -216,12 +226,12 @@ def _vgg_features(params: Dict[str, Any], x: Array) -> List[Array]:
                 h, -jnp.inf, jax.lax.max,
                 window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
                 padding="VALID")
-        w = jnp.asarray(params["convs"][i]["kernel"])
-        b = jnp.asarray(params["convs"][i]["bias"])
+        w = jnp.asarray(params["convs"][i]["kernel"]).astype(compute_dtype)
+        b = jnp.asarray(params["convs"][i]["bias"]).astype(compute_dtype)
         dn = jax.lax.conv_dimension_numbers(h.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
         h = jax.lax.conv_general_dilated(h, w, (1, 1), "SAME",
                                          dimension_numbers=dn,
-                                         precision=jax.lax.Precision.HIGHEST)
+                                         precision=prec)
         h = jax.nn.relu(h + b)
         if i in slice_ends:
             feats.append(h)
@@ -239,14 +249,19 @@ def _normalize_tensor(x: Array, eps: float = 1e-10) -> Array:
     return x / (norm + eps)
 
 
-@partial(jax.jit, static_argnames=("normalize", "use_lin"))
+@partial(jax.jit, static_argnames=("normalize", "use_lin",
+                                  "compute_dtype"))
 def lpips_distance(params: Dict[str, Any], in0: Array, in1: Array,
-                   normalize: bool = True, use_lin: bool = True) -> Array:
+                   normalize: bool = True, use_lin: bool = True,
+                   compute_dtype=jnp.float32) -> Array:
     """LPIPS distance per batch element.
 
     in0/in1: [B, H, W, C] with C in {1, 3}; values in [0,1] when
     ``normalize=True`` (mapped to [-1,1] like reference
     lpips/perceptual.py:28-31), else already in [-1,1].
+    ``compute_dtype`` selects the VGG stack precision (bfloat16 for the
+    mixed-precision training path); normalisation and the lin-weighted
+    accumulation below always run float32.
     Returns [B] float32 distances.
     """
     if normalize:
@@ -261,13 +276,15 @@ def lpips_distance(params: Dict[str, Any], in0: Array, in1: Array,
     in0 = (in0 - shift) / scale
     in1 = (in1 - shift) / scale
 
-    feats0 = _vgg_features(params, in0)
-    feats1 = _vgg_features(params, in1)
+    feats0 = _vgg_features(params, in0, compute_dtype=compute_dtype)
+    feats1 = _vgg_features(params, in1, compute_dtype=compute_dtype)
 
     val = jnp.zeros((in0.shape[0],), jnp.float32)
     for k in range(len(feats0)):
-        f0 = _normalize_tensor(feats0[k])
-        f1 = _normalize_tensor(feats1[k])
+        # channel-normalisation and distance accumulation in float32
+        # even when the VGG stack ran bf16
+        f0 = _normalize_tensor(feats0[k].astype(jnp.float32))
+        f1 = _normalize_tensor(feats1[k].astype(jnp.float32))
         diff = (f0 - f1) ** 2
         if use_lin:
             lw = jnp.asarray(params["lins"][k]["kernel"])  # [1,1,C,1]

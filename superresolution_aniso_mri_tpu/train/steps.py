@@ -90,6 +90,10 @@ class LossConfig:
     # — dispatching on num_alphas alone collides for unusual latents
     alpha_scheme: str = ""
     latent: int = 16
+    # LPIPS VGG stack precision: 'bfloat16' rides the model's
+    # mixed-precision setting (MXU-native; distance accumulation stays
+    # float32 inside lpips_distance, so no grad scaling is needed)
+    lpips_dtype: str = "float32"
 
     @property
     def family(self) -> str:
@@ -122,7 +126,8 @@ def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
     Returns (loss_ae, loss_ae_dist, loss_laploss)."""
     if cfg.recon_loss == "perceptual" and lpips_params is not None:
         dist = jnp.mean(lpips_distance(lpips_params, pred, target,
-                                       normalize=True))
+                                       normalize=True,
+                                       compute_dtype=cfg.lpips_dtype))
     else:
         dist = mse(pred, target)
         if cfg.use_ssim_loss:
@@ -150,10 +155,12 @@ def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
     if cfg.image_mix_loss_func == "perceptual" and lpips_params is not None:
         if cfg.use_masks and mask is not None:
             d = lpips_distance(lpips_params, reference * mask,
-                               synthesized * mask, normalize=True)
+                               synthesized * mask, normalize=True,
+                               compute_dtype=cfg.lpips_dtype)
         else:
             d = lpips_distance(lpips_params, reference, synthesized,
-                               normalize=True)
+                               normalize=True,
+                               compute_dtype=cfg.lpips_dtype)
         if sample_weight is not None:
             return (jnp.sum(d * sample_weight)
                     / jnp.maximum(jnp.sum(sample_weight), 1.0))

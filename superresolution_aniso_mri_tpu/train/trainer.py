@@ -124,6 +124,8 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
         lamb=(1.0 if args.get("lamb") is None else float(args["lamb"])),
         lamb_reg_acai=float(args.get("lamb_reg_acai", 0.5)),
         nclasses=int(args.get("nclasses", 4)),
+        # bf16 model compute carries the LPIPS VGG stack with it
+        lpips_dtype=str(args.get("compute_dtype") or "float32"),
     )
 
 

@@ -136,3 +136,31 @@ def test_fallback_lpips_gap_study_pinned():
     sp = r["spearman"]["lpips_vs_msssim"]["mean"]
     assert sp > 0.6, f"fallback LPIPS barely tracks MS-SSIM: {sp}"
     assert r["pairwise_agreement"]["lpips_vs_msssim"]["mean"] > 0.7
+
+
+def test_lpips_bf16_features_close_and_grads_finite():
+    """Mixed-precision LPIPS (bf16 VGG stack, f32 distance
+    accumulation): distances track the f32 path closely and gradients
+    stay finite and well-correlated — no grad scaling needed."""
+    import jax
+
+    from superresolution_aniso_mri_tpu.ops.lpips import (
+        get_lpips_params, lpips_distance,
+    )
+
+    params = get_lpips_params()
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    d32 = np.asarray(lpips_distance(params, a, b))
+    d16 = np.asarray(lpips_distance(params, a, b,
+                                    compute_dtype="bfloat16"))
+    assert d16.dtype == np.float32
+    np.testing.assert_allclose(d16, d32, rtol=0.05, atol=1e-3)
+
+    g32 = jax.grad(lambda x: jnp.mean(lpips_distance(params, x, b)))(a)
+    g16 = jax.grad(lambda x: jnp.mean(lpips_distance(
+        params, x, b, compute_dtype="bfloat16")))(a)
+    assert np.isfinite(np.asarray(g16)).all()
+    c = np.corrcoef(np.asarray(g32).ravel(), np.asarray(g16).ravel())[0, 1]
+    assert c > 0.98, f"bf16 LPIPS grads decorrelated from f32: {c}"
