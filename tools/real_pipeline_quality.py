@@ -231,6 +231,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("batch_size", "batch_size", int),
             ("ema_decay", "ema_decay", float),
             ("train_latent_interp", "train_latent_interp", str),
+            ("compute_dtype", "compute_dtype", str),
             ("model", "model", str)):
         if kept.get(key) is None:
             continue
@@ -422,6 +423,13 @@ def build_parser():
                         "reference's real-data ordering on all three "
                         "metrics (see data/synthetic"
                         ".make_cardiac4d_volume / add_rician_noise)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="training compute dtype passed to the train "
+                        "child (bfloat16 = mixed precision: bf16 "
+                        "activations + LPIPS features, f32 params/"
+                        "BN/loss accumulation) — use to benchmark the "
+                        "quality cost of the faster path")
     p.add_argument("--use_batchnorm", type=int, default=None,
                    choices=[0, 1],
                    help="override the CLI's architecture default "
@@ -626,6 +634,8 @@ def main():
               if args.n_res_block is not None else []),
             *(["--train_latent_interp", args.train_latent_interp]
               if args.train_latent_interp != "linear" else []),
+            *(["--compute_dtype", args.compute_dtype]
+              if args.compute_dtype != "float32" else []),
             *(["--step_timeout_s", str(args.step_timeout_s),
                "--auto_resume"]
               if args.step_timeout_s > 0 else []),
@@ -834,6 +844,8 @@ def main():
                 "anatomy": "cardiac4d" if cardiac else args.anatomy,
                 "num_frames": args.num_frames if cardiac else None,
                 "phantom_noise": args.phantom_noise,
+                "compute_dtype": trainer.args.get("compute_dtype",
+                                                  "float32"),
                 "loss_mode": loss_mode,
                 "model_family": args.model,
                 "lpips_mode": trainer.args.get("lpips_mode"),
