@@ -6,7 +6,33 @@ are registry names resolved by models.build_model / train.Trainer.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict
+
+
+def _default_mix_loss(combined: bool):
+    """Default image-mix loss for the combined families.
+
+    Reference parity: combined models FORCE 'perceptual'
+    (kwatsch/arguments.py:67-76, networks/net_config.py). Setting
+    ``SR_MIX_LOSS_DEFAULT=mse`` overrides that DEFAULT only — an
+    explicit ``--image_mix_loss_func`` always wins either way (the
+    merge rule). This is the documented production override for
+    environments without converted VGG16 weights, where the LPIPS
+    fallback measurably adds nothing over MSE and the MSE recipe wins
+    the production benchmarks (docs/DESIGN.md 'Fallback-LPIPS gap',
+    docs/quality_real_r4.jsonl perceptual@450 head-to-head,
+    README 'Recommended production recipes')."""
+    if not combined:
+        return None
+    env = os.environ.get("SR_MIX_LOSS_DEFAULT")
+    if env is None:
+        return "perceptual"
+    if env not in ("perceptual", "mse"):
+        raise ValueError(
+            f"SR_MIX_LOSS_DEFAULT={env!r}: expected 'perceptual' or "
+            f"'mse'")
+    return env
 
 
 class NetworkConfig:
@@ -55,7 +81,7 @@ class NetworkConfig:
             else:
                 raise ValueError(f"unsupported combination {net}/{ds}")
         elif net in ("ae_combined", "aesr_combined"):
-            arch["image_mix_loss_func"] = "perceptual"
+            arch["image_mix_loss_func"] = _default_mix_loss(True)
             if ds == "ACDCLBL":
                 arch["trainer_class"] = "MultiChannelCAISRTrainer"
                 arch["nclasses"] = 4
@@ -65,15 +91,15 @@ class NetworkConfig:
                 raise ValueError(f"unsupported combination {net}/{ds}")
         elif net in ("vae", "vae_combined", "vae2"):
             if ds in plain:
-                arch["image_mix_loss_func"] = (
-                    "perceptual" if "combined" in net else None)
+                arch["image_mix_loss_func"] = _default_mix_loss(
+                    "combined" in net)
                 arch["trainer_class"] = "VAETrainer"
             else:
                 raise ValueError(f"VAE does not support dataset {ds}")
         elif net in ("acai", "acai_combined"):
             if ds in plain:
-                arch["image_mix_loss_func"] = (
-                    "perceptual" if "combined" in net else None)
+                arch["image_mix_loss_func"] = _default_mix_loss(
+                    "combined" in net)
                 arch["trainer_class"] = "ACAITrainer"
             else:
                 raise ValueError(f"ACAI does not support dataset {ds}")

@@ -96,3 +96,36 @@ def test_long_axis_evaluation():
     m3 = compute_volume_metrics(small, np.clip(small + 0.01, 0, 1),
                                 eval_axis=1)
     assert np.isfinite(m3["ssim"])
+
+
+def test_sr_mix_loss_default_override(monkeypatch):
+    """SR_MIX_LOSS_DEFAULT=mse flips the combined families' DEFAULT mix
+    loss only (docs: README 'Recommended production recipes'); without
+    the env the reference's forced-perceptual default stays intact, an
+    invalid value fails fast, and an explicit flag always wins."""
+    import pytest
+
+    from superresolution_aniso_mri_tpu.config.net_config import (
+        NetworkConfig, merge_args_architecture,
+    )
+
+    monkeypatch.delenv("SR_MIX_LOSS_DEFAULT", raising=False)
+    assert (NetworkConfig("ae_combined", "ACDC")
+            .architecture["image_mix_loss_func"] == "perceptual")
+
+    monkeypatch.setenv("SR_MIX_LOSS_DEFAULT", "mse")
+    for net in ("ae_combined", "vae_combined", "acai_combined"):
+        assert (NetworkConfig(net, "ACDC")
+                .architecture["image_mix_loss_func"] == "mse"), net
+    # non-combined families keep None
+    assert (NetworkConfig("ae", "ACDC")
+            .architecture["image_mix_loss_func"] is None)
+    # explicit CLI flag wins over the env-overridden default
+    arch = NetworkConfig("ae_combined", "ACDC").architecture
+    merged = merge_args_architecture(
+        {"image_mix_loss_func": "perceptual"}, arch)
+    assert merged["image_mix_loss_func"] == "perceptual"
+
+    monkeypatch.setenv("SR_MIX_LOSS_DEFAULT", "nope")
+    with pytest.raises(ValueError, match="SR_MIX_LOSS_DEFAULT"):
+        NetworkConfig("ae_combined", "ACDC")
