@@ -142,6 +142,33 @@ def _generate_volume_previews(trainer, val_vols, merged: Dict,
         trainer.log_tb_image(f"val/synth_volume_{pid}", grid)
 
 
+def rehydrate_resume_loss_config(args_dict: Dict) -> list:
+    """--auto_resume continuation: loss-defining keys the CLI left
+    unset must come from the experiment's recorded settings.yaml, not
+    from ambient defaults. The combined families' default mix loss is
+    environment-sensitive (SR_MIX_LOSS_DEFAULT, net_config
+    _default_mix_loss) — without this, a run started under
+    SR_MIX_LOSS_DEFAULT=mse and resumed from a shell without the env
+    var would silently flip to the perceptual objective mid-experiment
+    (and prepare_run's settings rewrite would destroy the evidence).
+    Returns the list of rehydrated keys (for tests/logging)."""
+    if not args_dict.get("auto_resume"):
+        return []
+    out = args_dict.get("output_dir")
+    spath = os.path.join(out, "settings.yaml") if out else None
+    if not spath or not os.path.isfile(spath):
+        return []
+    from ..config.settings import load_settings
+
+    kept = load_settings(spath) or {}
+    took = []
+    for key in ("image_mix_loss_func", "alpha_loss_func"):
+        if args_dict.get(key) is None and kept.get(key) is not None:
+            args_dict[key] = kept[key]
+            took.append(key)
+    return took
+
+
 def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     # persistent XLA compile cache: restarts (--auto_resume under a
     # supervisor) reload compiled programs instead of re-paying
@@ -157,6 +184,7 @@ def run_training(args_dict: Dict, verbose: bool = True) -> Trainer:
     main_proc = is_main_process()
     verbose = verbose and main_proc
 
+    rehydrate_resume_loss_config(args_dict)
     net_cfg = NetworkConfig(args_dict["model"], args_dict["dataset"],
                             args_dict.get("ae_class", "VanillaACAI"))
     merged = merge_args_architecture(args_dict, net_cfg.architecture)

@@ -100,6 +100,7 @@ def loss_config_from_args(args: Dict[str, Any]) -> LossConfig:
             alpha_scheme=alpha_mix_scheme(
                 args.get("alpha_class") or "AlphaProbe16v1"),
             latent=int(args["latent"]),
+            lpips_dtype=str(args.get("compute_dtype") or "float32"),
         )
     tli = str(args.get("train_latent_interp") or "linear")
     if tli != "linear" and FAMILY_OF_MODEL.get(model_name) not in (
@@ -769,17 +770,31 @@ class Trainer:
             for key in d:
                 d[key] = []
 
+    @staticmethod
+    def _savez_atomic(path: str, **arrays) -> None:
+        """np.savez via tmp-file + rename: a kill (watchdog SIGKILL,
+        preemption) mid-write must never leave a torn npz — a resumed
+        run's loss-history truncation depends on these archives being
+        either the previous epoch's or the current one's, never
+        garbage."""
+        # suffix must stay '.npz' or np.savez appends one to the name
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+
     def save_losses(self) -> None:
         from ..parallel.distributed import is_main_process
         if not is_main_process():
             return
         out = self.args["output_dir"]
-        np.savez(os.path.join(out, "loss_iters.npz"),
-                 loss_iters=np.array(self.loss_iters))
-        np.savez(os.path.join(out, "losses_train.npz"),
-                 **{k: np.array(v) for k, v in self.mean_losses.items()})
-        np.savez(os.path.join(out, "losses_test.npz"),
-                 **{k: np.array(v) for k, v in self.mean_losses_test.items()})
+        self._savez_atomic(os.path.join(out, "loss_iters.npz"),
+                           loss_iters=np.array(self.loss_iters))
+        self._savez_atomic(
+            os.path.join(out, "losses_train.npz"),
+            **{k: np.array(v) for k, v in self.mean_losses.items()})
+        self._savez_atomic(
+            os.path.join(out, "losses_test.npz"),
+            **{k: np.array(v) for k, v in self.mean_losses_test.items()})
 
     @staticmethod
     def load_losses(path_to_exper: str):
@@ -794,6 +809,13 @@ class Trainer:
         """Best-on-val aliases + numbered epoch checkpoint
         (> epoch_threshold) + loss archives
         (reference: base_trainer.py:407-422)."""
+        # loss archives FIRST (atomically), checkpoints after: a kill
+        # between the two then leaves npz entries >= the checkpoint's
+        # completed-epoch count, and _restore_history's [:keep] slice
+        # discards the extra — the reverse order could lose the final
+        # epoch's loss entry while its checkpoint survived, leaving a
+        # resumed run's history permanently one short
+        self.save_losses()
         if self.epoch > int(self.args.get("epoch_threshold", 100)):
             self.save_best_val_model()
             fname = os.path.join(self.dir_models, f"{self.epoch}.models")
@@ -817,7 +839,6 @@ class Trainer:
                     os.path.join(self.dir_models, "ema.models"),
                     self.state.replace(params=self.ema_params),
                     self.epoch + 1)
-        self.save_losses()
         self.epoch += 1
 
     # ------------------------------------------------------------------

@@ -88,7 +88,7 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
         if remaining <= 0:
             raise SystemExit(
                 f"TIMEOUT [{what}]: overall {timeout:.0f}s budget "
-                f"exhausted across {attempts + 1} attempt(s): "
+                f"exhausted after {attempts} attempt(s): "
                 f"{' '.join(cmd)}")
         r = _run_once(cmd, data_root, what, log_path, remaining, force_cpu)
         if r.returncode == STALL_EXIT_CODE and attempts < stall_restarts:

@@ -34,11 +34,14 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# CPU-only: a metric study must not queue on (or wedge against) the
-# single tunneled TPU while a training child owns it
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+if __name__ == "__main__":
+    # CPU-only when run as a CLI: a metric study must not queue on (or
+    # wedge against) the single tunneled TPU while a training child
+    # owns it. Guarded so importing run_study (tests) does NOT mutate
+    # the importing process's environment.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
 
 # ---------------------------------------------------------------------------
@@ -71,9 +74,12 @@ def distortion_suite(rs):
         return (1 - alpha) * img + alpha * sh
 
     def rician(img, s):
-        n1 = rs.randn(*img.shape) * s
-        n2 = rs.randn(*img.shape) * s
-        return np.sqrt((img + n1) ** 2 + n2 ** 2)
+        # the canonical noise model (one definition repo-wide), seeded
+        # from the suite's stream so the study stays deterministic
+        from superresolution_aniso_mri_tpu.data.synthetic import (
+            add_rician_noise,
+        )
+        return add_rician_noise(img, s, seed=int(rs.randint(2 ** 31)))
 
     return [
         ("blur0.5", "blur", 0, lambda x: gaussian_filter(x, 0.5)),

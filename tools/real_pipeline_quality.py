@@ -561,6 +561,24 @@ def main():
             if overrides:
                 print("[reuse] from kept settings.yaml: "
                       + " ".join(overrides), flush=True)
+        # fabrication provenance (phantom_noise/anatomy/counts) is a
+        # DATA property settings.yaml can't know — without it a reused
+        # noise-calibrated tree would fabricate noiseless extra held-out
+        # volumes and record phantom_noise=0.0 in the JSONL row
+        fab_path = os.path.join(work, "fabrication.json")
+        if os.path.exists(fab_path):
+            with open(fab_path) as f:
+                fab = json.load(f)
+            fab_overrides = []
+            for key in ("dataset_shape", "anatomy", "n_patients",
+                        "num_slices", "inplane", "num_frames",
+                        "phantom_noise"):
+                if key in fab and fab[key] != getattr(args, key):
+                    fab_overrides.append(f"{key}={fab[key]}")
+                    setattr(args, key, fab[key])
+            if fab_overrides:
+                print("[reuse] from kept fabrication.json: "
+                      + " ".join(fab_overrides), flush=True)
     else:
         work = tempfile.mkdtemp(prefix="sr_rpq_")
         data_root = os.path.join(work, "data")
@@ -607,6 +625,14 @@ def main():
                                      args.inplane, args.num_slices,
                                      anatomy=args.anatomy,
                                      noise_sigma=args.phantom_noise)
+        if not args.reuse:
+            # provenance for --reuse/--extend (see the reuse branch)
+            with open(os.path.join(work, "fabrication.json"), "w") as f:
+                json.dump({k: getattr(args, k)
+                           for k in ("dataset_shape", "anatomy",
+                                     "n_patients", "num_slices",
+                                     "inplane", "num_frames",
+                                     "phantom_noise")}, f)
 
         train_cmd = [
             sys.executable,

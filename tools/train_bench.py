@@ -35,6 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak, bf16 MXU
+# float32 matmuls/convs have no native MXU path on v5e — XLA emulates
+# them with 3-pass bf16 accumulation, so the honest f32 compute peak
+# for the floor calculation is ~1/3 of bf16 peak (using bf16 peak for
+# f32 rows would understate the compute floor 3x and could misclassify
+# a compute-bound f32 config as BW-bound)
+V5E_PEAK_F32_FLOPS = V5E_PEAK_BF16_FLOPS / 3.0
 V5E_HBM_BW = 819e9            # TPU v5e HBM bandwidth, bytes/s
 
 
@@ -117,7 +123,9 @@ def bench_config(name, width, latent_width, depth, latent, batch_pairs,
     # the binding one is the speed-of-light bound, and gap_to_floor is
     # the factor left on the table (VERDICT r3: the training path needs
     # the same floor argument the inference path got)
-    floor_c = flops / V5E_PEAK_BF16_FLOPS if flops else float("nan")
+    peak_for_floor = (V5E_PEAK_F32_FLOPS if compute_dtype == "float32"
+                      else V5E_PEAK_BF16_FLOPS)
+    floor_c = flops / peak_for_floor if flops else float("nan")
     floor_b = bytes_acc / V5E_HBM_BW if bytes_acc else float("nan")
     floor = max(floor_c, floor_b)
     gap = mean_step / floor if floor and floor == floor else float("nan")
@@ -150,6 +158,7 @@ def main():
     ap.add_argument("--json_out", type=str, default=None)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--configs", type=str, nargs="+",
+                    choices=("ACDC", "OASIS", "dHCP"),
                     default=["ACDC", "OASIS", "dHCP"])
     args = ap.parse_args()
 
