@@ -747,19 +747,36 @@ class Trainer:
             self.loss_iters.append(self.iters)
         else:
             loss_dict, mean_losses = self.losses_test, self.mean_losses_test
+        multihost = jax.process_count() > 1
         for key, values in loss_dict.items():
             if not values:
                 continue
-            # ONE device→host fetch per key: the per-step metrics are
-            # device scalars appended without sync (Trainer.train), and
-            # fetching them one float() at a time costs a tunnel round
-            # trip each — ~400 serial round trips per epoch flush, 6.4 s
-            # of an 8.5 s epoch at the OASIS bench config. Stacking on
-            # device first keeps the mean in float64 on host (identical
-            # values to the per-element path) at ~10 round trips total:
-            # measured 8.5 → 2.3 s/epoch through the real training CLI.
-            mean_value = float(np.mean(np.asarray(
-                jnp.stack([jnp.asarray(v) for v in values]), np.float64)))
+            if multihost:
+                # per-element LOCAL fetches only: each metric scalar is
+                # replicated and fully addressable, so np.asarray is a
+                # local copy with no program dispatch. The stacked path
+                # below would launch a NEW eager global program at the
+                # epoch boundary, which races the still-draining val
+                # steps' cross-host rendezvous — observed as a flaky
+                # futex deadlock on the 2-process CPU cluster (round 4;
+                # proc 0 wedged in the flush's broadcast_in_dim, proc 1
+                # in validate). Multi-host runs are locally attached,
+                # so per-element fetch costs nothing extra.
+                mean_value = float(np.mean(
+                    [np.asarray(v, np.float64) for v in values]))
+            else:
+                # ONE device→host fetch per key: the per-step metrics
+                # are device scalars appended without sync
+                # (Trainer.train), and fetching them one float() at a
+                # time costs a tunnel round trip each — ~400 serial
+                # round trips per epoch flush, 6.4 s of an 8.5 s epoch
+                # at the OASIS bench config. Stacking on device first
+                # keeps the mean in float64 on host (identical values
+                # to the per-element path) at ~10 round trips total:
+                # measured 8.5 → 2.3 s/epoch through the real CLI.
+                mean_value = float(np.mean(np.asarray(
+                    jnp.stack([jnp.asarray(v) for v in values]),
+                    np.float64)))
             mean_losses[key].append(mean_value)
             if self.tb_writer is not None:
                 self.tb_writer.add_scalar(f"{key}/{eval_type}", mean_value,
