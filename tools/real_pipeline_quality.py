@@ -879,7 +879,12 @@ def main():
                 # kept experiment — the settings.yaml value always does
                 "epochs": int(trainer.args.get("epochs") or args.epochs),
                 "checkpoint": str(best_nbr),
-                "use_batchnorm": trainer.args.get("use_batchnorm"),
+                # normalise to int 0/1: the CLI records bools when the
+                # flag was defaulted, ints when explicit — a typed JSONL
+                # consumer must not see both
+                "use_batchnorm": (
+                    None if trainer.args.get("use_batchnorm") is None
+                    else int(bool(trainer.args.get("use_batchnorm")))),
                 "lr_schedule": bool(args.lr_schedule),
                 "lr_warmup_steps": int(trainer.args.get(
                     "lr_warmup_steps", 0) or 0),
