@@ -64,6 +64,14 @@ def build_augment_config(args: Dict) -> AugmentConfig:
         # RandomCropNextToCenter(width, max_translation=35))
         crop_next_to_center=dataset in ("dHCP", "ADNI", "brainMASI"),
         max_translation=35,
+        # opt-in extras (--aug_noise/--aug_blur): the reference defines
+        # these in acdc_transforms.py but composes them into no training
+        # entry point; exposed here as noise-aware training levers (a
+        # noisy-GT benchmark rewards a model that has seen noise —
+        # docs/STATUS.md round-4 dHCP analysis). Exact channels (labels/
+        # masks) exclude them like the intensity remap.
+        noise=bool(args.get("aug_noise")) and not exact_channels,
+        blur=bool(args.get("aug_blur")) and not exact_channels,
     )
 
 

@@ -76,3 +76,22 @@ def test_prepare_batch_pairs_rejects_riding_mask_channel():
     x = jnp.zeros((2, 8, 8, 7))  # 3C+1 mask channel not split off
     with pytest.raises(ValueError):
         prepare_batch_pairs(x)
+
+
+def test_aug_noise_blur_flags_wire_into_aug_config():
+    """--aug_noise/--aug_blur reach the device-side augmentation stack
+    (opt-in, excluded for exact channels like labels/masks)."""
+    from superresolution_aniso_mri_tpu.cli.train_loop import (
+        build_augment_config,
+    )
+
+    base = {"dataset": "ACDC", "width": 32, "aug_patch_size": 32}
+    cfg = build_augment_config(base)
+    assert cfg.noise is False and cfg.blur is False
+    cfg = build_augment_config({**base, "aug_noise": True,
+                               "aug_blur": True})
+    assert cfg.noise is True and cfg.blur is True
+    # exact channels (masks) exclude the intensity-space extras
+    cfg = build_augment_config({**base, "aug_noise": True,
+                               "aug_blur": True, "get_masks": True})
+    assert cfg.noise is False and cfg.blur is False
