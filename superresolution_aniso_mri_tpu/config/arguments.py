@@ -152,14 +152,18 @@ def parse_args(argv=None):
                              "module RandomAnyRotation extra)")
     parser.add_argument("--aug_noise", action="store_true",
                         help="opt-in additive-gaussian noise "
-                             "augmentation (sigma ~ U(0, 0.05); the "
-                             "reference defines it in acdc_transforms "
-                             "but composes it into no CLI) — noise-"
-                             "aware training for noisy-GT serving")
+                             "augmentation, sigma ~ U(0, 0.05) — "
+                             "noise-aware training for noisy-GT "
+                             "serving. Inspired by (not identical to) "
+                             "the reference's uncomposed "
+                             "AddRandomNoise, which is ~1/256-amplitude "
+                             "dequantization dither")
     parser.add_argument("--aug_blur", action="store_true",
                         help="opt-in light random blur augmentation "
-                             "(3x3 binomial, p=1/2; same provenance as "
-                             "--aug_noise)")
+                             "(3x3 binomial, p=1/2). Inspired by the "
+                             "reference's uncomposed fixed-sigma "
+                             "BlurImage, with different "
+                             "parameterisation")
     parser.add_argument("--mnist_path", type=str, default=None,
                         help="local MNIST idx3-ubyte[.gz]/.npz file: use "
                              "real digits for MNIST3D/MNISTRoto instead "

@@ -232,6 +232,8 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("ema_decay", "ema_decay", float),
             ("train_latent_interp", "train_latent_interp", str),
             ("compute_dtype", "compute_dtype", str),
+            ("aug_noise", "aug_noise", bool),
+            ("aug_blur", "aug_blur", bool),
             ("model", "model", str)):
         if kept.get(key) is None:
             continue
@@ -423,6 +425,16 @@ def build_parser():
                         "reference's real-data ordering on all three "
                         "metrics (see data/synthetic"
                         ".make_cardiac4d_volume / add_rician_noise)")
+    p.add_argument("--aug_noise", action="store_true",
+                   help="pass --aug_noise to the train child: additive-"
+                        "gaussian noise augmentation (sigma ~ U(0, "
+                        "0.05)) so the model learns to synthesize "
+                        "through noisy GT instead of reproducing it — "
+                        "the noise-aware-training lever for "
+                        "--phantom_noise > 0 benchmarks")
+    p.add_argument("--aug_blur", action="store_true",
+                   help="pass --aug_blur to the train child (light "
+                        "random 3x3 binomial blur, p=1/2)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"),
                    help="training compute dtype passed to the train "
@@ -662,6 +674,8 @@ def main():
               if args.train_latent_interp != "linear" else []),
             *(["--compute_dtype", args.compute_dtype]
               if args.compute_dtype != "float32" else []),
+            *(["--aug_noise"] if args.aug_noise else []),
+            *(["--aug_blur"] if args.aug_blur else []),
             *(["--step_timeout_s", str(args.step_timeout_s),
                "--auto_resume"]
               if args.step_timeout_s > 0 else []),
@@ -886,6 +900,8 @@ def main():
                     None if trainer.args.get("use_batchnorm") is None
                     else int(bool(trainer.args.get("use_batchnorm")))),
                 "lr_schedule": bool(args.lr_schedule),
+                "aug_noise": bool(trainer.args.get("aug_noise")),
+                "aug_blur": bool(trainer.args.get("aug_blur")),
                 "lr_warmup_steps": int(trainer.args.get(
                     "lr_warmup_steps", 0) or 0),
                 "n_res_block": trainer.args.get("n_res_block"),
