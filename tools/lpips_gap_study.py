@@ -42,6 +42,10 @@ if __name__ == "__main__":
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # env vars alone are unreliable once sitecustomize has registered
+    # the axon plugin — pin the platform through jax.config too
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +168,12 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
     for sl in slices:
         d = {k: [] for k in per_slice}
         for _, _, _, fn in suite:
-            dist = np.clip(fn(sl), 0.0, 1.5).astype(np.float32)
+            # clip to the training-range contract [0, 1]: msssim2d is
+            # scored at data_range=1.0 and vif2d quantizes to the
+            # [0,1]->uint8 grid, so over-range values would silently
+            # saturate those references and bias the over-range
+            # families (noise/gamma_dn/bias) the conclusions rest on
+            dist = np.clip(fn(sl), 0.0, 1.0).astype(np.float32)
             d["lpips"].append(float(lpips_distance(
                 params, jnp.asarray(sl)[None, :, :, None],
                 jnp.asarray(dist)[None, :, :, None])[0]))
