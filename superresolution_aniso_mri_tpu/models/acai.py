@@ -92,9 +92,17 @@ class Encoder(nn.Module):
     config: AEConfig
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 return_features: bool = False):
+        """Encode; with ``return_features=True`` also return the
+        per-scale post-LeakyReLU activations (pre-BN/pool) plus the
+        pre-head activation — the multi-scale feature stack the
+        encoder-backbone perceptual metric (ops/perceptual.py) taps.
+        The flag changes only the return arity, never the parameter
+        tree or the computed latent."""
         cfg = self.config
         dt = cfg.dtype
+        feats = []
         x = x.astype(dt)
         if cfg.stem_pad_parity:
             # reference-faithful: the 1x1 stem carries padding=1
@@ -105,7 +113,9 @@ class Encoder(nn.Module):
         for scale in range(cfg.scales):
             k = cfg.depth << scale
             x = _leaky(_conv(k, 3, dt)(x))
+            feats.append(x)
             x = _leaky(_conv(k, 3, dt)(x))
+            feats.append(x)
             if cfg.use_batchnorm:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -121,7 +131,10 @@ class Encoder(nn.Module):
             x = nn.relu(x)
         k = cfg.depth << cfg.scales
         x = _leaky(_conv(k, 3, dt)(x))
+        feats.append(x)
         z = _conv(cfg.latent, 3, dt, name="head")(x)
+        if return_features:
+            return z.astype(jnp.float32), feats
         return z.astype(jnp.float32)
 
 
@@ -198,6 +211,11 @@ class VanillaACAI(nn.Module):
 
     def encode(self, x: Array, train: bool = False) -> Array:
         return self.enc(x, train=train)
+
+    def encode_features(self, x: Array, train: bool = False):
+        """(latent, [per-scale features]) — the perceptual-backbone tap
+        (ops/perceptual.py); same params/latent as :meth:`encode`."""
+        return self.enc(x, train=train, return_features=True)
 
     def decode(self, z: Array, train: bool = False) -> Array:
         return self.dec(z, train=train)

@@ -12,6 +12,10 @@ from .lpips import (
     lpips_distance, lpips_loss, get_lpips_params, init_lpips_params,
     load_lpips_params, load_lin_weights, lpips_weights_info,
 )
+from .perceptual import (
+    enc_lpips_distance, enc_perceptual_loss, get_enc_perceptual_params,
+    load_enc_perceptual, save_enc_perceptual,
+)
 
 __all__ = [
     "mse", "l1", "bce_sum_over_batch", "kl_standard_normal", "latent_mix",
@@ -22,4 +26,7 @@ __all__ = [
     "synth_slice_mask", "masked_mean", "gaussian_filter2d",
     "lpips_distance", "lpips_loss", "get_lpips_params", "init_lpips_params",
     "load_lpips_params", "load_lin_weights", "lpips_weights_info",
+    "enc_lpips_distance", "enc_perceptual_loss",
+    "get_enc_perceptual_params", "load_enc_perceptual",
+    "save_enc_perceptual",
 ]

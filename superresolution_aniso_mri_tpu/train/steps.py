@@ -124,7 +124,14 @@ def _apply(model, params, batch_stats, fn, *args, train: bool):
 def _recon_loss(cfg: LossConfig, lpips_params, pred, target):
     """Reconstruction loss dispatch (reference: base_trainer.py:164-198).
     Returns (loss_ae, loss_ae_dist, loss_laploss)."""
-    if cfg.recon_loss == "perceptual" and lpips_params is not None:
+    if cfg.recon_loss == "perceptual_enc" and lpips_params is not None:
+        # encoder-backbone perceptual (ops/perceptual.py) — scale-
+        # calibrated to MSE magnitude by tools/fit_perceptual_head.py,
+        # so it rides the same loss weights
+        from ..ops.perceptual import enc_lpips_distance
+        dist = jnp.mean(enc_lpips_distance(
+            lpips_params, pred, target, compute_dtype=cfg.lpips_dtype))
+    elif cfg.recon_loss == "perceptual" and lpips_params is not None:
         dist = jnp.mean(lpips_distance(lpips_params, pred, target,
                                        normalize=True,
                                        compute_dtype=cfg.lpips_dtype))
@@ -152,15 +159,21 @@ def _mix_image_loss(cfg: LossConfig, lpips_params, reference, synthesized,
     where slice_between := an endpoint ('mix'/'adjacent' sampling emits
     is_inbetween=0 for those; they must not pull midpoint decodes toward
     endpoints). All-ones weights reproduce the unweighted loss exactly."""
-    if cfg.image_mix_loss_func == "perceptual" and lpips_params is not None:
-        if cfg.use_masks and mask is not None:
-            d = lpips_distance(lpips_params, reference * mask,
-                               synthesized * mask, normalize=True,
-                               compute_dtype=cfg.lpips_dtype)
+    if (cfg.image_mix_loss_func in ("perceptual", "perceptual_enc")
+            and lpips_params is not None):
+        if cfg.image_mix_loss_func == "perceptual_enc":
+            from ..ops.perceptual import enc_lpips_distance
+            dist_fn = enc_lpips_distance
         else:
-            d = lpips_distance(lpips_params, reference, synthesized,
-                               normalize=True,
-                               compute_dtype=cfg.lpips_dtype)
+            dist_fn = lpips_distance
+        if cfg.use_masks and mask is not None:
+            d = dist_fn(lpips_params, reference * mask,
+                        synthesized * mask, normalize=True,
+                        compute_dtype=cfg.lpips_dtype)
+        else:
+            d = dist_fn(lpips_params, reference, synthesized,
+                        normalize=True,
+                        compute_dtype=cfg.lpips_dtype)
         if sample_weight is not None:
             return (jnp.sum(d * sample_weight)
                     / jnp.maximum(jnp.sum(sample_weight), 1.0))

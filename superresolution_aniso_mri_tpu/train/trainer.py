@@ -151,7 +151,19 @@ class Trainer:
 
         needs_lpips = (self.loss_config.recon_loss == "perceptual"
                        or self.loss_config.image_mix_loss_func == "perceptual")
-        self.lpips_params = get_lpips_params() if needs_lpips else None
+        needs_enc = (self.loss_config.recon_loss == "perceptual_enc"
+                     or self.loss_config.image_mix_loss_func
+                     == "perceptual_enc")
+        if needs_enc:
+            # encoder-backbone perceptual (ops/perceptual.py): the
+            # in-environment loss that actually passes the gap-study
+            # gate (docs/lpips_gap.json enc_* rows) — rides the same
+            # lpips_params slot, dispatched by the static loss name
+            from ..ops.perceptual import get_enc_perceptual_params
+            self.lpips_params = get_enc_perceptual_params()
+            self.args["lpips_mode"] = "encoder_backbone"
+        else:
+            self.lpips_params = get_lpips_params() if needs_lpips else None
         if needs_lpips:
             # record which LPIPS weights engaged (converted /
             # lin_converted_vgg_random / random) so settings.yaml carries

@@ -107,8 +107,12 @@ def distortion_suite(rs):
     ]
 
 
-def reference_slices(n_slices: int, size: int):
-    """Mixed brain-anatomy + cardiac phantom slices, [0,1] floats."""
+def reference_slices(n_slices: int, size: int, seed_base: int = 0):
+    """Mixed brain-anatomy + cardiac phantom slices, [0,1] floats.
+
+    ``seed_base`` shifts every phantom seed so a FIT set (e.g.
+    tools/fit_perceptual_head.py, seed_base=1000) is anatomy-disjoint
+    from this study's evaluation set (seed_base=0)."""
     from superresolution_aniso_mri_tpu.data.synthetic import (
         make_anatomy3d_volume, make_cardiac4d_volume,
     )
@@ -118,11 +122,12 @@ def reference_slices(n_slices: int, size: int):
     while len(out) < n_slices:
         if i % 2 == 0:
             vol = make_anatomy3d_volume(size=size, num_slices=9,
-                                        seed=100 + i).image
+                                        seed=100 + seed_base + i).image
             out.append(np.asarray(vol[4], np.float32))
         else:
             v4 = make_cardiac4d_volume(size=size, num_slices=7,
-                                       num_frames=2, seed=200 + i)
+                                       num_frames=2,
+                                       seed=200 + seed_base + i)
             out.append(np.asarray(v4[0, 3], np.float32))
         i += 1
     return out
@@ -147,13 +152,25 @@ def pairwise_agreement(a, b) -> float:
     return agree / max(tot, 1)
 
 
-def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
+def run_study(n_slices: int = 12, size: int = 128, seed: int = 0,
+              enc_npz: str = None):
+    """``enc_npz``: optionally also score the encoder-backbone
+    perceptual metric (ops/perceptual.py, artifact built by
+    tools/fit_perceptual_head.py) on the same held-out suite — the
+    acceptance gate for replacing the random-VGG fallback."""
     import jax.numpy as jnp
 
     from superresolution_aniso_mri_tpu.ops.lpips import (
         get_lpips_params, lpips_distance, lpips_weights_info,
     )
     from superresolution_aniso_mri_tpu.ops.metrics import msssim2d, vif2d
+
+    enc_params = None
+    if enc_npz:
+        from superresolution_aniso_mri_tpu.ops.perceptual import (
+            enc_lpips_distance, load_enc_perceptual,
+        )
+        enc_params = load_enc_perceptual(enc_npz)
 
     rs = np.random.RandomState(seed)
     suite = distortion_suite(rs)
@@ -165,6 +182,8 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
 
     names = [n for n, _, _, _ in suite]
     per_slice = {"lpips": [], "msssim": [], "vif": [], "mse": []}
+    if enc_params is not None:
+        per_slice["enc"] = []
     for sl in slices:
         d = {k: [] for k in per_slice}
         for _, _, _, fn in suite:
@@ -181,6 +200,10 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
                                                     levels=levels)))
             d["vif"].append(1.0 - float(vif2d(sl, dist)))
             d["mse"].append(float(np.mean((sl - dist) ** 2)))
+            if enc_params is not None:
+                d["enc"].append(float(enc_lpips_distance(
+                    enc_params, jnp.asarray(sl)[None, :, :, None],
+                    jnp.asarray(dist)[None, :, :, None])[0]))
         for k in per_slice:
             per_slice[k].append(d[k])
 
@@ -197,8 +220,9 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
         "spearman": {}, "pairwise_agreement": {},
         "monotonic_families": {},
     }
+    srcs = ["lpips", "mse"] + (["enc"] if enc_params is not None else [])
     for target in ("msssim", "vif"):
-        for src in ("lpips", "mse"):
+        for src in srcs:
             m, s = corr_stats(rows[src], rows[target], spearman)
             result["spearman"][f"{src}_vs_{target}"] = {
                 "mean": round(m, 4), "std": round(s, 4)}
@@ -208,6 +232,11 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
     m, s = corr_stats(rows["lpips"], rows["mse"], spearman)
     result["spearman"]["lpips_vs_mse"] = {"mean": round(m, 4),
                                           "std": round(s, 4)}
+    if enc_params is not None:
+        m, s = corr_stats(rows["enc"], rows["mse"], spearman)
+        result["spearman"]["enc_vs_mse"] = {"mean": round(m, 4),
+                                            "std": round(s, 4)}
+        result["enc_meta"] = enc_params.get("meta", {})
 
     # within-family severity monotonicity of the fallback distance
     fams = {}
@@ -221,6 +250,11 @@ def run_study(n_slices: int = 12, size: int = 128, seed: int = 0):
         mono = [bool(np.all(np.diff(rows["lpips"][s][idxs]) > 0))
                 for s in range(len(slices))]
         result["monotonic_families"][fam] = round(float(np.mean(mono)), 3)
+        if enc_params is not None:
+            mono_e = [bool(np.all(np.diff(rows["enc"][s][idxs]) > 0))
+                      for s in range(len(slices))]
+            result.setdefault("monotonic_families_enc", {})[fam] = (
+                round(float(np.mean(mono_e)), 3))
     return result
 
 
@@ -230,9 +264,14 @@ def main():
     p.add_argument("--size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json_out", type=str, default=None)
+    p.add_argument("--enc_npz", type=str, default=None,
+                   help="also gate the encoder-backbone perceptual "
+                        "metric (weights/perceptual_enc.npz) on the "
+                        "held-out suite")
     args = p.parse_args()
 
-    r = run_study(args.n_slices, args.size, args.seed)
+    r = run_study(args.n_slices, args.size, args.seed,
+                  enc_npz=args.enc_npz)
     print(f"\n=== fallback-LPIPS gap study (mode={r['lpips_mode']}, "
           f"{r['n_slices']} slices @ {r['size']}^2, "
           f"{len(r['distortions'])} distortions) ===")
@@ -246,6 +285,10 @@ def main():
           "(fallback LPIPS increases with severity):")
     for fam, frac in r["monotonic_families"].items():
         print(f"  {fam:>10}: {frac:.2f}")
+    if "monotonic_families_enc" in r:
+        print("severity-monotone fraction per family (encoder metric):")
+        for fam, frac in r["monotonic_families_enc"].items():
+            print(f"  {fam:>10}: {frac:.2f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(r, f, indent=1)

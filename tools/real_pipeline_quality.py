@@ -45,17 +45,21 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LOSS_MODES = ("mse", "perceptual", "mse+ssim")
+LOSS_MODES = ("mse", "perceptual", "perceptual_enc", "mse+ssim")
 
 
 def loss_mode_flags(mode: str):
     """--loss_mode → training-CLI flags (the CLI's post-parse defaulting
     mirrors the reference: ae_combined forces perceptual unless
-    image_mix_loss_func is given, kwatsch/arguments.py:67-76)."""
+    image_mix_loss_func is given, kwatsch/arguments.py:67-76).
+    'perceptual_enc' = the encoder-backbone perceptual loss
+    (ops/perceptual.py; weights/perceptual_enc.npz)."""
     if mode == "mse":
         return ["--image_mix_loss_func", "mse"]
     if mode == "perceptual":
         return ["--image_mix_loss_func", "perceptual"]
+    if mode == "perceptual_enc":
+        return ["--image_mix_loss_func", "perceptual_enc"]
     if mode == "mse+ssim":
         return ["--image_mix_loss_func", "mse", "--use_ssim_loss"]
     raise ValueError(f"unknown loss_mode {mode!r}")
@@ -246,7 +250,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
     # MUST inherit both or checkpoint load / loss selection diverge
     mix = kept.get("image_mix_loss_func")
     if mix is not None:
-        mode = ("perceptual" if mix == "perceptual"
+        mode = (mix if mix in ("perceptual", "perceptual_enc")
                 else "mse+ssim" if kept.get("use_ssim_loss") else "mse")
         if mode != args.loss_mode:
             overrides.append(f"loss_mode={mode}")
@@ -797,6 +801,8 @@ def main():
             if ta.get("image_mix_loss_func") == "perceptual":
                 loss_mode = ("perceptual+lap" if ta.get("use_laploss")
                              else "perceptual")
+            elif ta.get("image_mix_loss_func") == "perceptual_enc":
+                loss_mode = "perceptual_enc"
             else:
                 loss_mode = ("mse+ssim" if ta.get("use_ssim_loss")
                              else "mse")
