@@ -429,6 +429,15 @@ def build_parser():
                         "reference's real-data ordering on all three "
                         "metrics (see data/synthetic"
                         ".make_cardiac4d_volume / add_rician_noise)")
+    p.add_argument("--score_noise", type=float, default=None,
+                   help="with --reuse (no --extend): score the kept "
+                        "model against a FRESH fabrication at this "
+                        "Rician sigma instead of the kept tree's "
+                        "phantom_noise — same anatomy seeds, different "
+                        "noise level. Drives the noise-sensitivity "
+                        "curve (margin vs sigma) and the train/serve "
+                        "sigma-mismatch robustness row without "
+                        "retraining")
     p.add_argument("--aug_noise", action="store_true",
                    help="pass --aug_noise to the train child: additive-"
                         "gaussian noise augmentation (sigma ~ U(0, "
@@ -544,6 +553,10 @@ def main():
     if args.extend and not args.reuse:
         raise SystemExit("--extend requires --reuse (it continues a "
                          "kept experiment's training)")
+    if args.score_noise is not None and (not args.reuse or args.extend):
+        raise SystemExit("--score_noise requires --reuse without "
+                         "--extend (it re-scores a kept model, never "
+                         "retrains)")
     if args.downsample_steps is None:
         # per-shape reference defaults: ACDC trains/evaluates at gap 2,
         # dHCP's headline is 4x (2.0mm -> 0.5mm, README.md:31), OASIS
@@ -649,6 +662,36 @@ def main():
                                      "n_patients", "num_slices",
                                      "inplane", "num_frames",
                                      "phantom_noise")}, f)
+
+        score_root = data_root
+        score_sigma = args.phantom_noise
+        if args.score_noise is not None:
+            if not args.reuse or args.extend:
+                raise SystemExit("--score_noise requires --reuse "
+                                 "without --extend (it re-scores a "
+                                 "kept model, never retrains)")
+            score_sigma = float(args.score_noise)
+            score_root = os.path.join(
+                work, f"scoredata_{score_sigma:g}", "data")
+            if not os.path.isdir(score_root):
+                print(f"[score-noise] fabricating evaluation tree at "
+                      f"sigma={score_sigma:g} (same anatomy seeds) "
+                      f"under {score_root}", flush=True)
+                if cardiac:
+                    make_textured_acdc_tree(
+                        score_root, args.n_patients, args.inplane,
+                        args.num_slices, args.num_frames,
+                        noise_sigma=score_sigma)
+                elif args.dataset_shape == "dHCP":
+                    make_textured_dhcp_tree(
+                        score_root, ds, args.n_patients, args.inplane,
+                        args.num_slices, anatomy=args.anatomy,
+                        noise_sigma=score_sigma)
+                else:
+                    make_textured_oasis_tree(
+                        score_root, ds, args.n_patients, args.inplane,
+                        args.num_slices, anatomy=args.anatomy,
+                        noise_sigma=score_sigma)
 
         train_cmd = [
             sys.executable,
@@ -769,7 +812,7 @@ def main():
         from superresolution_aniso_mri_tpu.evaluate import create_hr_images
         from superresolution_aniso_mri_tpu.train import get_trainer
 
-        os.environ["SR_DATA_ROOT"] = data_root
+        os.environ["SR_DATA_ROOT"] = score_root
         if cardiac:
             # one 3-D Volume per (patient, frame) — create_hr_images
             # downsamples each internally and scores the synthesized
@@ -846,12 +889,12 @@ def main():
                 extra = make_extra_test_volumes_acdc(
                     args.extra_test_volumes, args.inplane,
                     args.num_slices, args.num_frames,
-                    noise_sigma=args.phantom_noise)
+                    noise_sigma=score_sigma)
             else:
                 extra = make_extra_test_volumes(
                     ds, args.extra_test_volumes, args.inplane,
                     args.num_slices, anatomy=args.anatomy,
-                    noise_sigma=args.phantom_noise)
+                    noise_sigma=score_sigma)
             print(f"\n=== extra held-out set: {len(extra)} fresh "
                   f"volumes (disjoint seeds) ===")
             rows_x = {"model (AESR)": create_hr_images(
@@ -890,6 +933,7 @@ def main():
                 "anatomy": "cardiac4d" if cardiac else args.anatomy,
                 "num_frames": args.num_frames if cardiac else None,
                 "phantom_noise": args.phantom_noise,
+                "score_noise": score_sigma,
                 "compute_dtype": trainer.args.get("compute_dtype",
                                                   "float32"),
                 "loss_mode": loss_mode,
