@@ -26,7 +26,16 @@ def parse_args(argv=None):
     parser.add_argument("-m", "--model", type=str,
                         choices=["ae", "ae_combined", "aesr", "aesr_combined",
                                  "vae", "vae_combined", "acai",
-                                 "acai_combined", "vae2"],
+                                 "acai_combined", "vae2",
+                                 # extension over the reference CLI: the
+                                 # alpha-probe family (the reference
+                                 # builds these trainers only via
+                                 # get_trainer_dynamic, never its CLI —
+                                 # kwatsch/arguments.py:21-27; exposing
+                                 # them here keeps one production
+                                 # entry point for every family)
+                                 "alpha", "alpha_end_to_end",
+                                 "alpha_only", "alpha_combined"],
                         default="ae")
     parser.add_argument("-id", "--exper_id", type=str, default="debug")
     parser.add_argument("-o", "--output_dir", type=str, default=None)

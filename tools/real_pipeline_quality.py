@@ -404,11 +404,15 @@ def build_parser():
                         "the AE reconstruction ceiling without changing "
                         "the spatial compression)")
     p.add_argument("--model", type=str, default="ae_combined",
-                   choices=["ae_combined", "ae"],
+                   choices=["ae_combined", "ae", "acai_combined", "acai",
+                            "vae", "vae_combined",
+                            "alpha_combined", "alpha_end_to_end"],
                    help="trainer family: the reference's dHCP tables "
                         "show plain 'ae' (no synthesis loss) beating "
                         "ae_combined on SSIM at some factors "
-                        "(BASELINE.md)")
+                        "(BASELINE.md). The secondary families "
+                        "(acai/vae/alpha) run the same full pipeline "
+                        "for production-quality rows (VERDICT r4 #3)")
     p.add_argument("--loss_mode", type=str, default="perceptual",
                    choices=LOSS_MODES)
     p.add_argument("--anatomy", type=str, default="rotate",
