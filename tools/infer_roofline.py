@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--packed", action="store_true",
                     help="also time the batched path with the "
                          "space-to-depth packed decoder")
+    ap.add_argument("--depth_sweep", action="store_true",
+                    help="lane-padding probe: B=8 throughput at depth "
+                         "{32, 64, 128} — flat time vs growing logical "
+                         "bytes proves the channel-padding floor")
     args = ap.parse_args()
 
     from superresolution_aniso_mri_tpu.models import AEConfig, VanillaACAI
@@ -167,6 +171,45 @@ def main():
             print(f"batched B={b}{tag}: {per_vol*1e3:6.2f} ms/volume  "
                   f"(MFU {flops/per_vol/args.peak_tflops/1e12*100:.1f}%, "
                   f"HBM {bytes_acc/per_vol/args.peak_gbps/1e9*100:.1f}%)")
+
+    if args.depth_sweep:
+        # lane-padding probe for the B=8 residual (VERDICT r4 #8): the
+        # bench model runs depth-32 NHWC convs on 128-wide vector
+        # lanes. If per-volume time is ~flat while logical bytes grow
+        # with depth, the physical traffic at depth 32 is already the
+        # lane-resident amount — the remaining gap to the LOGICAL
+        # bandwidth floor is layout padding, not implementation slack.
+        print("\n=== depth sweep @ B=8 (lane-padding probe) ===")
+        b = 8
+        for depth in (32, 64, 128):
+            cfg_d = AEConfig(width=64, latent_width=16, depth=depth,
+                             latent=128, colors=1, use_batchnorm=True,
+                             use_sigmoid=True, compute_dtype="bfloat16")
+            model_d = VanillaACAI(cfg_d)
+            vars_d = model_d.init(jax.random.PRNGKey(0), volume[:1],
+                                  train=False)
+            p_d = vars_d["params"]
+            bs_d = vars_d.get("batch_stats", {})
+            bsynth = make_batched_synthesizer(model_d)
+            vols = jnp.asarray(rng.rand(b, num_lr_slices, hw, hw, 1),
+                               jnp.float32)
+            out = bsynth(p_d, bs_d, vols, alphas)
+            float(reduce(out))
+            t0 = time.perf_counter()
+            res = None
+            for _ in range(args.reps):
+                res = bsynth(p_d, bs_d, vols, alphas)
+            float(reduce(res))
+            per_vol = (time.perf_counter() - t0) / args.reps / b
+            lowered_d = jax.jit(lambda p, bs, v, a: bsynth(p, bs, v, a)
+                                ).lower(p_d, bs_d, vols, alphas)
+            ca_d = lowered_d.compile().cost_analysis()
+            if isinstance(ca_d, list):
+                ca_d = ca_d[0]
+            by = float(ca_d.get("bytes accessed", float("nan"))) / b
+            print(f"  depth {depth:3d}: {per_vol*1e3:6.2f} ms/volume, "
+                  f"logical {by/1e9:.2f} GB/vol "
+                  f"(floor {by/args.peak_gbps/1e6:.2f} ms)")
 
 
 if __name__ == "__main__":
