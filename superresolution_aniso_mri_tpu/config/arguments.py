@@ -154,6 +154,15 @@ def parse_args(argv=None):
                              "step 0 can collapse the sigmoid output "
                              "head into exact-zero gradients when "
                              "--use_batchnorm 0)")
+    parser.add_argument("--max_grad_norm", type=float, default=0.0,
+                        help="global-norm gradient clipping (0 = off; "
+                             "the reference trainers' max_grad_norm "
+                             "argument, kwatsch/trainer_ae.py:18 via "
+                             "acai_utils.clip_grad_norm). The "
+                             "production guard against the bn=0 "
+                             "sigmoid-collapse divergence, which "
+                             "noise augmentation (--aug_noise) makes "
+                             "more likely")
     parser.add_argument("--rotate_any", action="store_true",
                         help="opt-in any-angle (0-359) rotation "
                              "augmentation (the reference CLIs compose "

@@ -238,6 +238,7 @@ def apply_reuse_overrides(kept: dict, args) -> list:
             ("compute_dtype", "compute_dtype", str),
             ("aug_noise", "aug_noise", bool),
             ("aug_blur", "aug_blur", bool),
+            ("max_grad_norm", "max_grad_norm", float),
             ("model", "model", str)):
         if kept.get(key) is None:
             continue
@@ -452,6 +453,13 @@ def build_parser():
     p.add_argument("--aug_blur", action="store_true",
                    help="pass --aug_blur to the train child (light "
                         "random 3x3 binomial blur, p=1/2)")
+    p.add_argument("--max_grad_norm", type=float, default=0.0,
+                   help="global-norm gradient clipping in the train "
+                        "child (0 = off). Required in practice with "
+                        "--aug_noise at bn=0: the round-5 pilot showed "
+                        "noise-augmented gradients trigger the "
+                        "sigmoid-collapse divergence (epoch-91 "
+                        "collapse, docs/STATUS.md round 5)")
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"),
                    help="training compute dtype passed to the train "
@@ -727,6 +735,8 @@ def main():
               if args.compute_dtype != "float32" else []),
             *(["--aug_noise"] if args.aug_noise else []),
             *(["--aug_blur"] if args.aug_blur else []),
+            *(["--max_grad_norm", str(args.max_grad_norm)]
+              if args.max_grad_norm else []),
             *(["--step_timeout_s", str(args.step_timeout_s),
                "--auto_resume"]
               if args.step_timeout_s > 0 else []),
@@ -956,6 +966,8 @@ def main():
                 "lr_schedule": bool(args.lr_schedule),
                 "aug_noise": bool(trainer.args.get("aug_noise")),
                 "aug_blur": bool(trainer.args.get("aug_blur")),
+                "max_grad_norm": float(
+                    trainer.args.get("max_grad_norm", 0) or 0),
                 "lr_warmup_steps": int(trainer.args.get(
                     "lr_warmup_steps", 0) or 0),
                 "n_res_block": trainer.args.get("n_res_block"),
