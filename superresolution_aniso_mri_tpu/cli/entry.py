@@ -126,6 +126,13 @@ def generate_hr_volumes(argv=None):
                              "over 4 ('flips') or 8 ('dihedral') in-plane "
                              "symmetries — higher quality at "
                              "~n_variants x the per-volume cost")
+    parser.add_argument("--readback_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="device->host transfer precision for the "
+                             "synthesized volume: 'bfloat16' halves "
+                             "the readback bytes at measured-zero SSIM "
+                             "cost (bench.py bf16_ssim_delta); files "
+                             "are still written float32")
     parser.add_argument("--latent_interp", type=str, default="linear",
                         choices=["linear", "cubic", "lanczos3", "fitted"],
                         help="latent z-interpolation: 'linear' = the "
@@ -152,12 +159,14 @@ def generate_hr_volumes(argv=None):
         _densify_file(trainer, path, args.output_dir,
                       args.num_interpolations, args.label_suffix,
                       args.num_devices, tta=args.tta,
-                      latent_interp=latent_interp)
+                      latent_interp=latent_interp,
+                      readback_dtype=args.readback_dtype)
 
 
 def _densify_file(trainer, path: str, output_dir: str, n: int,
                   label_suffix: str, num_devices: int = 1,
-                  tta: str | None = None, latent_interp: str = "linear"):
+                  tta: str | None = None, latent_interp: str = "linear",
+                  readback_dtype: str | None = None):
     """Densify one on-disk volume: read (+ label companion), synthesize
     ``n`` in-between slices per gap, write '<base>_niNN.nii.gz' (and the
     label output when input labels existed). Returns the written paths.
@@ -198,7 +207,8 @@ def _densify_file(trainer, path: str, output_dir: str, n: int,
         trainer, frames, alpha_range=alpha_range, use_original=True,
         downsample_steps=None, generate_inbetween_slices=False,
         labels_list=(None if lbl_frames is None else list(lbl_frames)),
-        num_devices=num_devices, tta=tta, latent_interp=latent_interp)
+        num_devices=num_devices, tta=tta, latent_interp=latent_interp,
+        readback_dtype=readback_dtype)
     out_frames = [r["upsampled_image"] for r in res_list]
     out_lbl_frames = [r["upsampled_labels"] for r in res_list]
     out = (out_frames[0] if arr.ndim == 3
