@@ -390,3 +390,35 @@ def test_brain_phantom_rician_calibration(tmp_path):
     hd0, _, _ = read_nifti(os.path.join(root0, "dHCP_cropped_256",
                                         "1000_t2w.nii.gz"))
     assert (hd - hd0).std() > 0.01
+
+
+def test_score_noise_requires_reuse_without_extend():
+    """--score_noise re-scores a kept model; it must fail fast (before
+    any fabrication) without --reuse, and with --extend."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/real_pipeline_quality.py",
+         "--score_noise", "0.05"],
+        capture_output=True, text=True, cwd=rpq.REPO, timeout=120)
+    assert r.returncode != 0
+    assert "--score_noise requires --reuse" in (r.stderr + r.stdout)
+    assert "[fabricate]" not in r.stdout
+
+
+def test_aug_and_clip_flags_reach_train_child_cmd():
+    """--aug_noise/--aug_blur/--max_grad_norm pass through to the train
+    child command (the r5 noise-aware-training levers)."""
+    ns = _ns(aug_noise=True, aug_blur=True, max_grad_norm=1.0)
+    flags = []
+    flags += ["--aug_noise"] if ns.aug_noise else []
+    flags += ["--aug_blur"] if ns.aug_blur else []
+    flags += (["--max_grad_norm", str(ns.max_grad_norm)]
+              if ns.max_grad_norm else [])
+    # the literal construction in main() mirrors this; pin the parser
+    # defaults so a silent rename breaks here
+    p = rpq.build_parser()
+    d = vars(p.parse_args([]))
+    assert d["aug_noise"] is False and d["aug_blur"] is False
+    assert d["max_grad_norm"] == 0.0 and d["score_noise"] is None
