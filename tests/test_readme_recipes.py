@@ -54,6 +54,14 @@ RECIPES = [
           latent_interp="lanczos3", train_latent_interp="lanczos3",
           latent_width=128, beats_all=True, beats_all_extra=True),
      ["model", "best_conventional"]),
+    ("dHCP noise-aware", "quality_real_r5.jsonl", 1,
+     dict(dataset_shape="dHCP", loss_mode="mse", tta=None,
+          latent_interp="lanczos3", train_latent_interp="lanczos3",
+          latent_width=128, aug_noise=True, aug_blur=False,
+          max_grad_norm=1.0, phantom_noise=0.03,
+          beats_all=True, beats_all_extra=True),
+     ["model", "best_conventional", "model_extra",
+      "best_conventional_extra"]),
 ]
 
 
