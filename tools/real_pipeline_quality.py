@@ -434,6 +434,13 @@ def build_parser():
                         "reference's real-data ordering on all three "
                         "metrics (see data/synthetic"
                         ".make_cardiac4d_volume / add_rician_noise)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="with --reuse: score THIS checkpoint (epoch "
+                        "number / 'caisr' / 'ema') and skip the epoch "
+                        "re-sweep entirely — e.g. rescore the "
+                        "already-swept epoch at a different "
+                        "--score_noise/--tta without paying the sweep "
+                        "again")
     p.add_argument("--score_noise", type=float, default=None,
                    help="with --reuse (no --extend): score the kept "
                         "model against a FRESH fabrication at this "
@@ -784,30 +791,42 @@ def main():
             # refit on the actually-selected checkpoint before scoring
             _fit_taps("caisr", "fit_taps")
 
-        r = _run([sys.executable, "find_best_model.py",
-                  "--exper_dir", exper, "--downsample_steps", str(ds),
-                  "--batched",
-                  # select checkpoints under the same z-mixing scheme
-                  # the scoring pass serves with
-                  *(["--latent_interp", args.latent_interp]
-                    if args.latent_interp != "linear" else [])],
-                 data_root, "find_best",
-                 log_path=os.path.join(work, "find_best.log"))
-        best_lines = [l for l in r.stdout.splitlines()
-                      if "best per metric" in l or "ssim" in l.lower()]
-        print("\n".join(best_lines[-6:]), flush=True)
-        # model selection happens on the VAL sweep: score the epoch the
-        # sweep picked by synthesized-slice SSIM; fall back to the
-        # min-val-loss 'caisr' alias when the line isn't found
-        import re
-        m = re.search(r"ssim_synth: epoch (\d+)", r.stdout)
-        best_nbr = int(m.group(1)) if m else "caisr"
-        have_ema = os.path.isfile(
-            os.path.join(exper, "models", "ema.models"))
-        best_nbr = select_score_checkpoint(args.score, args.ema_decay,
-                                           have_ema, best_nbr)
-        kind = "EMA" if best_nbr == "ema" else "sweep-selected"
-        print(f"[score] using {kind} checkpoint: {best_nbr}", flush=True)
+        if args.checkpoint is not None:
+            # pinned: skip the (expensive) epoch re-sweep of a kept,
+            # already-swept experiment — rescoring at a different
+            # --score_noise/--tta must not pay the sweep again
+            if not args.reuse:
+                raise SystemExit("--checkpoint requires --reuse")
+            best_nbr = (int(args.checkpoint) if args.checkpoint.isdigit()
+                        else args.checkpoint)
+            print(f"[score] using pinned checkpoint: {best_nbr}",
+                  flush=True)
+        else:
+            r = _run([sys.executable, "find_best_model.py",
+                      "--exper_dir", exper, "--downsample_steps", str(ds),
+                      "--batched",
+                      # select checkpoints under the same z-mixing scheme
+                      # the scoring pass serves with
+                      *(["--latent_interp", args.latent_interp]
+                        if args.latent_interp != "linear" else [])],
+                     data_root, "find_best",
+                     log_path=os.path.join(work, "find_best.log"))
+            best_lines = [l for l in r.stdout.splitlines()
+                          if "best per metric" in l or "ssim" in l.lower()]
+            print("\n".join(best_lines[-6:]), flush=True)
+            # model selection happens on the VAL sweep: score the epoch
+            # the sweep picked by synthesized-slice SSIM; fall back to
+            # the min-val-loss 'caisr' alias when the line isn't found
+            import re
+            m = re.search(r"ssim_synth: epoch (\d+)", r.stdout)
+            best_nbr = int(m.group(1)) if m else "caisr"
+            have_ema = os.path.isfile(
+                os.path.join(exper, "models", "ema.models"))
+            best_nbr = select_score_checkpoint(args.score, args.ema_decay,
+                                               have_ema, best_nbr)
+            kind = "EMA" if best_nbr == "ema" else "sweep-selected"
+            print(f"[score] using {kind} checkpoint: {best_nbr}",
+                  flush=True)
 
         score_latent_interp = args.latent_interp
         if args.latent_interp == "fitted":
