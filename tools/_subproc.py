@@ -100,9 +100,18 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
                       f"looks dead, not wedged; giving up", flush=True)
                 break
             attempts += 1
+            # exponential backoff (capped): the tunneled backend's
+            # outages come in multi-minute phases — restarting
+            # immediately burns a full resume (data upload + compile)
+            # per wedged epoch, while waiting out the down-phase
+            # resumes once when the tunnel returns. Deducted from the
+            # same overall budget as everything else.
+            backoff = min(300.0, 5.0 * (2.0 ** max(0, attempts - 2)))
             print(f"[{what}] device backend stalled (exit 75) — "
-                  f"restart {attempts}/{stall_restarts}", flush=True)
-            time.sleep(5.0)
+                  f"restart {attempts}/{stall_restarts}"
+                  + (f" (backoff {backoff:.0f}s)" if backoff > 5
+                     else ""), flush=True)
+            time.sleep(min(backoff, max(0.0, deadline - time.time())))
             continue
         break
     if r.returncode != 0:
