@@ -111,7 +111,12 @@ def run_child(cmd, data_root, what, log_path=None, timeout=7200,
                   f"restart {attempts}/{stall_restarts}"
                   + (f" (backoff {backoff:.0f}s)" if backoff > 5
                      else ""), flush=True)
-            time.sleep(min(backoff, max(0.0, deadline - time.time())))
+            # never sleep (much) past the deadline — but when the
+            # budget IS nearly spent, sleep just beyond it so the next
+            # loop iteration raises the budget-exhausted SystemExit
+            # instead of launching a ~0s-timeout attempt
+            time.sleep(min(backoff,
+                           max(0.0, deadline - time.time()) + 0.1))
             continue
         break
     if r.returncode != 0:
